@@ -1,0 +1,81 @@
+"""Text-analysis expressions: tokenization, shingling, MinHash, quality
+stats.  All pure ``Column`` expressions (no UDFs) so they vectorize in
+whole-stage codegen and scale linearly with input partitions.
+
+MinHash design (dedup at 100 TB): a MinHash value for seed *s* is
+``min(md5(s || '|' || shingle))`` over a document's w-token shingles.
+md5 is available (and identical) in Spark, DuckDB, and virtually every
+engine, so signatures are portable and the whole pipeline —
+signature → band key → bucket self-join — is expressible as plain SQL
+(and therefore oracle-checkable), while remaining a pure shuffle-join
+workload on a cluster: no driver state, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: Column | str) -> Column:
+    """Lowercased whitespace tokenization → array<string>.
+
+    Whitespace splitting (rather than the reference's ``[a-zA-Z]+`` word
+    regex, model.py:71) so the DuckDB oracle (``string_split(text,' ')``)
+    matches token-for-token; see :func:`tokenize_words` for the strict
+    regex analogue.
+    """
+    return F.split(F.lower(_c(col)), r"\s+")
+
+
+def tokenize_words(col: Column | str) -> Column:
+    """Strict analogue of the reference's word extraction
+    ``re.findall(r"\\b[a-zA-Z]+\\b", text.lower())`` (model.py:71):
+    lowercase, split on non-letter runs, drop empties."""
+    parts = F.split(F.lower(_c(col)), "[^a-z]+")
+    return F.filter(parts, lambda x: x != F.lit(""))
+
+
+def shingles(tokens: Column, w: int = 3) -> Column:
+    """w-token shingles joined by single spaces → array<string>.
+
+    ``sequence(0, size-w)`` enumerates start offsets (``F.get`` is
+    0-based); empty array when the document has fewer than *w* tokens.
+    """
+    idx = F.sequence(F.lit(0), F.size(tokens) - F.lit(w))
+    make = lambda i: F.concat_ws(" ", *[F.get(tokens, i + F.lit(j)) for j in range(w)])
+    return F.when(F.size(tokens) >= w, F.transform(idx, make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_value(shingles_col: Column, seed: int) -> Column:
+    """MinHash for one seed: lexicographic min of seeded md5 over shingles.
+
+    Returns NULL for an empty shingle set.
+    """
+    hashed = F.transform(
+        shingles_col, lambda s: F.md5(F.concat(F.lit(f"{seed}|"), s))
+    )
+    return F.array_min(hashed)
+
+
+def token_stats_cols(text_col: str = "text") -> dict[str, Column]:
+    """Per-row token statistics used by the quality-score queries.
+
+    Double divisions of integer-derived values are bit-deterministic
+    (same inputs → same IEEE result in any engine), so these compare
+    exactly against the oracle with no rounding.
+    """
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    return {
+        "n_tokens": n,
+        "n_unique_tokens": uniq,
+        "type_token_ratio": uniq.cast("double") / n.cast("double"),
+    }

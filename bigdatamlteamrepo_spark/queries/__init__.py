@@ -1,0 +1,15 @@
+"""Named query registry (driver contract surface).
+
+Importing this package registers every query family; the dicts below
+are what ``__spark_entry__.queries()`` / ``oracle_sql()`` expose.
+"""
+
+from bigdatamlteamrepo_spark.queries.registry import BENCH_SET, ORACLE, QUERIES
+
+# Importing for side effect: each module registers its queries.
+from bigdatamlteamrepo_spark.queries import relational  # noqa: F401,E402
+from bigdatamlteamrepo_spark.queries import events  # noqa: F401,E402
+from bigdatamlteamrepo_spark.queries import text_dedup  # noqa: F401,E402
+from bigdatamlteamrepo_spark.queries import similarity  # noqa: F401,E402
+
+__all__ = ["QUERIES", "ORACLE", "BENCH_SET"]

@@ -1,0 +1,191 @@
+"""Event-stream queries (batch form) over the ``events`` table:
+time-bucket aggregation, JSON prop extraction, sessionization, shares.
+
+These are the batch twins of the Structured Streaming surface
+(``bigdatamlteamrepo_spark/streaming``): the tumbling-window agg here is
+the same logical plan a ``readStream`` + ``window()`` query produces,
+which is how Spark unifies the two (incrementalization is the planner's
+job, not the query author's).
+
+Scale notes: all groupings key on (time-bucket, type) or user_id —
+high-cardinality, well-distributed keys; sessionization is a window
+function over user_id partitions (shuffle once, then linear scan),
+the standard lag/cumsum sessionize that holds at any scale as long as
+a single user's history fits a partition (true for real workloads).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.functions.numeric import davg_expr, dsum, dsum_expr
+from bigdatamlteamrepo_spark.queries.registry import query
+
+# --------------------------------------------------------------------------
+# Tumbling hourly window (batch twin of the streaming tumbling agg).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_by_type",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {dsum_expr('value', 6)} AS sum_value,
+       {davg_expr('value', 6)} AS avg_value
+FROM events
+GROUP BY 1, 2
+""",
+    bench=True,
+)
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value", 6).alias("sum_value"),
+            (dsum("value", 6) / F.count(F.lit(1))).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON prop extraction (driver's events.props is a JSON string) —
+# get_json_object stays JVM-side; at scale prefer from_json with a pinned
+# schema once the prop set is known (single parse, typed struct).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_props_stats",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       COUNT(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) > 50) AS n_big_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.count(F.when(k > 50, 1)).alias("n_big_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization: 30-minute inactivity gap, lag + cumulative-sum idiom.
+# --------------------------------------------------------------------------
+
+_GAP_SECONDS = 1800
+
+
+@query(
+    "events_user_sessions",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN date_diff('second',
+                             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                             ts) > {_GAP_SECONDS}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions
+FROM flagged
+GROUP BY user_id
+""",
+    bench=True,
+)
+def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session", F.when(gap > _GAP_SECONDS, 1).otherwise(0)
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.lit(1) + F.sum("new_session")).alias("n_sessions"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Share-of-total via window aggregate (no second scan, no driver math).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_type_share",
+    oracle="""
+WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+SELECT event_type, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+FROM c
+""",
+)
+def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy()
+    return counts.withColumn(
+        "share",
+        F.col("n").cast("double") / F.sum("n").over(total).cast("double"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-user inter-event gap stats (lag + aggregation over derived column).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_user_gap_stats",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_s
+  FROM events
+)
+SELECT user_id,
+       COUNT(gap_s) AS n_gaps,
+       MIN(gap_s) AS min_gap_s,
+       MAX(gap_s) AS max_gap_s,
+       CAST(SUM(gap_s) AS BIGINT) AS total_gap_s
+FROM gaps
+GROUP BY user_id
+""",
+)
+def events_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).alias(
+        "gap_s"
+    )
+    return (
+        ev.select("user_id", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.sum("gap_s").alias("total_gap_s"),
+        )
+    )

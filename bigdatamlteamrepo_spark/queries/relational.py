@@ -1,0 +1,447 @@
+"""Relational query surface over the TPC-H-ish star schema.
+
+Covers SURVEY.md §2.2 (projection/filter), §2.4 (aggregation), §2.6
+(joins/set ops — the reference has none, re-expressed per §7 step 4),
+§2.7 (sorts/limits/top-k windows).
+
+Scale notes (100 TB stance), per query:
+  * fact-fact joins (orders ⋈ lineitem) shuffle on the join key — at
+    scale both sides would be bucketed by orderkey at write time;
+  * dim joins (region/nation, and customer at small SF) are broadcast —
+    ``F.broadcast`` hints the bounded dims explicitly;
+  * aggregates use map-side partial aggregation automatically; the
+    decimal-sum trick (functions/numeric.py) keeps results
+    partition-count-independent, which matters when AQE changes the
+    shuffle layout between runs;
+  * top-k uses window ``row_number`` with a deterministic tiebreak so
+    LIMIT queries hash-match the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.functions.numeric import davg, davg_expr, dsum, dsum_expr
+from bigdatamlteamrepo_spark.queries.registry import query
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary (TPC-H Q1 shape): scan + filter + 8-agg groupBy.
+# Whole plan is scan→filter(pushed)→partial agg→final agg; no join.
+# --------------------------------------------------------------------------
+
+_Q1_CUT = "1998-09-02 00:00:00"
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum_expr('l_quantity', 2)} AS sum_qty,
+       {dsum_expr('l_extendedprice', 2)} AS sum_base_price,
+       {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+       {dsum_expr('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       {davg_expr('l_quantity', 2)} AS avg_qty,
+       {davg_expr('l_extendedprice', 2)} AS avg_price,
+       {davg_expr('l_discount', 6)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{_Q1_CUT}'
+GROUP BY l_returnflag, l_linestatus
+""",
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUT).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 2).alias("sum_qty"),
+            dsum("l_extendedprice", 2).alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity", 2).alias("avg_qty"),
+            davg("l_extendedprice", 2).alias("avg_price"),
+            davg("l_discount", 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping priority: 3-way join + agg + deterministic top-10.
+# customer is the selective side (1/5 segment) and is orders-of-magnitude
+# smaller than lineitem → broadcast it into orders, then shuffle-join the
+# pre-filtered orders with lineitem on orderkey.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+WITH r AS (
+  SELECT l_orderkey,
+         o_orderdate,
+         o_orderpriority,
+         {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT * FROM r
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — revenue by nation within a region (TPC-H Q5 shape): 6-way join with
+# two broadcast dims; exercises join reordering + c_nationkey = s_nationkey
+# locality predicate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name,
+       {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""",
+    bench=True,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cust.join(
+                F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supp),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum(revenue, 6).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-customer order stats: fact agg + broadcast dim join back.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_order_stats",
+    oracle=f"""
+SELECT c_custkey, c_name, c_mktsegment,
+       COUNT(*) AS n_orders,
+       {dsum_expr('o_totalprice', 2)} AS total_spent,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       {davg_expr('o_totalprice', 2)} AS avg_price,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+""",
+)
+def customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_spent"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            davg("o_totalprice", 2).alias("avg_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k per group via window row_number (SURVEY O2 — the reference's one
+# latent window use case, top-7 categories per cluster).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "top_orders_per_segment",
+    oracle="""
+WITH ranked AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rank_in_segment
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, rank_in_segment
+FROM ranked WHERE rank_in_segment <= 3
+""",
+    bench=True,
+)
+def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rank_in_segment", F.row_number().over(w))
+        .filter(F.col("rank_in_segment") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Anti / semi joins (SURVEY §2.6 — driver-corpus relational surface).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "customers_with_urgent_orders",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+""",
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (distinct semantics both sides).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "building_and_urgent_custkeys",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""",
+)
+def building_and_urgent_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.intersect(b)
+
+
+@query(
+    "machinery_minus_high_priority",
+    oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+""",
+)
+def machinery_minus_high_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    b = (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return a.subtract(b)
+
+
+# --------------------------------------------------------------------------
+# Pivot / crosstab (SURVEY A6: pd.crosstab with forced value set) —
+# explicit pivot values reproduce the forced-reindex semantics and keep
+# the plan a single pass (no second job to discover pivot values).
+# --------------------------------------------------------------------------
+
+_STATUSES = ["F", "O", "P"]
+
+
+@query(
+    "order_priority_status_crosstab",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def order_priority_status_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .count()
+        .na.fill(0, _STATUSES)
+    )
+
+
+# --------------------------------------------------------------------------
+# Dim-chain rollup: customers per region/nation via two broadcast joins.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_region_customer_counts",
+    oracle=f"""
+SELECT r_name, n_name,
+       COUNT(*) AS n_customers,
+       {dsum_expr('c_acctbal', 2)} AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def nation_region_customer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dims = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        cust.join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", 2).alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Part stats: multi-column groupBy with min/max/avg (order-independent).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_brand_type_stats",
+    oracle=f"""
+SELECT p_brand, p_type,
+       COUNT(*) AS n_parts,
+       MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price,
+       {davg_expr('p_retailprice', 2)} AS avg_price,
+       MAX(p_size) AS max_size
+FROM part
+GROUP BY p_brand, p_type
+""",
+)
+def part_brand_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand", "p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        davg("p_retailprice", 2).alias("avg_price"),
+        F.max("p_size").alias("max_size"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct count + conditional aggregation (SURVEY A3 + F3).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_flag_distincts",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def lineitem_flag_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
