@@ -1,0 +1,102 @@
+"""ANN + SimHash extensions: recall against the exact baseline on a
+planted-cluster fixture; structural checks on driver tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.operators.dedup import simhash_neardup_pairs
+from bigdatamlteamrepo_spark.operators.similarity import ivf_topk, rp_lsh_topk
+from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    """300 vectors in 6 tight clusters (dim 32) — true neighbors are
+    intra-cluster, so a sane ANN index achieves high recall."""
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(6, 32)) * 3
+    rows = []
+    for i in range(300):
+        c = i % 6
+        v = centers[c] + rng.normal(scale=0.15, size=32)
+        rows.append((i, [float(x) for x in v], c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def _brute_topk(spark, emb, k=10):
+    q = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    from pyspark.sql import Window
+
+    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _recall(approx_rows, exact_rows):
+    ex, ap = {}, {}
+    for r in exact_rows:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx_rows:
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
+    return hits / sum(len(v) for v in ex.values())
+
+
+def test_rp_lsh_recall(spark, clustered_emb):
+    exact = _brute_topk(spark, clustered_emb).collect()
+    q = clustered_emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    approx = rp_lsh_topk(clustered_emb, q, k=10, dim=32, n_planes=4, seed=42).collect()
+    assert _recall(approx, exact) >= 0.8
+    # ranks well-formed
+    for r in approx:
+        assert 1 <= r.rank <= 10
+
+
+def test_ivf_recall(spark, clustered_emb):
+    exact = _brute_topk(spark, clustered_emb).collect()
+    q = clustered_emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    approx = ivf_topk(clustered_emb, q, k=10, n_cells=6, n_probe=2, seed=42).collect()
+    assert _recall(approx, exact) >= 0.9
+
+
+def test_simhash_on_documents(spark, sf_dir):
+    from bigdatamlteamrepo_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs(docs, max_hamming=8).collect()
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 8
+    # deterministic
+    again = simhash_neardup_pairs(docs, max_hamming=8).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(r.doc_a, r.doc_b) for r in again}
+
+
+def test_simhash_identical_texts_hamming_zero(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_neardup_pairs(df, max_hamming=32).collect()}
+    assert pairs.get((0, 1)) == 0
