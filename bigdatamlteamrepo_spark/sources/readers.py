@@ -1,0 +1,93 @@
+"""Explicit-schema readers for the reference's source formats
+(SURVEY §2.1).
+
+The reference infers every schema (pandas ``read_csv`` dtype inference,
+``spark.read.json`` schema inference over multiline JSON — a full extra
+pass).  Engine rule: every reader takes a pinned ``StructType``.
+
+Covered: S1 CSV (header), S2 multiline JSON, S3 remote-fetch →
+out-of-band ingest convention (fetch once, land parquet, engine reads
+parquet — ``ingest_to_parquet``), S6 metrics-log CSV.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+#: allergen-corpus / RecipeNLG-analogue schemas (FIXTURES §1-2)
+RECIPES_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("ingredients", T.ArrayType(T.StringType())),
+        T.StructField("directions", T.ArrayType(T.StringType())),
+        T.StructField("ner", T.ArrayType(T.StringType())),
+    ]
+)
+
+RECIPES_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("ingredients", T.StringType()),   # stringified list (F7)
+        T.StructField("directions", T.StringType()),
+        T.StructField("link", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("ner", T.StringType()),
+    ]
+)
+
+RESTAURANTS_CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("restaurant_id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("ratings", T.DoubleType()),
+        T.StructField("full_address", T.StringType()),
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lng", T.DoubleType()),
+        T.StructField("category", T.StringType()),
+    ]
+)
+
+METRICS_LOG_SCHEMA = T.StructType(
+    [
+        T.StructField("step", T.LongType()),
+        T.StructField("epoch", T.LongType()),
+        T.StructField("train_loss", T.DoubleType()),
+        T.StructField("val_loss", T.DoubleType()),
+    ]
+)
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S1: header CSV with pinned schema (no inference pass)."""
+    return spark.read.csv(path, header=True, schema=schema)
+
+
+def read_multiline_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """S2: multiline JSON with pinned schema.
+
+    The reference's ``option("multiline","true").json(path)`` with
+    inference reads the file twice; the explicit schema reads once.
+    Note multiline JSON is *not splittable* — a single huge file becomes
+    one task.  At scale, land JSON as many files (or convert to
+    parquet via :func:`ingest_to_parquet`).
+    """
+    return spark.read.option("multiline", "true").schema(schema).json(path)
+
+
+def read_metrics_log(spark: SparkSession, path: str) -> DataFrame:
+    """S6 source side: Lightning CSVLogger ``metrics.csv``."""
+    return read_csv(spark, path, METRICS_LOG_SCHEMA)
+
+
+def ingest_to_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S3 convention: any remote/raw source is landed as parquet once;
+    all engine queries read the parquet.  Partition columns become
+    directory partitions (partition pruning at scale)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

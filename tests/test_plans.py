@@ -1,0 +1,59 @@
+"""Plan-quality gate: the physical plans the engine would want at 100 TB
+— pushdown at the scan, pruned columns, broadcast dims, codegen hot
+paths, zero row-at-a-time Python UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.plans import checks
+from bigdatamlteamrepo_spark.queries.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+)
+from bigdatamlteamrepo_spark.queries.registry import ORACLE, QUERIES
+
+
+def test_filter_pushdown_to_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    assert checks.has_pushed_filter(df, "o_orderpriority")
+
+
+def test_column_pruning(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    cols = checks.reads_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}
+
+
+def test_q1_codegen_and_pushdown(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    assert checks.has_whole_stage_codegen(df)
+    assert checks.has_pushed_filter(df, "l_shipdate")
+    assert checks.python_udf_count(df) == 0
+
+
+def test_q3_broadcasts_dims(spark, sf_dir):
+    df = q3_shipping_priority(spark, sf_dir)
+    assert checks.broadcast_join_count(df) >= 1
+    assert checks.python_udf_count(df) == 0
+
+
+def test_q5_join_strategy(spark, sf_dir):
+    df = q5_local_supplier_volume(spark, sf_dir)
+    # region/nation/supplier broadcast; fact-fact joins may be SMJ or
+    # (post-AQE at tiny SF) broadcast — just require ≥2 broadcasts and
+    # no nested-loop for the equi-joins
+    assert checks.broadcast_join_count(df) >= 2
+    plan = checks.physical_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_no_python_udfs_in_oracle_queries(spark, sf_dir):
+    """Every oracle-paired query must be UDF-free (full codegen)."""
+    for name in sorted(ORACLE):
+        df = QUERIES[name](spark, sf_dir)
+        assert checks.python_udf_count(df) == 0, f"{name} has a Python UDF"

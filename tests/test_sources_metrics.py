@@ -1,0 +1,108 @@
+"""S1/S2 reader round-trips with pinned schemas; metrics-log ops with
+the reference's disjoint-nullity dropna semantics (FIXTURES §4)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.ml import metrics_log as ml_metrics
+from bigdatamlteamrepo_spark.ml.recipes import generate_recipes
+from bigdatamlteamrepo_spark.sources import readers
+
+
+@pytest.fixture(scope="module")
+def metrics_df(spark):
+    """~500 rows, train rows and val rows with disjoint nullity + a few
+    fully-null rows to exercise how='all'."""
+    rows = []
+    step = 0
+    for epoch in range(10):
+        for i in range(40):
+            rows.append((step, epoch, 2.0 / (1 + 0.01 * step), None))
+            step += 1
+        rows.append((step, epoch, None, 1.8 / (1 + 0.008 * step) + (0.05 if epoch == 9 else 0)))
+        step += 1
+        rows.append((step, epoch, None, None))  # fully-null row
+        step += 1
+    return spark.createDataFrame(
+        rows, "step long, epoch long, train_loss double, val_loss double"
+    )
+
+
+def test_multiline_json_roundtrip(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("json"))
+    recipes = generate_recipes(spark, n_rows=100, seed=1)
+    path = os.path.join(d, "recipes.json")
+    pdf = recipes.toPandas()
+    with open(path, "w") as f:
+        json.dump(
+            [
+                {**r, "ingredients": list(r["ingredients"]),
+                 "directions": list(r["directions"]), "ner": list(r["ner"])}
+                for r in pdf.to_dict("records")
+            ],
+            f,
+        )
+    back = readers.read_multiline_json(spark, path, readers.RECIPES_JSON_SCHEMA)
+    assert back.count() == 100
+    assert back.schema == readers.RECIPES_JSON_SCHEMA
+    a = {r.doc_id: list(r.ingredients) for r in back.collect()}
+    b = {r.doc_id: list(r.ingredients) for r in recipes.collect()}
+    assert a == b
+
+
+def test_csv_roundtrip_with_schema(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("csv"))
+    from bigdatamlteamrepo_spark.ml.restaurants import generate_restaurants
+
+    rest = generate_restaurants(spark, n_rows=100, seed=1)
+    rest.toPandas().to_csv(os.path.join(d, "r.csv"), index=False)
+    back = readers.read_csv(spark, os.path.join(d, "r.csv"), readers.RESTAURANTS_CSV_SCHEMA)
+    assert back.count() == 100
+    assert [f.dataType for f in back.schema] == [f.dataType for f in readers.RESTAURANTS_CSV_SCHEMA]
+    # nulls survive the round-trip
+    assert back.filter(F.col("score").isNull()).count() == rest.filter(F.col("score").isNull()).count()
+
+
+def test_clean_metrics_drops_only_fully_null(metrics_df):
+    cleaned = ml_metrics.clean_metrics(metrics_df)
+    assert cleaned.count() == metrics_df.count() - 10  # one all-null row per epoch
+    # partially-null rows retained
+    assert cleaned.filter(F.col("val_loss").isNull()).count() > 0
+
+
+def test_loss_curves_disjoint(metrics_df):
+    train, val = ml_metrics.loss_curves(metrics_df)
+    assert train.count() == 400
+    assert val.count() == 10
+    assert train.filter(F.col("train_loss").isNull()).count() == 0
+    steps = [r.step for r in train.collect()]
+    assert steps == sorted(steps)
+
+
+def test_epoch_summary_and_best(metrics_df):
+    summary = ml_metrics.epoch_summary(metrics_df).collect()
+    assert len(summary) == 10
+    # best-so-far is non-increasing
+    bests = [r.best_val_so_far for r in summary]
+    assert all(b2 <= b1 for b1, b2 in zip(bests, bests[1:]))
+    best = ml_metrics.best_epoch(metrics_df).first()
+    # epoch 9 has an artificially raised val loss → best is epoch 8
+    assert best.epoch == 8
+
+
+def test_ingest_to_parquet_partitioned(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pq"))
+    recipes = generate_recipes(spark, n_rows=50, seed=2).withColumn(
+        "bucket", (F.col("doc_id") % 3).cast("int")
+    )
+    readers.ingest_to_parquet(recipes, d, partition_by=["bucket"])
+    assert sorted(os.listdir(d))[:1] == ["_SUCCESS"] or any(
+        p.startswith("bucket=") for p in os.listdir(d)
+    )
+    back = spark.read.parquet(d)
+    assert back.count() == 50
