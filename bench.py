@@ -33,8 +33,10 @@ def main() -> None:
         sf = sf_dir
     spark = get_spark(app_name="bigdatamlteamrepo-bench")
 
-    # Warm-up: JVM JIT + codegen + parquet footer caches.
-    QUERIES["doc_keyword_label_counts"](spark, sf_dir).collect()
+    # Warm pass: JVM JIT, whole-stage codegen compilation, parquet
+    # footer caches — measured pass reports warm per-query latency.
+    for name in BENCH_SET:
+        QUERIES[name](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_SET:

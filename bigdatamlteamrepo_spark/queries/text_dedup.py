@@ -255,10 +255,14 @@ WHERE len(toks) >= 3
     bench=True,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.functions.text import minhash_values
+
     df = _with_tokens(spark, sf_dir).filter(F.size("toks") >= 3)
     sh = shingles(F.col("toks"), 3)
-    cols = [minhash_value(sh, s).alias(f"mh_{s}") for s in range(_N_HASHES)]
-    return df.select("doc_id", *cols)
+    mh = df.select("doc_id", minhash_values(sh, _N_HASHES).alias("mh"))
+    return mh.select(
+        "doc_id", *[F.get("mh", s).alias(f"mh_{s}") for s in range(_N_HASHES)]
+    )
 
 
 # --------------------------------------------------------------------------
