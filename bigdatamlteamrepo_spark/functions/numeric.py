@@ -39,6 +39,21 @@ def davg(col: Column | str, scale: int = DEFAULT_SCALE, precision: int = DEFAULT
     return dsum(c, scale, precision) / F.count(F.lit(1))
 
 
+def dec(col: Column | str, precision: int, scale: int) -> Column:
+    """Per-row decimal cast.  CAUTION (learned the hard way): casting a
+    *double product* to a decimal whose scale equals the product's true
+    decimal length (e.g. price² at scale 4 for 2-decimal prices) lands
+    the cast on engine-specific rounding paths — Spark goes through the
+    double's shortest string repr, other engines multiply-and-round —
+    and the engines disagree on boundary values.  Rule: cast the raw
+    *factors* to decimal (their true scale is well inside the cast
+    scale) and multiply in exact decimal arithmetic instead of casting
+    the product.  See segment_price_variance / q1 revenue expressions.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({precision},{scale})")
+
+
 def dsum_expr(sql_expr: str, scale: int = DEFAULT_SCALE, precision: int = DEFAULT_PRECISION) -> str:
     """ANSI-SQL twin of :func:`dsum` for the DuckDB oracle."""
     return f"CAST(SUM(CAST(({sql_expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"

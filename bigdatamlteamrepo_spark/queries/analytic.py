@@ -1,0 +1,205 @@
+"""Analytic-tier queries: window frames, rollup, exact variance, and
+the class-weight computation as a relational query.
+
+These widen the engine surface beyond the reference's explicit ops
+(SURVEY notes no window frames / grouping sets appear there) because
+the driver corpus and any real workload need them (§2.7 note, §7 step 4).
+
+Determinism notes:
+  * running aggregates are computed in frame order — with a total
+    tiebreak (date, orderkey) the frame order is identical in every
+    engine, so running doubles are bit-deterministic;
+  * variance is computed from exact decimal sums via the
+    sum-of-squares identity rather than Welford streaming, making it
+    independent of partitioning (same rationale as functions/numeric).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.functions.numeric import dec, dsum, dsum_expr
+from bigdatamlteamrepo_spark.queries.registry import query
+
+# --------------------------------------------------------------------------
+# Window frames: running totals, rank, lag deltas per customer.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_running_totals",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spent,
+       ROW_NUMBER() OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS order_seq,
+       date_diff('day',
+         lag(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         o_orderdate) AS days_since_prev
+FROM orders
+""",
+)
+def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .over(frame)
+        .cast("double")
+        .alias("running_spent"),
+        F.row_number().over(w).alias("order_seq"),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup (grouping sets): subtotals per (priority, status) + per priority
+# + grand total.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_priority_rollup",
+    oracle=f"""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       {dsum_expr('o_totalprice', 2)} AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""",
+)
+def orders_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 2).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact variance/stddev from decimal sums (order-independent).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "segment_price_variance",
+    oracle=f"""
+WITH s AS (
+  SELECT c_mktsegment,
+         COUNT(*) AS n,
+         {dsum_expr('o_totalprice', 2)} AS s1,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(16,2))
+                  * CAST(o_totalprice AS DECIMAL(16,2))) AS DOUBLE) AS s2
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+       (s1 / n) AS mean_price,
+       ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 4) AS std_price
+FROM s
+""",
+)
+def segment_price_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-sum variance.  The sum-of-squares decimal exceeds 15 sig
+    digits, so its double cast can differ by 1 ULP across engines
+    (double-rounding in int128→double paths); std absorbs that to a
+    ~1e-10 perturbation and is rounded to 4 decimals for the oracle.
+    Raw variance is intentionally not output (ULP-unstable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    # exact decimal square — never cast a double product (see numeric.dec)
+    price_dec = dec("o_totalprice", 16, 2)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", 2).alias("s1"),
+        F.sum(price_dec * price_dec).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        (s1 / n).alias("mean_price"),
+        F.round(F.sqrt(var), 4).alias("std_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Class weights as a relational query (R5/U1 replacement, oracle-checked).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_class_weights",
+    oracle="""
+WITH t AS (
+  SELECT CASE WHEN list_has_any(string_split_regex(lower(text), '\\s+'),
+              ['spark', 'join', 'stream']) THEN 1 ELSE 0 END AS label
+  FROM documents
+),
+c AS (SELECT label, COUNT(*) AS n FROM t GROUP BY label)
+SELECT label, n,
+       CAST(MAX(n) OVER () AS DOUBLE) / CAST(n AS DOUBLE) AS class_weight
+FROM c
+""",
+)
+def doc_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.functions.arrays import has_any_keyword
+    from bigdatamlteamrepo_spark.functions.text import tokenize
+    from bigdatamlteamrepo_spark.queries.text_dedup import LABEL_KEYWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.withColumn("label", has_any_keyword(tokenize("text"), LABEL_KEYWORDS))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy()
+    return counts.withColumn(
+        "class_weight",
+        F.max("n").over(total).cast("double") / F.col("n").cast("double"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seeded random ops registered for the driver's rows-only check
+# (values are seed-dependent and engine-specific — structural pytest
+# coverage lives in test_sampling.py).
+# --------------------------------------------------------------------------
+
+
+@query("sample_exact_100")
+def sample_exact_100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.operators.sampling import sample_exact_n
+
+    orders = load_table(spark, sf_dir, "orders")
+    return sample_exact_n(orders, 100, seed=42).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query("undersample_balanced_docs")
+def undersample_balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.functions.arrays import has_any_keyword
+    from bigdatamlteamrepo_spark.functions.text import tokenize
+    from bigdatamlteamrepo_spark.operators.sampling import undersample_to_balance
+    from bigdatamlteamrepo_spark.queries.text_dedup import LABEL_KEYWORDS
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "label", has_any_keyword(tokenize("text"), LABEL_KEYWORDS)
+    )
+    return undersample_to_balance(docs, "label", seed=42).select("doc_id", "label")

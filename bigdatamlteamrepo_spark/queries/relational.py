@@ -23,7 +23,36 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatamlteamrepo_spark.catalog import load_table
-from bigdatamlteamrepo_spark.functions.numeric import davg, davg_expr, dsum, dsum_expr
+from bigdatamlteamrepo_spark.functions.numeric import davg, davg_expr, dec, dsum, dsum_expr
+
+# Revenue terms in EXACT decimal arithmetic: cast the raw factors (whose
+# true decimal scale is tiny) and multiply as decimals, never casting a
+# double product — engines disagree on double→decimal rounding of
+# large-magnitude products (see functions/numeric.dec).  Built lazily:
+# Column construction with literals needs a live SparkContext.
+
+
+def _rev():
+    return dec("l_extendedprice", 16, 2) * (
+        F.lit(1).cast("decimal(2,0)") - dec("l_discount", 8, 6)
+    )
+
+
+def _charge():
+    return _rev() * (F.lit(1).cast("decimal(2,0)") + dec("l_tax", 8, 6))
+
+
+# every intermediate type pinned: DuckDB's implicit INTEGER-DECIMAL
+# arithmetic widens to DECIMAL(19,6)+ and then overflows/renarrows in
+# engine-specific ways
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(16,2)) "
+    "* CAST(1 - CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(9,6))"
+)
+_CHARGE_SQL = (
+    f"CAST({_REV_SQL} AS DECIMAL(24,8)) "
+    "* CAST(1 + CAST(l_tax AS DECIMAL(8,6)) AS DECIMAL(9,6))"
+)
 from bigdatamlteamrepo_spark.queries.registry import query
 
 # --------------------------------------------------------------------------
@@ -40,8 +69,8 @@ _Q1_CUT = "1998-09-02 00:00:00"
 SELECT l_returnflag, l_linestatus,
        {dsum_expr('l_quantity', 2)} AS sum_qty,
        {dsum_expr('l_extendedprice', 2)} AS sum_base_price,
-       {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
-       {dsum_expr('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+       CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+       CAST(CAST(SUM({_CHARGE_SQL}) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
        {davg_expr('l_quantity', 2)} AS avg_qty,
        {davg_expr('l_extendedprice', 2)} AS avg_price,
        {davg_expr('l_discount', 6)} AS avg_disc,
@@ -54,16 +83,16 @@ GROUP BY l_returnflag, l_linestatus
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUT).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", 2).alias("sum_qty"),
             dsum("l_extendedprice", 2).alias("sum_base_price"),
-            dsum(disc_price, 6).alias("sum_disc_price"),
-            dsum(charge, 6).alias("sum_charge"),
+            F.sum(_rev()).cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
+            # rescale 14→6 first: the true scale is ≤6 so this is EXACT,
+            # and decimal→double at scale 14 double-rounds in some engines
+            F.sum(_charge()).cast("decimal(38,6)").cast("double").alias("sum_charge"),
             davg("l_quantity", 2).alias("avg_qty"),
             davg("l_extendedprice", 2).alias("avg_price"),
             davg("l_discount", 6).alias("avg_disc"),
@@ -87,7 +116,7 @@ WITH r AS (
   SELECT l_orderkey,
          o_orderdate,
          o_orderpriority,
-         {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+         CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
   FROM customer
   JOIN orders   ON c_custkey = o_custkey
   JOIN lineitem ON l_orderkey = o_orderkey
@@ -106,14 +135,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(
             orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum(revenue, 6).alias("revenue"))
+        .agg(F.sum(_rev()).cast("decimal(38,4)").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -130,7 +158,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_local_supplier_volume",
     oracle=f"""
 SELECT n_name,
-       {dsum_expr('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+       CAST(CAST(SUM({_REV_SQL}) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
@@ -149,7 +177,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
@@ -165,7 +192,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(dsum(revenue, 6).alias("revenue"))
+        .agg(F.sum(_rev()).cast("decimal(38,4)").cast("double").alias("revenue"))
     )
 
 
