@@ -139,6 +139,49 @@ def segment_price_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Unpivot (wide→long): the melt idiom used by the reference's top-k-per-
+# cluster reshaping (SURVEY O2) — stack() keeps it one projection pass.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "segment_stats_unpivot",
+    oracle=f"""
+WITH w AS (
+  SELECT c_mktsegment,
+         {dsum_expr('o_totalprice', 2)} AS total_price,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+         CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, 'total_price' AS stat, total_price AS value FROM w
+UNION ALL
+SELECT c_mktsegment, 'min_price' AS stat, min_price AS value FROM w
+UNION ALL
+SELECT c_mktsegment, 'max_price' AS stat, max_price AS value FROM w
+""",
+)
+def segment_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    wide = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            dsum("o_totalprice", 2).alias("total_price"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )
+    return wide.selectExpr(
+        "c_mktsegment",
+        "stack(3, 'total_price', total_price, 'min_price', min_price, "
+        "'max_price', max_price) AS (stat, value)",
+    )
+
+
+# --------------------------------------------------------------------------
 # Class weights as a relational query (R5/U1 replacement, oracle-checked).
 # --------------------------------------------------------------------------
 
