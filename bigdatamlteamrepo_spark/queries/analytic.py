@@ -219,6 +219,35 @@ def doc_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# As-of join (custom operator — Spark has no native one): each event is
+# enriched with the user's most recent order date at event time.
+# Exactly SQL-expressible via correlated subquery → full oracle check
+# of the cogrouped merge_asof implementation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_last_order_asof",
+    oracle="""
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT max(o.o_orderdate) FROM orders o
+        WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS o_orderdate
+FROM events e
+""",
+)
+def events_last_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    return asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate"
+    )
+
+
+# --------------------------------------------------------------------------
 # Seeded random ops registered for the driver's rows-only check
 # (values are seed-dependent and engine-specific — structural pytest
 # coverage lives in test_sampling.py).
