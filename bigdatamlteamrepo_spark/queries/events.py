@@ -59,6 +59,35 @@ def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Sliding hourly window, 15-min slide — the batch twin of
+# streaming.windows.sliding_counts, oracle-checked by enumerating the 4
+# windows each event belongs to (Spark's window() aligns to the 1970
+# epoch, so window_start = floor(epoch/slide)*slide - k*slide).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_sliding_by_type",
+    oracle="""
+WITH w AS (
+  SELECT event_type,
+         make_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                         - k.k * 900) * 1000000) AS window_start
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM w
+GROUP BY 1, 2
+""",
+)
+def events_sliding_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.streaming.windows import sliding_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_counts(ev, width="1 hour", slide="15 minutes")
+
+
+# --------------------------------------------------------------------------
 # JSON prop extraction (driver's events.props is a JSON string) —
 # get_json_object stays JVM-side; at scale prefer from_json with a pinned
 # schema once the prop set is known (single parse, typed struct).

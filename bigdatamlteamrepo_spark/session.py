@@ -28,6 +28,10 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The DuckDB oracle compares timestamps as UTC-naive values.
     "spark.sql.session.timeZone": "UTC",
+    # The local corpus is few-MB single parquet files; 16m splits them
+    # across cores (row-group permitting).  On a real cluster raise to
+    # the 128m default — file counts provide the parallelism there.
+    "spark.sql.files.maxPartitionBytes": "16m",
     # Deterministic FP-adjacent behavior; ANSI interval parsing etc.
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
