@@ -219,6 +219,113 @@ def doc_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cube: all grouping-set combinations over (returnflag, linestatus).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_flag_status_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {dsum_expr('l_quantity', 2)} AS total_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def lineitem_flag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity", 2).alias("total_qty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multiset set ops (ALL semantics — duplicates preserved).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_custkeys_intersect_all",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""",
+)
+def order_custkeys_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return a.intersectAll(b)
+
+
+@query(
+    "order_custkeys_except_all",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+""",
+)
+def order_custkeys_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = orders.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select("o_custkey")
+    return a.exceptAll(b)
+
+
+# --------------------------------------------------------------------------
+# Typed JSON parsing: from_json with a pinned schema (single parse into
+# a struct — the scale path vs per-field get_json_object).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_props_typed",
+    oracle="""
+SELECT CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n,
+       CAST(MIN(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY 1
+""",
+)
+def events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = ev.withColumn("p", F.from_json("props", props_schema))
+    k = F.col("p.k")
+    return parsed.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate aggregates (rows-only: HLL/KLL sketches are engine-
+# specific by design; accuracy is asserted structurally in tests).
+# --------------------------------------------------------------------------
+
+
+@query("events_approx_stats")
+def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99]).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
 # As-of join (custom operator — Spark has no native one): each event is
 # enriched with the user's most recent order date at event time.
 # Exactly SQL-expressible via correlated subquery → full oracle check
