@@ -33,10 +33,17 @@ TABLES = [
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     s = get_spark(
         app_name="bigdatamlteamrepo-tests",
         shuffle_partitions=8,
-        extra_conf={"spark.driver.memory": "6g"},
+        extra_conf={
+            "spark.driver.memory": "6g",
+            # static conf — must be set before the JVM session exists
+            # (bucketed-table tests saveAsTable into this warehouse)
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
     )
     yield s
 
