@@ -29,8 +29,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def sample_exact_n(df: DataFrame, n: int, seed: int, by: Column | str | None = None) -> DataFrame:
-    """Exactly-n uniform random sample (R1), seeded.
+def sample_exact_n(df: DataFrame, n: int, seed: int | None = 42, by: Column | str | None = None) -> DataFrame:
+    """Exactly-n uniform random sample (R1), seeded by default.
+
+    ``seed=None`` is *faithful mode*: the reference leaves both of its
+    exact-n samples unseeded (model.py:192 ``sample(5000)``,
+    MLP.ipynb:c0:42 ``orderBy(rand())``) — nondeterministic on purpose
+    only there; default engine behavior is reproducible.
 
     Cost: total sort by rand — a full shuffle of the input.  Use for
     bounded outputs (the reference's 10k/5k fine-tune samples); at
@@ -38,7 +43,8 @@ def sample_exact_n(df: DataFrame, n: int, seed: int, by: Column | str | None = N
     ``TakeOrderedAndProject`` keeps only n rows per partition then n
     overall, so memory stays bounded even though the sort is global.
     """
-    return df.orderBy(F.rand(seed)).limit(n)
+    rand = F.rand() if seed is None else F.rand(seed)
+    return df.orderBy(rand).limit(n)
 
 
 def sample_approx(df: DataFrame, fraction: float, seed: int) -> DataFrame:

@@ -450,6 +450,70 @@ def part_brand_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Date functions: calendar rollup of order volume (year/month extraction
+# — absent from the reference, needed by any driver-corpus workload).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_monthly_volume",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       COUNT(*) AS n_orders,
+       {dsum_expr('o_totalprice', 2)} AS total_price
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def orders_monthly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            F.month("o_orderdate").cast("bigint").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# String functions: LIKE / substring / length / case transforms over part
+# names (string-surface breadth for the driver corpus).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "part_name_analysis",
+    oracle="""
+SELECT upper(substring(p_name, 1, 3)) AS name_prefix,
+       COUNT(*) AS n_parts,
+       COUNT(*) FILTER (WHERE p_name LIKE '%a%') AS n_with_a,
+       MAX(length(p_name)) AS max_name_len,
+       MIN(p_name) AS first_name
+FROM part
+GROUP BY 1
+""",
+)
+def part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy(
+            F.upper(F.substring("p_name", 1, 3)).alias("name_prefix")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count(F.when(F.col("p_name").like("%a%"), 1)).alias("n_with_a"),
+            F.max(F.length("p_name")).alias("max_name_len"),
+            F.min("p_name").alias("first_name"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Distinct count + conditional aggregation (SURVEY A3 + F3).
 # --------------------------------------------------------------------------
 
