@@ -310,6 +310,50 @@ def events_props_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Custom UDAF via grouped applyInPandas (SURVEY §2.9: "UDAF via Pandas")
+# — exact per-group median/IQR computed in an Arrow batch per group.
+# Median interpolation ((a+b)/2 on identical doubles) is engine-portable,
+# so this custom-aggregation path is fully oracle-checked.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_value_median_by_type",
+    oracle="""
+SELECT event_type,
+       median(value) AS median_value,
+       quantile_cont(value, 0.25) AS p25,
+       quantile_cont(value, 0.75) AS p75,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def events_value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "median_value": [float(np.quantile(v, 0.5))],
+                "p25": [float(np.quantile(v, 0.25))],
+                "p75": [float(np.quantile(v, 0.75))],
+                "n": [len(v)],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        stats,
+        schema="event_type string, median_value double, p25 double, p75 double, n long",
+    )
+
+
+# --------------------------------------------------------------------------
 # Approximate aggregates (rows-only: HLL/KLL sketches are engine-
 # specific by design; accuracy is asserted structurally in tests).
 # --------------------------------------------------------------------------
