@@ -191,6 +191,124 @@ def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE-ish token counting: sub-word-style splitting on word boundaries /
+# digit runs / punctuation (a regex approximation of byte-pair behavior
+# for counting purposes), identical regex semantics in both engines.
+# --------------------------------------------------------------------------
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@query(
+    "doc_bpe_token_counts",
+    oracle=f"""
+WITH t AS (
+  SELECT lang,
+         len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe,
+         len({_TOKENS_SQL}) AS n_ws
+  FROM documents
+)
+SELECT lang,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE) AS bpe_per_word
+FROM t
+GROUP BY lang
+""",
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(f"({_BPE_RE})"), 1)
+    )
+    n_ws = F.size(tokenize("text"))
+    t = docs.select("lang", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+    return t.groupBy("lang").agg(
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.sum("n_ws").cast("bigint").alias("total_ws_tokens"),
+        (
+            F.sum("n_bpe").cast("double") / F.sum("n_ws").cast("double")
+        ).alias("bpe_per_word"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: winnowing over a character rolling hash —
+# k-char shingles hashed (md5, portable), minimum per sliding window of
+# w hashes = the classic winnowing fingerprint set (MOSS).  Output is
+# the per-document fingerprint count + extrema (bounded row size).
+# --------------------------------------------------------------------------
+
+_K_CHARS = 8
+_WINNOW_W = 4
+
+
+@query(
+    "doc_winnowing_fingerprints",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {_K_CHARS} + 2),
+                        i -> md5(substring(text, i, {_K_CHARS}))) AS hs
+  FROM documents
+  WHERE length(text) >= {_K_CHARS + _WINNOW_W - 1}
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - {_WINNOW_W} + 2),
+                        i -> list_min(hs[i:i+{_WINNOW_W - 1}]))) AS fps
+  FROM h
+)
+SELECT doc_id,
+       len(fps) AS n_fingerprints,
+       list_min(fps) AS min_fp,
+       list_max(fps) AS max_fp
+FROM fp
+""",
+)
+def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _K_CHARS + _WINNOW_W - 1
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (_K_CHARS - 1)),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(_K_CHARS))),
+    )
+    docs = docs.withColumn("hs", hs)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("hs") - _WINNOW_W),
+            lambda i: F.array_min(F.slice("hs", i + 1, _WINNOW_W)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language identification (marker-word voting; see functions/langid.py).
+# Driver docs' lang column is text-uncorrelated → rows-only here;
+# accuracy is asserted on a real multilingual fixture in tests.
+# --------------------------------------------------------------------------
+
+
+@query("doc_language_id")
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.functions.langid import language_id
+
+    df = _with_tokens(spark, sf_dir)
+    return (
+        df.withColumn("predicted_lang", language_id(F.col("toks")))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact dedup: md5(text) grouping; keep = min(doc_id) per hash
 # (hash-groupBy dedup — one shuffle on a uniform key at any scale).
 # --------------------------------------------------------------------------
