@@ -188,10 +188,15 @@ def fit_multiclass_bigram(
     seed: int = 42,
     split=(0.8, 0.2),
     categories=None,
+    faithful_leaky_indexer: bool = False,
 ) -> BinaryResult:
     """StopWords → NGram(2) → TF-IDF → MLP over bigram-of-phrase tokens
     (MLP.ipynb:c5).  The NGram operates on adjacent ingredient *phrases*
     — the reference's order-of-listing quirk, preserved.
+
+    ``faithful_leaky_indexer=True`` reproduces the reference's label
+    leak (StringIndexer fitted on the FULL frame, c5:58); default clean
+    mode fits it on train only (SURVEY §7 fidelity-mode policy).
     """
     from bigdatamlteamrepo_spark.ml.recipes import BIGRAM_CATEGORIES
 
@@ -203,9 +208,9 @@ def fit_multiclass_bigram(
     ngram = NGram(n=2, inputCol="filtered", outputCol="bigrams")
     tf = HashingTF(inputCol="bigrams", outputCol="rawFeatures", numFeatures=num_features)
     idf = IDF(inputCol="rawFeatures", outputCol="features")
-    # Clean mode: fit the indexer on train only (the reference fits on the
-    # full frame at c5:58 — label leakage, noted in SURVEY §7).
     indexer = StringIndexer(inputCol="category", outputCol="label")
+    if faithful_leaky_indexer:
+        indexer = indexer.fit(data)  # pre-fitted on the full frame (c5:58)
     mlp = MultilayerPerceptronClassifier(
         labelCol="label",
         featuresCol="features",
