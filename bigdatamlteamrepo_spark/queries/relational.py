@@ -450,6 +450,87 @@ def part_brand_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q17 shape — correlated scalar aggregate: lineitems below 20% of their
+# part's average quantity.  Re-expressed Spark-idiomatically as a
+# grouped-avg + join (Catalyst decorrelates the subquery to the same
+# plan); the per-part average uses the decimal trick so the threshold
+# comparison is engine-portable.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+WITH part_avg AS (
+  SELECT l_partkey, {davg_expr('l_quantity', 2)} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_partkey,
+       COUNT(*) AS n_small_items,
+       {dsum_expr('l_extendedprice', 2)} AS small_revenue
+FROM lineitem l
+JOIN part_avg pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < 0.5 * pa.avg_qty
+GROUP BY l.l_partkey
+""",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        davg("l_quantity", 2).alias("avg_qty")
+    )
+    return (
+        li.join(part_avg, F.col("l_partkey") == F.col("pa_key"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small_items"),
+            dsum("l_extendedprice", 2).alias("small_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 shape — large-volume orders: HAVING over a fact aggregate, joined
+# back to customer (broadcast) with deterministic top-k.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q18_large_volume_orders",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey, {dsum_expr('l_quantity', 2)} AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {dsum_expr('l_quantity', 2)} > 150
+)
+SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
 # Date functions: calendar rollup of order volume (year/month extraction
 # — absent from the reference, needed by any driver-corpus workload).
 # --------------------------------------------------------------------------
