@@ -60,3 +60,46 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Same operator on the transformWithStateInPandas API (Spark 4.x):
+    typed ValueState handles, explicit processor lifecycle — the
+    forward-looking surface for multi-state/timer operators (the old
+    API has a single state tuple and flat timeouts).
+
+    Runtime requirement: the TWS driver worker imports
+    ``google.protobuf`` (state-server protocol); environments without
+    the ``protobuf`` package fail at query start — the test suite
+    skips in that case and the applyInPandasWithState op above is the
+    portable fallback."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
