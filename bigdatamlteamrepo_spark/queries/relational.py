@@ -595,6 +595,70 @@ def part_name_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Full outer join: nations vs supplier presence (null sides preserved).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nation_supplier_full_outer",
+    oracle=f"""
+WITH s AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers,
+         {dsum_expr('s_acctbal', 2)} AS total_bal
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT n.n_name, s.n_suppliers, s.total_bal
+FROM nation n FULL OUTER JOIN s ON n.n_nationkey = s.s_nationkey
+""",
+)
+def nation_supplier_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum("s_acctbal", 2).alias("total_bal"),
+        )
+    )
+    return nation.join(
+        supp, F.col("n_nationkey") == F.col("s_nationkey"), "full_outer"
+    ).select("n_name", "n_suppliers", "total_bal")
+
+
+# --------------------------------------------------------------------------
+# Pivot with a non-count aggregate: total price per (priority × status).
+# --------------------------------------------------------------------------
+
+
+def _cond_dsum(status: str) -> str:
+    return (
+        f"CAST(SUM(CASE WHEN o_orderstatus = '{status}' "
+        f"THEN CAST(o_totalprice AS DECIMAL(30,2)) END) AS DOUBLE)"
+    )
+
+
+@query(
+    "order_priority_status_value_pivot",
+    oracle=f"""
+SELECT o_orderpriority,
+       {_cond_dsum('F')} AS "F",
+       {_cond_dsum('O')} AS "O",
+       {_cond_dsum('P')} AS "P"
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def order_priority_status_value_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(dsum("o_totalprice", 2))
+    )
+
+
+# --------------------------------------------------------------------------
 # Distinct count + conditional aggregation (SURVEY A3 + F3).
 # --------------------------------------------------------------------------
 
