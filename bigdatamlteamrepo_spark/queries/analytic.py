@@ -139,6 +139,150 @@ def segment_price_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Ranking-function family: rank (ties share positions), dense_rank,
+# percent_rank, ntile — all deterministic given a total ordering.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_spend_ranks",
+    oracle=f"""
+WITH spend AS (
+  SELECT c_mktsegment, c_custkey,
+         {dsum_expr('o_totalprice', 2)} AS total_spent
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, c_custkey
+)
+SELECT c_mktsegment, c_custkey, total_spent,
+       RANK() OVER w AS spend_rank,
+       DENSE_RANK() OVER w AS spend_dense_rank,
+       PERCENT_RANK() OVER w AS spend_pct_rank,
+       NTILE(4) OVER w AS spend_quartile
+FROM spend
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY total_spent DESC, c_custkey)
+""",
+)
+def customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(dsum("o_totalprice", 2).alias("total_spent"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("total_spent"), F.asc("c_custkey")
+    )
+    return spend.select(
+        "c_mktsegment",
+        "c_custkey",
+        "total_spent",
+        F.rank().over(w).alias("spend_rank"),
+        F.dense_rank().over(w).alias("spend_dense_rank"),
+        F.percent_rank().over(w).alias("spend_pct_rank"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster assignment: connected components over the MinHash-LSH
+# candidate graph.  Spark side: iterative minimum-label propagation to a
+# fixpoint (bounded by graph diameter; at 100 TB swap the naive loop for
+# the alternating large-star/small-star algorithm — same join shapes).
+# Oracle side: WITH RECURSIVE reachability → min reachable id.  Both
+# compute the exact same cluster representative per duplicated doc.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "neardup_cluster_representatives",
+    oracle="""
+WITH RECURSIVE
+sig AS (
+  SELECT doc_id,
+         list_min(list_transform(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+           s -> md5('0|' || s))) AS mh_0,
+         list_min(list_transform(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+           s -> md5('1|' || s))) AS mh_1,
+         list_min(list_transform(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+           s -> md5('2|' || s))) AS mh_2,
+         list_min(list_transform(
+           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+           s -> md5('3|' || s))) AS mh_3
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+bands AS (
+  SELECT doc_id, md5(mh_0 || mh_1) AS band FROM sig
+  UNION ALL
+  SELECT doc_id, md5(mh_2 || mh_3) AS band FROM sig
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id <> b.doc_id
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+FROM reach GROUP BY src
+""",
+)
+def neardup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.queries.text_dedup import neardup_pairs_lsh
+
+    pairs = neardup_pairs_lsh(spark, sf_dir)
+    # undirected edge list (both directions) over docs that HAVE a dup
+    fwd = pairs.select(F.col("doc_a").alias("e_src"), F.col("doc_b").alias("e_dst"))
+    rev = pairs.select(F.col("doc_b").alias("e_src"), F.col("doc_a").alias("e_dst"))
+    edges = fwd.unionByName(rev).distinct().cache()
+
+    # min-label propagation to fixpoint: labels[i] = min id reachable.
+    # Distinct column names (e_src/e_dst vs src/lbl) keep every join in
+    # the loop unambiguous despite the shared lineage.
+    labels = (
+        edges.groupBy(F.col("e_src").alias("src"))
+        .agg(F.min("e_dst").alias("lbl"))
+        .withColumn("lbl", F.least("src", "lbl"))
+    )
+    for _ in range(20):  # diameter bound; tiny graphs converge in 2-3
+        prop = (
+            edges.join(labels, F.col("e_dst") == F.col("src"))
+            .groupBy(F.col("e_src").alias("p_src"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(prop, F.col("src") == F.col("p_src"), "left")
+            .select(
+                "src",
+                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
+            )
+        ).cache()
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "src")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_rep")
+    )
+
+
+# --------------------------------------------------------------------------
 # Unpivot (wide→long): the melt idiom used by the reference's top-k-per-
 # cluster reshaping (SURVEY O2) — stack() keeps it one projection pass.
 # --------------------------------------------------------------------------
