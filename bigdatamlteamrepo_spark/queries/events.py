@@ -155,6 +155,50 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Anomaly flags: per-type z-score over exact-sum mean/std (composition
+# of the deterministic variance recipe with a row-level broadcast join).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_value_anomalies",
+    oracle=f"""
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         {dsum_expr('value', 6)} AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))
+                  * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - s.s1 / s.n)
+         / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs((e.value - s.s1 / s.n)
+          / sqrt((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1))) > 2.5
+""",
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.functions.numeric import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    v_dec = dec("value", 18, 6)
+    stats = ev.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", 6).alias("s1"),
+        F.sum(v_dec * v_dec).cast("double").alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = (F.col("value") - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    return (
+        ev.join(F.broadcast(stats), F.col("event_type") == F.col("s_type"))
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 2.5)
+    )
+
+
+# --------------------------------------------------------------------------
 # Share-of-total via window aggregate (no second scan, no driver math).
 # --------------------------------------------------------------------------
 

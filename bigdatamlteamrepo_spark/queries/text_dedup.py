@@ -427,6 +427,54 @@ def neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Cross-source near-duplicates: LSH pairs whose two docs come from
+# DIFFERENT sources — the contamination/leak check a training-data
+# pipeline runs between crawl snapshots or datasets.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "neardup_cross_source",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id,
+         {_minhash_sql(0)} AS mh_0, {_minhash_sql(1)} AS mh_1,
+         {_minhash_sql(2)} AS mh_2, {_minhash_sql(3)} AS mh_3
+  FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
+  WHERE len(toks) >= 3
+),
+bands AS (
+  SELECT doc_id, md5(mh_0 || mh_1) AS band FROM sig
+  UNION ALL
+  SELECT doc_id, md5(mh_2 || mh_3) AS band FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT da.source AS source_a, db.source AS source_b, COUNT(*) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.doc_a
+JOIN documents db ON db.doc_id = pairs.doc_b
+WHERE da.source <> db.source
+GROUP BY 1, 2
+""",
+)
+def neardup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = neardup_pairs_lsh(spark, sf_dir)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
 # n-gram Jaccard similarity within blocking cells (lang, source).
 # --------------------------------------------------------------------------
 

@@ -52,6 +52,26 @@ def test_q5_join_strategy(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_partition_pruning(spark, sf_dir, tmp_path_factory):
+    """Directory-partitioned writes prune at the source: a filter on the
+    partition column must appear as PartitionFilters and skip files."""
+    out = str(tmp_path_factory.mktemp("parts"))
+    part = load_table(spark, sf_dir, "part")
+    part.write.mode("overwrite").partitionBy("p_brand").parquet(out)
+    one_brand = part.select("p_brand").first().p_brand
+    df = (
+        spark.read.parquet(out)
+        .filter(F.col("p_brand") == one_brand)
+        .select("p_partkey", "p_retailprice")
+    )
+    plan = checks.formatted_plan(df)
+    assert "PartitionFilters" in plan
+    pf_line = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "p_brand" in pf_line and "[]" not in pf_line.replace("[],", "")
+    # pruned read returns exactly that brand's rows
+    assert df.count() == part.filter(F.col("p_brand") == one_brand).count()
+
+
 def test_no_python_udfs_in_oracle_queries(spark, sf_dir):
     """Every oracle-paired query must be UDF-free (full codegen)."""
     for name in sorted(ORACLE):
