@@ -155,6 +155,50 @@ def events_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Fixed-grid resample + forward fill (operators/timeseries.py): every
+# user's hourly series with gaps filled from the last observation.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly_ffill",
+    oracle="""
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, value AS obs_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+dedup AS (SELECT user_id, bucket_ts, obs_value FROM obs WHERE rn = 1),
+spans AS (
+  SELECT user_id, MIN(bucket_ts) AS t0, MAX(bucket_ts) AS t1
+  FROM dedup GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM spans
+),
+joined AS (
+  SELECT g.user_id, g.bucket_ts, d.obs_value
+  FROM grid g LEFT JOIN dedup d
+    ON g.user_id = d.user_id AND g.bucket_ts = d.bucket_ts
+)
+SELECT user_id, bucket_ts,
+       last_value(obs_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+       obs_value IS NOT NULL AS is_observed
+FROM joined
+""",
+)
+def events_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_ffill(ev)
+
+
+# --------------------------------------------------------------------------
 # Anomaly flags: per-type z-score over exact-sum mean/std (composition
 # of the deterministic variance recipe with a row-level broadcast join).
 # --------------------------------------------------------------------------
@@ -219,6 +263,35 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "share",
         F.col("n").cast("double") / F.sum("n").over(total).cast("double"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-width value histogram per event type (floor bucketing — integer
+# arithmetic, trivially portable).
+# --------------------------------------------------------------------------
+
+_HIST_WIDTH = 10.0
+
+
+@query(
+    "events_value_histogram",
+    oracle=f"""
+SELECT event_type,
+       CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / _HIST_WIDTH).cast("bigint").alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 
