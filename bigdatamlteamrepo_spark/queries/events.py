@@ -271,6 +271,30 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic, trivially portable).
 # --------------------------------------------------------------------------
 
+@query(
+    "events_hour_of_day_profile",
+    oracle=f"""
+SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       event_type,
+       COUNT(*) AS n_events,
+       {dsum_expr('value', 6)} AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def events_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.hour("ts").cast("bigint").alias("hour_of_day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("sum_value"),
+        )
+    )
+
+
 _HIST_WIDTH = 10.0
 
 

@@ -309,6 +309,46 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Token-distribution entropy per document: -Σ p·ln(p) over token
+# frequencies.  Portability trick: fold over the SORTED distinct token
+# list so both engines sum identical doubles in identical order.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_entropy",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+d AS (
+  SELECT doc_id, toks, list_sort(list_distinct(toks)) AS dt, len(toks) AS n
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+       list_sum(list_transform(dt,
+         x -> -(CAST(len(list_filter(toks, y -> y = x)) AS DOUBLE) / n)
+              * ln(CAST(len(list_filter(toks, y -> y = x)) AS DOUBLE) / n)
+       )) AS token_entropy,
+       len(dt) AS n_unique
+FROM d
+""",
+)
+def doc_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _with_tokens(spark, sf_dir).filter(F.size("toks") > 0)
+    dt = F.array_sort(F.array_distinct("toks"))
+    n = F.size("toks").cast("double")
+    p = lambda x: F.size(F.filter(F.col("toks"), lambda y: y == x)).cast("double") / n
+    terms = F.transform(dt, lambda x: -p(x) * F.log(p(x)))
+    entropy = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+    return df.select(
+        "doc_id",
+        entropy.alias("token_entropy"),
+        F.size(dt).alias("n_unique"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact dedup: md5(text) grouping; keep = min(doc_id) per hash
 # (hash-groupBy dedup — one shuffle on a uniform key at any scale).
 # --------------------------------------------------------------------------
