@@ -32,6 +32,12 @@ MARKERS: dict[str, list[str]] = {
 }
 
 
+#: languages written without word-separating whitespace — marker hits
+#: are counted per CHARACTER over the raw text, since whitespace tokens
+#: of unsegmented script never equal a single-char marker
+CHAR_LANGS = {"zh"}
+
+
 def _hits(tokens: Column, words: list[str]) -> Column:
     """Frequency-weighted marker hits (duplicates count — a text full of
     'the' is strong English evidence)."""
@@ -39,9 +45,34 @@ def _hits(tokens: Column, words: list[str]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(marker, t)))
 
 
-def language_id(tokens: Column, min_hits: int = 1) -> Column:
-    """Predicted language code from a token array ('und' if no markers)."""
-    scores = [(_hits(tokens, ws).alias(lang), lang) for lang, ws in MARKERS.items()]
+def _char_hits(text: Column, chars: list[str]) -> Column:
+    """Marker-character occurrence count over the raw text:
+    Σ (length(text) − length(replace(text, c))) — expressible identically
+    in DuckDB, so the zh path stays oracle-checkable."""
+    total = F.lit(0)
+    for c in chars:
+        total = total + (F.length(text) - F.length(F.replace(text, F.lit(c), F.lit(""))))
+    return total
+
+
+def language_id(tokens: Column, text: Column | None = None, min_hits: int = 1) -> Column:
+    """Predicted language code ('und' if no markers hit).
+
+    Whitespace-tokenized languages vote per token; ``CHAR_LANGS`` vote
+    per character over ``text`` (pass the raw text column to enable the
+    unsegmented-script path — without it those languages score 0).
+    Ties break toward the lexicographically larger code (struct max),
+    deterministically in both engines.
+    """
+    scores = []
+    for lang, ws in MARKERS.items():
+        if lang in CHAR_LANGS and text is not None:
+            score = _char_hits(text, ws)
+        else:
+            # token voting (for CHAR_LANGS this only matches
+            # pre-segmented text; pass ``text`` for the real char path)
+            score = _hits(tokens, ws)
+        scores.append((score.cast("long"), lang))
     pairs = F.array(
         *[
             F.struct(score.alias("score"), F.lit(lang).alias("lang"))
@@ -50,3 +81,25 @@ def language_id(tokens: Column, min_hits: int = 1) -> Column:
     )
     best = F.array_max(pairs)  # struct ordering: by score, then lang
     return F.when(best["score"] >= min_hits, best["lang"]).otherwise(F.lit("und"))
+
+
+def language_id_sql(text_sql: str, toks_sql: str, min_hits: int = 1) -> str:
+    """DuckDB oracle twin of :func:`language_id` (struct-max argmax with
+    the same tie-break)."""
+    structs = []
+    for lang, ws in MARKERS.items():
+        if lang in CHAR_LANGS:
+            terms = " + ".join(
+                f"(length({text_sql}) - length(replace({text_sql}, '{c}', '')))"
+                for c in ws
+            )
+            score = f"CAST({terms} AS BIGINT)"
+        else:
+            lst = "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+            score = f"CAST(len(list_filter({toks_sql}, t -> list_contains({lst}, t))) AS BIGINT)"
+        structs.append(f"{{'score': {score}, 'lang': '{lang}'}}")
+    arr = "[" + ",\n       ".join(structs) + "]"
+    return (
+        f"CASE WHEN list_max({arr}).score >= {min_hits} "
+        f"THEN list_max({arr}).lang ELSE 'und' END"
+    )

@@ -76,6 +76,32 @@ def minhash_values(shingles_col: Column, n_seeds: int) -> Column:
     )
 
 
+def band_keys(mh_col: Column, n_hashes: int, n_bands: int) -> Column:
+    """LSH band keys from a MinHash signature array → array<string>[n_bands].
+
+    Band *b* hashes rows ``b*r .. b*r+r-1`` of the signature (r =
+    n_hashes / n_bands) together with the band index, so keys can only
+    collide within the same band.  Docs sharing ≥1 band key become
+    near-dup candidates via an equi-join — the banding step that makes
+    near-dedup a linear-shuffle workload instead of an O(n²) compare.
+    md5 keeps the key derivation portable to the DuckDB oracle.
+    """
+    if n_hashes % n_bands:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
+    r = n_hashes // n_bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat(
+                    F.lit(f"{b}#"),
+                    *[F.get(mh_col, b * r + j) for j in range(r)],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
 def minhash_value(shingles_col: Column, seed: int) -> Column:
     """MinHash for one seed: lexicographic min of seeded md5 over shingles.
 

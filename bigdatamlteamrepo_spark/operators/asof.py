@@ -40,6 +40,15 @@ def asof_join(
     right_cols = right_cols or []
     keep_right = [right_ts, *right_cols]
 
+    clash = set(keep_right) & {f.name for f in left.schema.fields}
+    if clash:
+        # fail driver-side: duplicate names in the output StructType would
+        # otherwise surface as an executor-side pandas KeyError at runtime
+        raise ValueError(
+            f"asof_join: right columns {sorted(clash)} collide with left "
+            "columns; rename them on the right side before joining"
+        )
+
     out_fields = list(left.schema.fields) + [
         right.schema[c] for c in keep_right
     ]

@@ -23,18 +23,74 @@ from pyspark.sql import functions as F
 from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity, dot
 
 
-def _hyperplane(dim: int, plane: int, seed: int):
-    """Deterministic pseudo-random hyperplane as a literal array column.
+def hyperplane_values(dim: int, plane: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane as plain floats.
 
-    Components in [-1, 1) derived from xxhash64(plane, dim-index, seed) —
-    computed driver-side once (dim × n_planes scalars), broadcast as
-    literals into the plan.
+    Components drawn uniform[-1, 1) from ``numpy.default_rng`` seeded by
+    (plane, seed) — computed driver-side once (dim × n_planes scalars)
+    and embedded as literals in the Spark plan AND in the DuckDB oracle
+    SQL, so both engines evaluate identical sign tests.  (Python's
+    ``hash`` of an int tuple is salt-free, hence reproducible.)
     """
     import numpy as np
 
     rng = np.random.default_rng(abs(hash((plane, seed))) % (2**32))
-    vals = rng.uniform(-1.0, 1.0, size=dim)
-    return F.array(*[F.lit(float(v)) for v in vals])
+    return [float(v) for v in rng.uniform(-1.0, 1.0, size=dim)]
+
+
+def _hyperplane(dim: int, plane: int, seed: int):
+    """:func:`hyperplane_values` as a literal array column."""
+    return F.array(*[F.lit(v) for v in hyperplane_values(dim, plane, seed)])
+
+
+def rp_band_keys(
+    vec_col, dim: int, planes_per_band: int, n_bands: int, seed: int = 42
+):
+    """Banded sign-bit LSH keys → array<string>[n_bands].
+
+    Band *b* concatenates the sign bits of planes [b·r, b·r+r) behind a
+    band-index prefix, so keys only collide within a band.  Vectors
+    sharing ≥1 band key are near-dup candidates (amplified LSH: collision
+    probability 1-(1-p^r)^B for per-plane agreement p = 1 - θ/π).
+    """
+    keys = []
+    for band in range(n_bands):
+        parts = [F.lit(f"{band}#")]
+        for j in range(planes_per_band):
+            plane = _hyperplane(dim, band * planes_per_band + j, seed)
+            parts.append(
+                F.when(dot(vec_col, plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            )
+        keys.append(F.concat(*parts))
+    return F.array(*keys)
+
+
+def rp_band_candidate_pairs(
+    emb: DataFrame,
+    dim: int = 64,
+    planes_per_band: int = 4,
+    n_bands: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 RP-LSH band —
+    the banding equi-join that replaces an all-pairs cross product."""
+    bands = emb.select(
+        F.col(id_col).alias("vid"),
+        F.explode(
+            rp_band_keys(F.col(vec_col), dim, planes_per_band, n_bands, seed)
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
 
 
 def rp_signature(vec_col, dim: int, n_planes: int = 16, seed: int = 42):
@@ -57,11 +113,15 @@ def rp_lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share the full sign sketch bucket.
 
     ``n_planes`` trades recall for candidate-set size (2^planes buckets).
-    Queries carry columns (query_id, q_emb).
+    Queries carry columns (query_id, q_emb).  Set ``exclude_self=True``
+    only when queries are drawn from the corpus id space (drops
+    neighbor_id == query_id); external query sets must leave it False or
+    an id collision silently loses a (possibly top-1) neighbor.
     """
     corpus = emb.select(
         F.col(id_col).alias("neighbor_id"),
@@ -73,10 +133,11 @@ def rp_lsh_topk(
     )
     sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    joined = corpus.join(F.broadcast(q), "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     return (
-        corpus.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        joined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
@@ -91,15 +152,29 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = False,
+    fit_sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF ANN: KMeans coarse cells, probe n_probe cells per query,
-    exact cosine re-rank inside probed cells."""
+    exact cosine re-rank inside probed cells.
+
+    The coarse quantizer only needs the rough shape of the distribution,
+    so at scale fit it on a sample (``fit_sample_fraction``) — a 100 TB
+    corpus must never be fed whole into an iterative KMeans; assignment
+    of the full corpus to the fitted cells stays a single scan either
+    way.  ``exclude_self`` as in :func:`rp_lsh_topk`.
+    """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     with_vec = emb.withColumn("__v", array_to_vector(F.col(vec_col).cast("array<double>")))
+    fit_set = (
+        with_vec.sample(withReplacement=False, fraction=fit_sample_fraction, seed=seed)
+        if fit_sample_fraction is not None
+        else with_vec
+    )
     km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="cell")
-    model = km.fit(with_vec)
+    model = km.fit(fit_set)
     corpus = model.transform(with_vec).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb"), "cell"
     )
@@ -120,10 +195,11 @@ def ivf_topk(
 
     sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    joined = corpus.join(F.broadcast(probed.select("query_id", "q_emb", "cell")), "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     return (
-        corpus.join(F.broadcast(probed.select("query_id", "q_emb", "cell")), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        joined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

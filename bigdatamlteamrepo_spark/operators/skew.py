@@ -18,6 +18,12 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
+#: join types preserved exactly by fact-side salting (the build side is
+#: replicated n_salts×, so right/full outer would emit each unmatched
+#: build row once per salt — n_salts duplicates)
+_SALT_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi",
+                  "leftsemi", "left_anti", "leftanti", "cross"}
+
 
 def salted_join(
     fact: DataFrame,
@@ -28,8 +34,18 @@ def salted_join(
     seed: int = 42,
 ) -> DataFrame:
     """Equi-join on ``on`` with the fact side salted into ``n_salts``
-    sub-keys.  Result equals ``fact.join(build, on, how)`` exactly.
+    sub-keys.  Result equals ``fact.join(build, on, how)`` exactly for
+    fact-preserving join types (inner/left/semi/anti); right and full
+    outer are rejected because replicating the build side would
+    duplicate its unmatched rows once per salt.
     """
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in _SALT_SAFE_HOW}:
+        raise ValueError(
+            f"salted_join does not preserve how={how!r}: the build side is "
+            f"replicated {n_salts}x, so unmatched build rows would be "
+            "emitted once per salt. Use inner/left/left_semi/left_anti, or "
+            "salt the other side."
+        )
     salted_fact = fact.withColumn(
         SALT_COL, (F.rand(seed) * n_salts).cast("int")
     )

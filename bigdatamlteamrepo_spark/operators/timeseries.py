@@ -14,6 +14,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+_UNIT_SECONDS = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
+}
+
+
+def _step_seconds(step: str) -> int:
+    """Parse ``"<n> <unit>"`` into seconds; reject variable-length units."""
+    parts = step.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit() or int(parts[0]) < 1:
+        raise ValueError(f"step must look like '15 minutes', got {step!r}")
+    n, unit = int(parts[0]), parts[1].lower()
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(
+            f"unsupported step unit {unit!r}: months/years have variable "
+            "length and cannot align a fixed epoch grid"
+        )
+    return n * _UNIT_SECONDS[unit]
+
 
 def resample_ffill(
     events: DataFrame,
@@ -28,9 +50,18 @@ def resample_ffill(
     fully deterministic), expand each key's [min,max] bucket range onto
     the grid, forward-fill missing buckets.
 
+    ``step`` accepts any ``"<n> <unit>"`` interval with a fixed length in
+    seconds (seconds/minutes/hours/days/weeks).  Buckets are epoch-aligned
+    (``floor(epoch / step) * step``) so every observation lands exactly on
+    the grid the ``sequence`` generates — months/years (variable length)
+    are rejected rather than silently misaligned.
+
     Output: (key, bucket_ts, value, is_observed).
     """
-    bucket = F.date_trunc("hour", F.col(ts_col))
+    step_secs = _step_seconds(step)
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_secs) * step_secs
+    )
     w_latest = Window.partitionBy(key_col, "bucket_ts").orderBy(
         F.desc(ts_col), F.desc(id_col)
     )

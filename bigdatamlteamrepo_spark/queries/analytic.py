@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from bigdatamlteamrepo_spark.catalog import load_table
 from bigdatamlteamrepo_spark.functions.numeric import dec, dsum, dsum_expr
 from bigdatamlteamrepo_spark.queries.registry import query
+from bigdatamlteamrepo_spark.queries.text_dedup import lsh_pairs_ctes
 
 # --------------------------------------------------------------------------
 # Window frames: running totals, rank, lag deltas per customer.
@@ -196,37 +197,13 @@ def customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "neardup_cluster_representatives",
-    oracle="""
+    oracle=f"""
 WITH RECURSIVE
-sig AS (
-  SELECT doc_id,
-         list_min(list_transform(
-           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
-           s -> md5('0|' || s))) AS mh_0,
-         list_min(list_transform(
-           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
-           s -> md5('1|' || s))) AS mh_1,
-         list_min(list_transform(
-           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
-           s -> md5('2|' || s))) AS mh_2,
-         list_min(list_transform(
-           list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
-           s -> md5('3|' || s))) AS mh_3
-  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM documents)
-  WHERE len(toks) >= 3
-),
-bands AS (
-  SELECT doc_id, md5(mh_0 || mh_1) AS band FROM sig
-  UNION ALL
-  SELECT doc_id, md5(mh_2 || mh_3) AS band FROM sig
-),
+{lsh_pairs_ctes()},
 edges AS (
-  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id <> b.doc_id
+  SELECT doc_a AS src, doc_b AS dst FROM __lsh_pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM __lsh_pairs
 ),
 reach AS (
   SELECT src, dst FROM edges
@@ -254,7 +231,9 @@ def neardup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.min("e_dst").alias("lbl"))
         .withColumn("lbl", F.least("src", "lbl"))
     )
-    for _ in range(20):  # diameter bound; tiny graphs converge in 2-3
+    max_iters = 50  # near-dup graph diameter bound; real data converges in 2-3
+    converged = False
+    for _ in range(max_iters):
         prop = (
             edges.join(labels, F.col("e_dst") == F.col("src"))
             .groupBy(F.col("e_src").alias("p_src"))
@@ -275,8 +254,16 @@ def neardup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFra
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # returning partial labels would silently diverge from the
+        # WITH RECURSIVE oracle — fail loudly instead
+        raise RuntimeError(
+            f"neardup cluster label propagation did not converge within "
+            f"{max_iters} iterations (component diameter > {max_iters})"
+        )
     return labels.select(
         F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_rep")
     )

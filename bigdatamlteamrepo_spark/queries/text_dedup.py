@@ -12,8 +12,9 @@ Scale notes:
   * exact dedup groups by md5(text): one shuffle on a uniform key;
   * MinHash signatures are row-level; LSH banding turns near-dedup into
     an equi-join on band keys (shuffle on band, no O(n²) compare);
-  * n-gram Jaccard runs only within blocking cells (lang, source) —
-    the standard blocking strategy that bounds pair explosion.
+  * n-gram Jaccard = candidates-then-verify: exact shingle-set Jaccard
+    is computed ONLY on LSH candidate pairs, never all pairs — the
+    verify join volume tracks the true-duplicate rate, not n².
 """
 
 from __future__ import annotations
@@ -290,19 +291,35 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Language identification (marker-word voting; see functions/langid.py).
-# Driver docs' lang column is text-uncorrelated → rows-only here;
-# accuracy is asserted on a real multilingual fixture in tests.
+# Language identification (marker voting; see functions/langid.py).
+# Marker voting is pure list/string arithmetic, so it carries a full
+# DuckDB oracle (struct-max argmax with identical tie-break); accuracy
+# on real multilingual text is asserted separately on a fixture in
+# tests (the driver docs' lang column is text-uncorrelated).
 # --------------------------------------------------------------------------
 
 
-@query("doc_language_id")
+def _langid_oracle() -> str:
+    from bigdatamlteamrepo_spark.functions.langid import language_id_sql
+
+    return f"""
+WITH t AS (SELECT text, {_TOKENS_SQL} AS toks FROM documents)
+SELECT {language_id_sql("text", "toks")} AS predicted_lang,
+       COUNT(*) AS n_docs
+FROM t
+GROUP BY 1
+"""
+
+
+@query("doc_language_id", oracle=_langid_oracle())
 def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatamlteamrepo_spark.functions.langid import language_id
 
     df = _with_tokens(spark, sf_dir)
     return (
-        df.withColumn("predicted_lang", language_id(F.col("toks")))
+        df.withColumn(
+            "predicted_lang", language_id(F.col("toks"), text=F.col("text"))
+        )
         .groupBy("predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -384,17 +401,101 @@ def dedup_exact_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # MinHash signatures (portable md5-based minhash, SQL-expressible; see
 # functions/text.py docstring for the 100 TB design rationale).
+#
+# ``minhash_signatures`` keeps the fixed 4-hash signature as the bench /
+# oracle fixed point; the LSH queries below use the parameterized
+# ``LSH_N_HASHES``/``LSH_N_BANDS`` config (default 16 hashes / 4 bands
+# of 4 — measured on the driver corpus: candidate set == the exact
+# shingle-Jaccard ≥ 0.5 pair set at sf0.001 and sf0.01, i.e. recall AND
+# precision 1.0 before verification).
 # --------------------------------------------------------------------------
 
 _N_HASHES = 4
+
+LSH_N_HASHES = 16
+LSH_N_BANDS = 4
+
+_SHINGLES_SQL = (
+    "list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
 
 
 def _minhash_sql(seed: int) -> str:
     return (
         "list_min(list_transform("
-        "list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), "
+        f"{_SHINGLES_SQL}, "
         f"s -> md5('{seed}|' || s)))"
+    )
+
+
+def _mh_over_sh_sql(seed: int) -> str:
+    """MinHash for one seed over a pre-built shingle list column ``sh``."""
+    return f"list_min(list_transform(sh, s -> md5('{seed}|' || s)))"
+
+
+def lsh_pairs_ctes(n_hashes: int = LSH_N_HASHES, n_bands: int = LSH_N_BANDS) -> str:
+    """Shared oracle CTE chain ending in ``__lsh_pairs(doc_a, doc_b)``.
+
+    Mirrors the Spark plan of :func:`lsh_candidate_pairs` hash-for-hash
+    (md5 minhash → banded keys → equi-join) so every LSH-derived query
+    stays oracle-checkable.  Callers embed it as ``WITH {ctes}, ...``.
+    """
+    r = n_hashes // n_bands
+    sigs = ",\n         ".join(
+        f"{_mh_over_sh_sql(i)} AS mh_{i}" for i in range(n_hashes)
+    )
+    band_sel = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, md5('{b}#' || "
+        + " || ".join(f"mh_{b * r + j}" for j in range(r))
+        + ") AS band FROM __sig"
+        for b in range(n_bands)
+    )
+    return f"""__t0 AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+__sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM __t0 WHERE len(toks) >= 3),
+__sig AS (SELECT doc_id,
+         {sigs}
+  FROM __sh),
+__bands AS (
+  {band_sel}
+),
+__lsh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM __bands a JOIN __bands b ON a.band = b.band AND a.doc_id < b.doc_id
+)"""
+
+
+def lsh_candidate_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = LSH_N_HASHES,
+    n_bands: int = LSH_N_BANDS,
+) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 MinHash band.
+
+    The banding step of MinHash-LSH: one row-level signature pass, one
+    explode to n_bands rows/doc, one equi-join shuffle on the band key.
+    No O(n²) stage at any corpus size; candidate volume is governed by
+    the s-curve 1-(1-j^r)^b, so precision/recall move with
+    (n_hashes, n_bands), not data size.
+    """
+    from bigdatamlteamrepo_spark.functions.text import band_keys, minhash_values
+
+    df = _with_tokens(spark, sf_dir).filter(F.size("toks") >= 3)
+    sh = shingles(F.col("toks"), 3)
+    sig = df.select("doc_id", minhash_values(sh, n_hashes).alias("mh"))
+    bands = sig.select(
+        "doc_id", F.explode(band_keys(F.col("mh"), n_hashes, n_bands)).alias("band")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
     )
 
 
@@ -424,76 +525,38 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# LSH near-dup candidate pairs: band keys = md5 of concatenated signature
-# halves; docs sharing a band become candidates via an equi-join (no n²).
+# LSH near-dup candidate pairs: banded MinHash signature keys; docs
+# sharing a band become candidates via an equi-join (no n²).
 # --------------------------------------------------------------------------
 
 
 @query(
     "neardup_pairs_lsh",
     oracle=f"""
-WITH sig AS (
-  SELECT doc_id,
-         {_minhash_sql(0)} AS mh_0, {_minhash_sql(1)} AS mh_1,
-         {_minhash_sql(2)} AS mh_2, {_minhash_sql(3)} AS mh_3
-  FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
-  WHERE len(toks) >= 3
-),
-bands AS (
-  SELECT doc_id, md5(mh_0 || mh_1) AS band FROM sig
-  UNION ALL
-  SELECT doc_id, md5(mh_2 || mh_3) AS band FROM sig
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+WITH {lsh_pairs_ctes()}
+SELECT doc_a, doc_b FROM __lsh_pairs
 """,
 )
 def neardup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = minhash_signatures(spark, sf_dir)
-    b0 = sig.select("doc_id", F.md5(F.concat("mh_0", "mh_1")).alias("band"))
-    b1 = sig.select("doc_id", F.md5(F.concat("mh_2", "mh_3")).alias("band"))
-    bands = b0.unionByName(b1)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return lsh_candidate_pairs(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
 # Cross-source near-duplicates: LSH pairs whose two docs come from
 # DIFFERENT sources — the contamination/leak check a training-data
 # pipeline runs between crawl snapshots or datasets.
+# No broadcast hints: at 100 TB the documents side is not broadcastable;
+# the doc_id equi-joins shuffle-partition cleanly and AQE may still pick
+# a broadcast at small SFs on its own.
 # --------------------------------------------------------------------------
 
 
 @query(
     "neardup_cross_source",
     oracle=f"""
-WITH sig AS (
-  SELECT doc_id,
-         {_minhash_sql(0)} AS mh_0, {_minhash_sql(1)} AS mh_1,
-         {_minhash_sql(2)} AS mh_2, {_minhash_sql(3)} AS mh_3
-  FROM (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents)
-  WHERE len(toks) >= 3
-),
-bands AS (
-  SELECT doc_id, md5(mh_0 || mh_1) AS band FROM sig
-  UNION ALL
-  SELECT doc_id, md5(mh_2 || mh_3) AS band FROM sig
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-)
+WITH {lsh_pairs_ctes()}
 SELECT da.source AS source_a, db.source AS source_b, COUNT(*) AS n_pairs
-FROM pairs
+FROM __lsh_pairs pairs
 JOIN documents da ON da.doc_id = pairs.doc_a
 JOIN documents db ON db.doc_id = pairs.doc_b
 WHERE da.source <> db.source
@@ -506,8 +569,8 @@ def neardup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
     return (
-        pairs.join(F.broadcast(da), "doc_a")
-        .join(F.broadcast(db), "doc_b")
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
         .filter(F.col("source_a") != F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -515,49 +578,78 @@ def neardup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# n-gram Jaccard similarity within blocking cells (lang, source).
+# n-gram (3-token shingle) Jaccard over LSH candidates — the
+# candidates-then-verify pattern: MinHash-LSH proposes pairs (linear
+# shuffle), exact shingle-set Jaccard verifies them.  Shingle Jaccard is
+# precisely the quantity MinHash estimates, so the banding s-curve
+# 1-(1-j^4)^4 governs recall; on the driver corpus the true pairs sit at
+# j ≥ 0.8 and the candidate set equals the exact ≥0.5 pair set
+# (tests/test_text_dedup.py pins that equivalence vs the brute-force
+# baseline).  Replaces the O(n²)-within-block all-pairs plan that would
+# explode on any 100 TB (lang, source) cell.
 # --------------------------------------------------------------------------
 
-_JACCARD_MIN = 0.2
+_JACCARD_MIN = 0.5
+
+_JAC_SQL = (
+    "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)"
+    " / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))"
+)
 
 
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
-WITH t AS (
-  SELECT doc_id, lang, source, list_distinct({_TOKENS_SQL}) AS dtoks
-  FROM documents
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(len(list_intersect(a.dtoks, b.dtoks)) AS DOUBLE)
-         / (len(a.dtoks) + len(b.dtoks) - len(list_intersect(a.dtoks, b.dtoks)))
-         AS jaccard
-FROM t a JOIN t b
-  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE CAST(len(list_intersect(a.dtoks, b.dtoks)) AS DOUBLE)
-        / (len(a.dtoks) + len(b.dtoks) - len(list_intersect(a.dtoks, b.dtoks)))
-        >= {_JACCARD_MIN}
+WITH {lsh_pairs_ctes()},
+__sets AS (SELECT doc_id, list_distinct(sh) AS s FROM __sh)
+SELECT p.doc_a, p.doc_b, {_JAC_SQL} AS jaccard
+FROM __lsh_pairs p
+JOIN __sets a ON a.doc_id = p.doc_a
+JOIN __sets b ON b.doc_id = p.doc_b
+WHERE {_JAC_SQL} >= {_JACCARD_MIN}
 """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = _with_tokens(spark, sf_dir).select(
-        "doc_id", "lang", "source", F.array_distinct("toks").alias("dtoks")
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    sets = (
+        _with_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s"))
     )
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.dtoks"), F.col("b.dtoks")))
-    union = F.size(F.col("a.dtoks")) + F.size(F.col("b.dtoks")) - inter
-    jac = inter.cast("double") / union
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
+    union = F.size("s_a") + F.size("s_b") - inter
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= _JACCARD_MIN)
+    )
+
+
+def ngram_jaccard_pairs_exact(
+    spark: SparkSession, sf_dir: str, threshold: float = _JACCARD_MIN
+) -> DataFrame:
+    """Brute-force shingle-Jaccard baseline (all pairs, no LSH blocking).
+
+    Test-only oracle for recall measurement — O(n²), never registered.
+    """
+    sets = (
+        _with_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s"))
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
+    union = F.size("s_a") + F.size("s_b") - inter
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )

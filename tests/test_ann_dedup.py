@@ -60,7 +60,9 @@ def test_rp_lsh_recall(spark, clustered_emb):
     q = clustered_emb.filter(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    approx = rp_lsh_topk(clustered_emb, q, k=10, dim=32, n_planes=4, seed=42).collect()
+    approx = rp_lsh_topk(
+        clustered_emb, q, k=10, dim=32, n_planes=4, seed=42, exclude_self=True
+    ).collect()
     assert _recall(approx, exact) >= 0.8
     # ranks well-formed
     for r in approx:
@@ -72,7 +74,9 @@ def test_ivf_recall(spark, clustered_emb):
     q = clustered_emb.filter(F.col("vec_id") < 6).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    approx = ivf_topk(clustered_emb, q, k=10, n_cells=6, n_probe=2, seed=42).collect()
+    approx = ivf_topk(
+        clustered_emb, q, k=10, n_cells=6, n_probe=2, seed=42, exclude_self=True
+    ).collect()
     assert _recall(approx, exact) >= 0.9
 
 

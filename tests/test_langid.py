@@ -19,13 +19,16 @@ SAMPLES = [
     ("fr", "le chien est dans la maison avec les enfants pour la soirée"),
     ("fr", "vous ne savez pas ce qui est sur la table dans la cuisine"),
     ("zh", "我 们 的 是 在 这 个 大 的 中 国 城 市 里"),
+    ("zh", "我们的是在这个大的中国城市里有很多人"),  # unsegmented — char path
     ("und", "zzz qqq xxx blorp flurp"),
 ]
 
 
 def test_language_id_accuracy(spark):
     df = spark.createDataFrame(SAMPLES, "lang string, text string")
-    out = df.withColumn("pred", language_id(tokenize("text"))).collect()
+    out = df.withColumn(
+        "pred", language_id(tokenize("text"), text=F.col("text"))
+    ).collect()
     for r in out:
         assert r.pred == r.lang, f"{r.text!r}: predicted {r.pred}, want {r.lang}"
 

