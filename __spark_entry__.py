@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bigdatamlteamrepo_spark.queries import ORACLE, QUERIES  # noqa: E402
+from bigdatamlteamrepo_spark.queries.registry import ordered  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -34,10 +35,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator/query from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator/query from SURVEY.md §2,
+    priority-ordered so the correctness harness's 50-query window covers
+    every operator family (family-redundant entries sort last)."""
+    return ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for each SQL-expressible query."""
-    return dict(ORACLE)
+    return ordered(ORACLE)

@@ -147,6 +147,7 @@ def segment_price_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "customer_spend_ranks",
+    priority=90,
     oracle=f"""
 WITH spend AS (
   SELECT c_mktsegment, c_custkey,
@@ -379,6 +380,7 @@ def lineitem_flag_status_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "order_custkeys_intersect_all",
+    priority=90,
     oracle="""
 SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
 INTERSECT ALL
@@ -394,6 +396,7 @@ def order_custkeys_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "order_custkeys_except_all",
+    priority=90,
     oracle="""
 SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
 EXCEPT ALL
@@ -490,7 +493,7 @@ def events_value_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("events_approx_stats")
+@query("events_approx_stats", priority=90)
 def events_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
@@ -536,7 +539,7 @@ def events_last_order_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query("sample_exact_100")
+@query("sample_exact_100", priority=90)
 def sample_exact_100(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatamlteamrepo_spark.operators.sampling import sample_exact_n
 
@@ -546,7 +549,7 @@ def sample_exact_100(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("undersample_balanced_docs")
+@query("undersample_balanced_docs", priority=90)
 def undersample_balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatamlteamrepo_spark.functions.arrays import has_any_keyword
     from bigdatamlteamrepo_spark.functions.text import tokenize

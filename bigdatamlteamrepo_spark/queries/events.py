@@ -96,6 +96,7 @@ def events_sliding_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_props_stats",
+    priority=90,
     oracle="""
 SELECT event_type,
        CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
@@ -273,6 +274,7 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_hour_of_day_profile",
+    priority=90,
     oracle=f"""
 SELECT CAST(hour(ts) AS BIGINT) AS hour_of_day,
        event_type,
@@ -300,6 +302,7 @@ _HIST_WIDTH = 10.0
 
 @query(
     "events_value_histogram",
+    priority=90,
     oracle=f"""
 SELECT event_type,
        CAST(floor(value / {_HIST_WIDTH}) AS BIGINT) AS bucket,
@@ -326,6 +329,7 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_user_gap_stats",
+    priority=90,
     oracle="""
 WITH gaps AS (
   SELECT user_id,

@@ -206,7 +206,7 @@ def _queries_set(spark: SparkSession, sf_dir: str, n_queries: int = 5) -> DataFr
     )
 
 
-@query("ann_rp_lsh_topk", bench=True)
+@query("ann_rp_lsh_topk", bench=True, priority=90)
 def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return rp_lsh_topk(
@@ -214,7 +214,7 @@ def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")
+@query("ann_ivf_topk", priority=90)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(

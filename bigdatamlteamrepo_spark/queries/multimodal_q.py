@@ -23,7 +23,7 @@ from bigdatamlteamrepo_spark.sources.multimodal import (
 _N_MEDIA = 300
 
 
-@query("multimodal_feature_summary")
+@query("multimodal_feature_summary", priority=90)
 def multimodal_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = generate_media(spark, n_rows=_N_MEDIA, seed=42)
     feats = extract_features(media)
@@ -34,7 +34,7 @@ def multimodal_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_frame_counts")
+@query("multimodal_frame_counts", priority=90)
 def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = generate_media(spark, n_rows=_N_MEDIA, seed=42)
     frames = sample_frames(media, fps=1.0)

@@ -203,6 +203,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "customer_order_stats",
+    priority=90,
     oracle=f"""
 SELECT c_custkey, c_name, c_mktsegment,
        COUNT(*) AS n_orders,
@@ -277,6 +278,7 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "customers_without_orders",
+    priority=90,
     oracle="""
 SELECT c_custkey, c_name
 FROM customer
@@ -393,6 +395,7 @@ def order_priority_status_crosstab(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "nation_region_customer_counts",
+    priority=90,
     oracle=f"""
 SELECT r_name, n_name,
        COUNT(*) AS n_customers,
@@ -538,6 +541,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "orders_monthly_volume",
+    priority=90,
     oracle=f"""
 SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
        CAST(month(o_orderdate) AS BIGINT) AS order_month,
