@@ -135,6 +135,20 @@ TABLE_SCHEMAS["embeddings"] = T.StructType(
 BROADCAST_DIMS = frozenset({"region", "nation"})
 
 
+def maybe_broadcast(df: DataFrame, table: str) -> DataFrame:
+    """Broadcast-hint only the policy-listed bounded dims.
+
+    Everything else (customer, supplier, part, facts) is left to the
+    planner: a 100 TB customer side must never be force-broadcast, and
+    at small SFs AQE still picks a broadcast join on its own from the
+    runtime size — so correctness AND small-scale plans are unchanged,
+    but the hint no longer lies at scale.
+    """
+    from pyspark.sql import functions as F
+
+    return F.broadcast(df) if table in BROADCAST_DIMS else df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one parquet table with its pinned schema.
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.catalog import load_table, maybe_broadcast
 from bigdatamlteamrepo_spark.functions.numeric import dec, dsum, dsum_expr
 from bigdatamlteamrepo_spark.queries.registry import query
 from bigdatamlteamrepo_spark.queries.text_dedup import lsh_pairs_ctes
@@ -121,7 +121,7 @@ def segment_price_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     Raw variance is intentionally not output (ULP-unstable)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    joined = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    joined = orders.join(maybe_broadcast(cust, "customer"), F.col("o_custkey") == F.col("c_custkey"))
     # exact decimal square — never cast a double product (see numeric.dec)
     price_dec = dec("o_totalprice", 16, 2)
     agg = joined.groupBy("c_mktsegment").agg(
@@ -168,7 +168,7 @@ def customer_spend_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     spend = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(maybe_broadcast(cust, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment", "c_custkey")
         .agg(dsum("o_totalprice", 2).alias("total_spent"))
     )
@@ -298,7 +298,7 @@ def segment_stats_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     wide = (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(maybe_broadcast(cust, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             dsum("o_totalprice", 2).alias("total_price"),

@@ -7,8 +7,12 @@ Covers SURVEY.md §2.2 (projection/filter), §2.4 (aggregation), §2.6
 Scale notes (100 TB stance), per query:
   * fact-fact joins (orders ⋈ lineitem) shuffle on the join key — at
     scale both sides would be bucketed by orderkey at write time;
-  * dim joins (region/nation, and customer at small SF) are broadcast —
-    ``F.broadcast`` hints the bounded dims explicitly;
+  * dim joins: only the BOUNDED dims (region/nation) carry explicit
+    ``F.broadcast`` hints; customer/supplier go through
+    ``catalog.maybe_broadcast`` which leaves them to the planner — AQE
+    broadcasts them at small SFs from runtime sizes, and at 100 TB the
+    same plan degrades gracefully to a shuffle join instead of OOMing
+    on a forced broadcast;
   * aggregates use map-side partial aggregation automatically; the
     decimal-sum trick (functions/numeric.py) keeps results
     partition-count-independent, which matters when AQE changes the
@@ -22,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.catalog import load_table, maybe_broadcast
 from bigdatamlteamrepo_spark.functions.numeric import davg, davg_expr, dec, dsum, dsum_expr
 
 # Revenue terms in EXACT decimal arithmetic: cast the raw factors (whose
@@ -137,7 +141,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(
-            orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+            orders.join(maybe_broadcast(cust, "customer"), F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -187,7 +191,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
-            F.broadcast(supp),
+            maybe_broadcast(supp, "supplier"),
             (F.col("s_suppkey") == F.col("l_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -264,7 +268,7 @@ def top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("o_totalprice"), F.asc("o_orderkey")
     )
     return (
-        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(maybe_broadcast(cust, "customer"), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
         .withColumn("rank_in_segment", F.row_number().over(w))
         .filter(F.col("rank_in_segment") <= 3)
@@ -526,7 +530,7 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(maybe_broadcast(cust, "customer"), F.col("c_custkey") == F.col("o_custkey"))
         .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.desc("total_qty"), F.asc("o_orderkey"))
         .limit(20)
