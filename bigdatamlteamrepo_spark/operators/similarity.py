@@ -93,6 +93,54 @@ def rp_band_candidate_pairs(
     )
 
 
+def rp_lsh_banded_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    planes_per_band: int = 4,
+    n_bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Multi-band RP-LSH top-k: candidates share ANY of ``n_bands`` band
+    keys (amplified OR-construction), then exact cosine re-rank.
+
+    Recall 1-(1-p^r)^B rises with bands at the cost of candidate volume
+    — the knob to hit a recall target that a single 2^planes bucket
+    (:func:`rp_lsh_topk`) cannot reach on weakly-clustered data.  Plan:
+    explode to n_bands rows/side, equi-join on the band key, dedup
+    (query, neighbor), window top-k — all linear-shuffle stages.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        F.explode(
+            rp_band_keys(F.col(vec_col), dim, planes_per_band, n_bands, seed)
+        ).alias("band"),
+    )
+    q = queries.select(
+        "query_id",
+        "q_emb",
+        F.explode(
+            rp_band_keys(F.col("q_emb"), dim, planes_per_band, n_bands, seed)
+        ).alias("band"),
+    )
+    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    joined = corpus.join(F.broadcast(q), "band")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        joined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def rp_signature(vec_col, dim: int, n_planes: int = 16, seed: int = 42):
     """Sign-bit LSH bucket id (long) for a vector column."""
     sig = None

@@ -8,7 +8,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from bigdatamlteamrepo_spark.operators.dedup import simhash_neardup_pairs
-from bigdatamlteamrepo_spark.operators.similarity import ivf_topk, rp_lsh_topk
+from bigdatamlteamrepo_spark.operators.similarity import (
+    ivf_topk,
+    rp_lsh_banded_topk,
+    rp_lsh_topk,
+)
 from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity
 
 
@@ -67,6 +71,19 @@ def test_rp_lsh_recall(spark, clustered_emb):
     # ranks well-formed
     for r in approx:
         assert 1 <= r.rank <= 10
+
+
+def test_rp_lsh_banded_recall(spark, clustered_emb):
+    """Multi-band amplification beats the single-bucket sketch."""
+    exact = _brute_topk(spark, clustered_emb).collect()
+    q = clustered_emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    approx = rp_lsh_banded_topk(
+        clustered_emb, q, k=10, dim=32, planes_per_band=4, n_bands=8,
+        seed=42, exclude_self=True,
+    ).collect()
+    assert _recall(approx, exact) >= 0.9
 
 
 def test_ivf_recall(spark, clustered_emb):

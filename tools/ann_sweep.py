@@ -1,0 +1,142 @@
+"""Record the ANN recall/latency tradeoff sweep → SWEEP.md.
+
+Runs rp_lsh_topk over n_planes and ivf_topk over (n_cells, n_probe)
+against the exact brute-force top-k on the driver embeddings, measuring
+recall@10 and wall time per configuration.  The table documents how the
+knobs trade recall for candidate volume — the tuning evidence for
+operating the ANN tier at scale.
+
+Usage: python tools/ann_sweep.py [sf_dir]   (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark import get_spark
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity
+from bigdatamlteamrepo_spark.operators.similarity import (
+    ivf_topk,
+    rp_lsh_banded_topk,
+    rp_lsh_topk,
+)
+
+K = 10
+N_QUERIES = 50
+
+
+def _exact_topk(emb, queries, k=K):
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        c.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _recall(approx_rows, exact):
+    ap = {}
+    for r in approx_rows:
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & ap.get(q, set())) for q in exact)
+    return hits / sum(len(v) for v in exact.values())
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="ann-sweep", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).cache()
+    queries.count()
+
+    t0 = time.perf_counter()
+    exact_rows = _exact_topk(emb, queries).collect()
+    exact_secs = time.perf_counter() - t0
+    exact = {}
+    for r in exact_rows:
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    lines = [
+        "# ANN recall/QPS sweep",
+        "",
+        f"Corpus: `{sf_dir}/embeddings.parquet` (n={n}, dim=64), "
+        f"{N_QUERIES} queries, k={K}, local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}].",
+        f"Exact brute-force baseline: {exact_secs:.2f}s (the recall denominator).",
+        "",
+        "Recall knobs follow the LSH s-curve: fewer planes → bigger buckets →",
+        "higher recall and more exact-rerank work; banded RP-LSH amplifies",
+        "recall with B OR-ed bands; IVF trades the same via n_probe/n_cells.",
+        "Pick the cheapest config meeting the recall target.",
+        "",
+        "NOTE the driver corpus is near-random (max pairwise cosine ≈ 0.6):",
+        "top-10 'neighbors' sit at cosine ≈ 0.3-0.5, the information-",
+        "theoretically hard regime for any LSH. On clustered data (the real",
+        "ANN use case) the same operators reach ≥0.8/≥0.9 recall with the",
+        "small configs pinned in tests/test_ann_dedup.py.",
+        "",
+        "| method | config | recall@10 | wall s |",
+        "|---|---|---|---|",
+    ]
+
+    for n_planes in (2, 4, 6, 8):
+        t0 = time.perf_counter()
+        rows = rp_lsh_topk(
+            emb, queries, k=K, dim=64, n_planes=n_planes, exclude_self=True
+        ).collect()
+        secs = time.perf_counter() - t0
+        lines.append(
+            f"| RP-LSH | n_planes={n_planes} | {_recall(rows, exact):.3f} | {secs:.2f} |"
+        )
+        print(lines[-1], flush=True)
+
+    for ppb, nb in ((4, 4), (4, 8), (4, 16), (6, 16)):
+        t0 = time.perf_counter()
+        rows = rp_lsh_banded_topk(
+            emb, queries, k=K, dim=64, planes_per_band=ppb, n_bands=nb, exclude_self=True
+        ).collect()
+        secs = time.perf_counter() - t0
+        lines.append(
+            f"| RP-LSH banded | r={ppb} B={nb} | {_recall(rows, exact):.3f} | {secs:.2f} |"
+        )
+        print(lines[-1], flush=True)
+
+    for n_cells, n_probe in ((8, 1), (8, 3), (16, 2), (16, 4), (32, 4), (32, 8)):
+        t0 = time.perf_counter()
+        rows = ivf_topk(
+            emb,
+            queries,
+            k=K,
+            n_cells=n_cells,
+            n_probe=n_probe,
+            exclude_self=True,
+            fit_sample_fraction=0.5,
+        ).collect()
+        secs = time.perf_counter() - t0
+        lines.append(
+            f"| IVF | cells={n_cells} probe={n_probe} | {_recall(rows, exact):.3f} | {secs:.2f} |"
+        )
+        print(lines[-1], flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SWEEP.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
