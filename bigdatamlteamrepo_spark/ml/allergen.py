@@ -289,21 +289,31 @@ def fit_multiclass_six(
 # ---------------------------------------------------------------------------
 
 
+#: hidden-layer options per numFeatures — the reference couples ONE
+#: option to 2000 and TWO to 5000 (SURVEY M18: "12 maps: numF∈{2000
+#: (1 layer-opt), 5000 (2 opts)} × minDf∈{0,2} × maxIter∈{50,100}"),
+#: giving (1+2)·2·2 = 12 maps → ×3 folds ×6 labels = 216 fits
+DEFAULT_HIDDEN_OPTIONS = {2000: [(64, 32)], 5000: [(64, 32), (128, 64)]}
+
+
 def build_param_maps(tf: HashingTF, idf: IDF, mlp: MultilayerPerceptronClassifier,
-                     num_features=(2000, 5000), min_doc_freq=(0, 2), max_iter=(50, 100)):
+                     num_features=(2000, 5000), min_doc_freq=(0, 2), max_iter=(50, 100),
+                     hidden_options=None):
     """Raw list-of-dict ParamMaps with the numFeatures↔layers coupling."""
     maps = []
     for nf in num_features:
-        for mdf in min_doc_freq:
-            for mi in max_iter:
-                maps.append(
-                    {
-                        tf.numFeatures: nf,
-                        idf.minDocFreq: mdf,
-                        mlp.maxIter: mi,
-                        mlp.layers: [nf, 64, 32, 2],
-                    }
-                )
+        opts = (hidden_options or DEFAULT_HIDDEN_OPTIONS).get(nf, [(64, 32)])
+        for hidden in opts:
+            for mdf in min_doc_freq:
+                for mi in max_iter:
+                    maps.append(
+                        {
+                            tf.numFeatures: nf,
+                            idf.minDocFreq: mdf,
+                            mlp.maxIter: mi,
+                            mlp.layers: [nf, *hidden, 2],
+                        }
+                    )
     return maps
 
 

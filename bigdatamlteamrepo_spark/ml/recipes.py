@@ -60,6 +60,32 @@ FILLERS = [
 _ALL_ALLERGEN_TERMS = sorted({k for kws in ALLERGEN_CATEGORIES.values() for k in kws} | set(ALLERGENS))
 
 
+#: benign phrases mined to hash into the SAME HashingTF(5000) bucket as
+#: an allergen phrase (MurmurHash3 seed 42, the MLlib default) — they
+#: make a document's feature vector indistinguishable from an allergen
+#: document, bounding every model's accuracy below 1 exactly like the
+#: unseen-phrase noise of the reference's real corpus.  Mined offline
+#: with HashingTF.indexOf; only valid at numFeatures=5000.
+COLLIDER_PHRASES = [
+    # → bucket of "milk" (949)
+    "roasted chicory 15", "sweet endive 46", "tender plantain 34",
+    # → "eggs" (1289)
+    "roasted saffron", "whole anise 20", "fresh fennel 20",
+    # → "cheese" (2313)
+    "pickled allspice 30", "minced radicchio 43", "wild fennel 31",
+    # → "butter" (3398)
+    "zesty juniper 35", "dried allspice 49", "dried plantain 44",
+    # → "wheat" (2071)
+    "toasted coriander 22", "minced coriander 26", "sliced marjoram 1",
+    # → "soy" (1237)
+    "smoked nutmeg 8", "pickled sorrel 36", "minced cardamom 24",
+    # → "shrimp" (881)
+    "pickled chicory 24", "pickled radicchio 49", "ground clove 52",
+    # → "almonds" (788)
+    "dried cardamom 29", "candied coriander 1", "rustic allspice 39",
+]
+
+
 def _pick(arr_lit, hash_cols, n_lit: int):
     """Deterministic element pick: vocab[xxhash64(...) mod len]."""
     idx = F.pmod(F.xxhash64(*hash_cols), F.lit(n_lit)).cast("int")
@@ -104,6 +130,92 @@ def generate_recipes(
         lambda x: F.when(F.pmod(F.xxhash64(x, F.col("doc_id")), F.lit(2)) == 0, F.initcap(x)).otherwise(x),
     )
 
+    directions = F.array(
+        F.concat(F.lit("Combine ingredient set "), F.col("doc_id").cast("string")),
+        F.lit("Cook until done."),
+        F.lit("Serve warm."),
+    )
+    return df.select(
+        "doc_id",
+        F.concat(F.lit("Recipe #"), F.col("doc_id").cast("string")).alias("title"),
+        ingredients.alias("ingredients"),
+        directions.alias("directions"),
+        F.transform(ingredients, F.lower).alias("ner"),
+    )
+
+
+def generate_recipes_matched(
+    spark: SparkSession,
+    n_rows: int = 9780,
+    seed: int = 1956,
+    allergen_frac: float = 0.295,
+    collider_frac: float = 0.025,
+    doubled_collider_frac: float = 0.03,
+) -> DataFrame:
+    """Distribution-matched analogue of the reference's ≈9.8 k-doc
+    allergen corpus (BASELINE.md: 1956 test rows at 20 %, 577 positive).
+
+    Difficulty is injected structurally, not by random label flips, so
+    the reference's capacity ordering RF < LR < MLP emerges for the same
+    reasons it does on real data:
+
+    * ``collider_frac`` negatives carry ONE phrase from
+      :data:`COLLIDER_PHRASES` — feature-identical to an allergen doc at
+      numFeatures=5000, an irreducible FP for EVERY model (the analogue
+      of the real corpus's unseen/ambiguous phrases);
+    * ``doubled_collider_frac`` negatives carry the same collider TWICE
+      — TF=2 in an allergen bucket.  A non-monotone rule (count 1 =
+      allergen, count 2 = benign) that trees and MLPs can represent but
+      a monotone-in-features logistic regression cannot — the LR↔MLP
+      accuracy gap;
+    * shallow (depth-5) forests additionally dilute the 26-way keyword
+      OR across random feature subsets — the RF weakness.
+
+    Class balance ≈ ``allergen_frac`` positives, matching 577/1956.
+    """
+    fillers = F.array(*[F.lit(x) for x in FILLERS])
+    allergens = F.array(*[F.lit(x) for x in _ALL_ALLERGEN_TERMS])
+    colliders = F.array(*[F.lit(x) for x in COLLIDER_PHRASES])
+    df = spark.range(n_rows).withColumnRenamed("id", "doc_id")
+    df = df.withColumn("__seed", F.lit(seed))
+
+    u = F.pmod(F.xxhash64("doc_id", F.lit("type"), "__seed"), F.lit(100000)) / 100000.0
+    is_pos = u < allergen_frac
+    c1_hi = allergen_frac + collider_frac
+    is_coll1 = (u >= allergen_frac) & (u < c1_hi)
+    is_coll2 = (u >= c1_hi) & (u < c1_hi + doubled_collider_frac)
+
+    n_ing = (F.pmod(F.xxhash64("doc_id", F.lit("n"), "__seed"), F.lit(10)) + 3).cast("int")
+    n_allergen = F.when(
+        is_pos,
+        (F.pmod(F.xxhash64("doc_id", F.lit("na"), "__seed"), F.lit(3)) + 1).cast("int"),
+    ).otherwise(F.lit(0))
+
+    filler_part = F.transform(
+        F.sequence(F.lit(1), n_ing),
+        lambda i: _pick(fillers, ["doc_id", i, F.lit("f"), "__seed"], len(FILLERS)),
+    )
+    # distinct picks: a repeated allergen phrase would put TF=2 in an
+    # allergen bucket and blur the doubled-collider count signal
+    allergen_part = F.when(n_allergen > 0, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), n_allergen),
+        lambda i: _pick(allergens, ["doc_id", i, F.lit("a"), "__seed"], len(_ALL_ALLERGEN_TERMS)),
+    ))).otherwise(F.array().cast("array<string>"))
+
+    collider = _pick(colliders, ["doc_id", F.lit("c"), "__seed"], len(COLLIDER_PHRASES))
+    collider_part = (
+        F.when(is_coll1, F.array(collider))
+        .when(is_coll2, F.array(collider, collider))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+    ingredients = F.concat(allergen_part, collider_part, filler_part)
+    ingredients = F.transform(
+        ingredients,
+        lambda x: F.when(
+            F.pmod(F.xxhash64(x, F.col("doc_id")), F.lit(2)) == 0, F.initcap(x)
+        ).otherwise(x),
+    )
     directions = F.array(
         F.concat(F.lit("Combine ingredient set "), F.col("doc_id").cast("string")),
         F.lit("Cook until done."),

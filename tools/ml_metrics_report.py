@@ -1,0 +1,93 @@
+"""Reproduce the reference's published ML metrics (BASELINE.md table)
+on the distribution-matched synthetic corpus → MLMETRICS.md.
+
+Runs the four headline configs at the reference's exact scale
+(numFeatures=5000, same seeds/iters/layers) on
+``generate_recipes_matched`` and reports each metric next to the
+reference value.  tests/test_ml_reference_metrics.py (marked slow)
+asserts the ±0.05 windows.
+
+Usage: python tools/ml_metrics_report.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bigdatamlteamrepo_spark import get_spark
+from bigdatamlteamrepo_spark.ml import allergen
+from bigdatamlteamrepo_spark.ml.recipes import generate_recipes_matched
+
+#: reference values from BASELINE.md (MLP.ipynb:c4, c6)
+REFERENCE = {
+    "rf": {"accuracy": 0.77, "f1": 0.76, "auc": 0.90},
+    "lr": {"accuracy": 0.93, "f1": 0.93, "auc": 0.97},
+    "mlp": {"accuracy": 0.98, "f1": 0.98, "auc": 0.99},
+    "six": {"accuracy": 0.966, "f1": 0.966},
+}
+
+
+def main() -> None:
+    spark = get_spark(app_name="ml-metrics", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    recipes = generate_recipes_matched(spark).cache()
+    n = recipes.count()
+
+    results = {}
+    t0 = time.perf_counter()
+    results["rf"] = allergen.fit_binary(
+        recipes, kind="rf", num_features=5000, balance="undersample", seed=42
+    ).metrics
+    print("rf", results["rf"], f"{time.perf_counter()-t0:.0f}s", flush=True)
+
+    t0 = time.perf_counter()
+    results["lr"] = allergen.fit_binary(
+        recipes, kind="lr", num_features=5000, balance="weight", seed=42, max_iter=100
+    ).metrics
+    print("lr", results["lr"], f"{time.perf_counter()-t0:.0f}s", flush=True)
+
+    t0 = time.perf_counter()
+    results["mlp"] = allergen.fit_binary(
+        recipes, kind="mlp", num_features=5000, seed=100, max_iter=100
+    ).metrics
+    print("mlp", results["mlp"], f"{time.perf_counter()-t0:.0f}s", flush=True)
+
+    t0 = time.perf_counter()
+    results["six"] = allergen.fit_multiclass_six(
+        recipes, num_features=5000, max_iter=100, seed=42
+    ).metrics
+    print("six", results["six"], f"{time.perf_counter()-t0:.0f}s", flush=True)
+
+    lines = [
+        "# Reference ML metric reproduction",
+        "",
+        f"Corpus: `generate_recipes_matched` (n={n}, ≈29.5% positive — the",
+        "reference's 577/1956 test balance), reference configs: TF-IDF 5000,",
+        "RF numTrees=100 undersampled / LR weightCol maxIter=100 / MLP",
+        "[5000,64,32,2] maxIter=100 / 6-class MLP [5000,64,32,6].",
+        "Difficulty is structural (hash-bucket colliders + count-based",
+        "non-monotonicity), not label noise — see ml/recipes.py docstring.",
+        "",
+        "| model | metric | engine | reference | Δ |",
+        "|---|---|---|---|---|",
+    ]
+    for model, ref in REFERENCE.items():
+        for metric, rv in ref.items():
+            ev = results[model][metric]
+            lines.append(
+                f"| {model} | {metric} | {ev:.3f} | {rv:.3f} | {ev - rv:+.3f} |"
+            )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "MLMETRICS.md"
+    )
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
