@@ -216,57 +216,19 @@ FROM reach GROUP BY src
 """,
 )
 def neardup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate graph via alternating
+    large-star/small-star contraction (operators/graph.py) — O(log² n)
+    rounds regardless of component diameter, so the plan that's correct
+    on the driver corpus is the same one that survives a 100 TB graph
+    with a long chain (the naive O(diameter) propagation this replaced
+    is exactly equivalent on converged output)."""
+    from bigdatamlteamrepo_spark.operators.graph import connected_components
     from bigdatamlteamrepo_spark.queries.text_dedup import neardup_pairs_lsh
 
     pairs = neardup_pairs_lsh(spark, sf_dir)
-    # undirected edge list (both directions) over docs that HAVE a dup
-    fwd = pairs.select(F.col("doc_a").alias("e_src"), F.col("doc_b").alias("e_dst"))
-    rev = pairs.select(F.col("doc_b").alias("e_src"), F.col("doc_a").alias("e_dst"))
-    edges = fwd.unionByName(rev).distinct().cache()
-
-    # min-label propagation to fixpoint: labels[i] = min id reachable.
-    # Distinct column names (e_src/e_dst vs src/lbl) keep every join in
-    # the loop unambiguous despite the shared lineage.
-    labels = (
-        edges.groupBy(F.col("e_src").alias("src"))
-        .agg(F.min("e_dst").alias("lbl"))
-        .withColumn("lbl", F.least("src", "lbl"))
-    )
-    max_iters = 50  # near-dup graph diameter bound; real data converges in 2-3
-    converged = False
-    for _ in range(max_iters):
-        prop = (
-            edges.join(labels, F.col("e_dst") == F.col("src"))
-            .groupBy(F.col("e_src").alias("p_src"))
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        new_labels = (
-            labels.join(prop, F.col("src") == F.col("p_src"), "left")
-            .select(
-                "src",
-                F.least("lbl", F.coalesce("nlbl", "lbl")).alias("lbl"),
-            )
-        ).cache()
-        changed = (
-            new_labels.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "src")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    edges.unpersist()
-    if not converged:
-        # returning partial labels would silently diverge from the
-        # WITH RECURSIVE oracle — fail loudly instead
-        raise RuntimeError(
-            f"neardup cluster label propagation did not converge within "
-            f"{max_iters} iterations (component diameter > {max_iters})"
-        )
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
     return labels.select(
-        F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_rep")
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
     )
 
 

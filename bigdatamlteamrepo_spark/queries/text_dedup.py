@@ -246,6 +246,7 @@ _WINNOW_W = 4
 
 @query(
     "doc_winnowing_fingerprints",
+    priority=90,
     oracle=f"""
 WITH h AS (
   SELECT doc_id,
@@ -287,6 +288,69 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(fps).alias("n_fingerprints"),
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Winnowing near-dup pairs (MOSS): documents sharing ≥ min_shared
+# winnowing fingerprints.  Explode → equi-join on the fingerprint →
+# pair-count: the plagiarism/code-clone detection join, linear-shuffle
+# at any corpus size (candidate volume tracks shared-fingerprint mass,
+# not n²).
+# --------------------------------------------------------------------------
+
+_WINNOW_MIN_SHARED = 2
+
+
+@query(
+    "winnowing_neardup_pairs",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {_K_CHARS} + 2),
+                        i -> md5(substring(text, i, {_K_CHARS}))) AS hs
+  FROM documents
+  WHERE length(text) >= {_K_CHARS + _WINNOW_W - 1}
+),
+fp AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(hs) - {_WINNOW_W} + 2),
+                        i -> list_min(hs[i:i+{_WINNOW_W - 1}])))) AS f
+  FROM h
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+""",
+)
+def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _K_CHARS + _WINNOW_W - 1
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (_K_CHARS - 1)),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(_K_CHARS))),
+    )
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("hs") - _WINNOW_W),
+            lambda i: F.array_min(F.slice("hs", i + 1, _WINNOW_W)),
+        )
+    )
+    fp = (
+        docs.withColumn("hs", hs)
+        .select("doc_id", F.explode(fps).alias("f"))
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
 
 

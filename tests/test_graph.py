@@ -1,0 +1,70 @@
+"""Star-contraction connected components vs union-find ground truth —
+including a long-chain graph that defeats O(diameter) label
+propagation."""
+
+from __future__ import annotations
+
+import random
+
+from bigdatamlteamrepo_spark.operators.graph import connected_components
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def _check(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component for r in connected_components(df).collect()
+    }
+    want = _union_find(edges)
+    assert got == want
+
+
+def test_long_chain(spark):
+    # path 0-1-2-...-120: diameter 120 — a 20-iteration propagation
+    # returns wrong labels here; star contraction converges in O(log²)
+    _check(spark, [(i, i + 1) for i in range(120)])
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    _check(spark, edges)
+
+
+def test_cliques_and_pairs(spark):
+    edges = []
+    for base in (0, 100, 200):  # three 5-cliques
+        ids = [base + i for i in range(5)]
+        edges += [(a, b) for a in ids for b in ids if a < b]
+    edges += [(500, 501), (600, 601)]  # isolated pairs
+    _check(spark, edges)
+
+
+def test_two_phase_same_as_naive_on_lsh_graph(spark, sf_dir):
+    """The registered cluster-reps query (now star-based) still equals
+    the WITH RECURSIVE oracle's semantics on the real LSH graph —
+    covered by parity; here: determinism across runs."""
+    from bigdatamlteamrepo_spark.queries.analytic import (
+        neardup_cluster_representatives,
+    )
+
+    a = sorted(map(str, neardup_cluster_representatives(spark, sf_dir).collect()))
+    b = sorted(map(str, neardup_cluster_representatives(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
