@@ -36,9 +36,16 @@ def _split_layout(spark, sf_dir: str) -> str:
     ~128 MB row groups); the rewrite happens once, OUTSIDE the timed
     loop, and is skipped when the split copy already exists.
     """
+    import glob
     import hashlib
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # key on path + source file sizes/mtimes: a regenerated dataset at
+    # the same path must invalidate the cached split copy
+    sig = [sf_dir]
+    for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        st = os.stat(p)
+        sig.append(f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}")
+    tag = hashlib.md5("|".join(sig).encode()).hexdigest()[:12]
     dst = os.path.join("/tmp", f"spark-graft-split-{tag}")
     marker = os.path.join(dst, "_DONE")
     if os.path.exists(marker):

@@ -55,7 +55,9 @@ def _char_hits(text: Column, chars: list[str]) -> Column:
     return total
 
 
-def language_id(tokens: Column, text: Column | None = None, min_hits: int = 1) -> Column:
+def language_id(
+    tokens: Column, *, text: Column | None = None, min_hits: int = 1
+) -> Column:
     """Predicted language code ('und' if no markers hit).
 
     Whitespace-tokenized languages vote per token; ``CHAR_LANGS`` vote

@@ -302,7 +302,9 @@ def build_param_maps(tf: HashingTF, idf: IDF, mlp: MultilayerPerceptronClassifie
     """Raw list-of-dict ParamMaps with the numFeatures↔layers coupling."""
     maps = []
     for nf in num_features:
-        opts = (hidden_options or DEFAULT_HIDDEN_OPTIONS).get(nf, [(64, 32)])
+        opts = (
+            hidden_options if hidden_options is not None else DEFAULT_HIDDEN_OPTIONS
+        ).get(nf, [(64, 32)])
         for hidden in opts:
             for mdf in min_doc_freq:
                 for mi in max_iter:

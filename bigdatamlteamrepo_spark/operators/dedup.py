@@ -183,7 +183,11 @@ def embedding_neardup_pairs(
         "cell int, center array<double>",
     )
 
-    assigned = model.transform(normed).select(id_col, vec_col, "__unit", "cell")
+    # cache: the normalize+assign lineage feeds the radii collect AND
+    # both sides of the pair join — without this it recomputes 3×.
+    # (At cluster scale, swap for MEMORY_AND_DISK or drop the cache and
+    # accept one extra columnar scan — the radii pass needs all rows.)
+    assigned = model.transform(normed).select(id_col, vec_col, "__unit", "cell").cache()
     # per-cell radius: max distance of members to their assigned centroid
     dist_sq = F.aggregate(
         F.zip_with(F.col("__unit"), F.col("center"), lambda x, y: (x - y) * (x - y)),

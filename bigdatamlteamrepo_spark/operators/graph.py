@@ -94,12 +94,15 @@ def connected_components(
         else:
             e2 = e2.localCheckpoint(eager=True)
 
-        changed = e2.exceptAll(e).count() + e.exceptAll(e2).count()
-        e = e2
-        if changed == 0:
+        # both sets are distinct, so equal size + empty one-sided
+        # difference ⟹ equal sets (one exceptAll job, not two)
+        if e2.count() == e.count() and e2.exceptAll(e).count() == 0:
+            e = e2
             converged = True
             break
+        e = e2
     if not converged:
+        nodes.unpersist()
         raise RuntimeError(
             f"star contraction did not converge in {max_rounds} rounds"
         )
@@ -109,4 +112,8 @@ def connected_components(
     roots = nodes.join(
         labels.select("node").distinct(), "node", "left_anti"
     ).select("node", F.col("node").alias("component"))
-    return labels.union(roots)
+    out = labels.union(roots)
+    # materialize before releasing the nodes cache the plan depends on
+    out = out.localCheckpoint(eager=True)
+    nodes.unpersist()
+    return out

@@ -114,28 +114,35 @@ def rp_lsh_banded_topk(
     explode to n_bands rows/side, equi-join on the band key, dedup
     (query, neighbor), window top-k — all linear-shuffle stages.
     """
-    corpus = emb.select(
+    # ids-only band join → distinct pairs FIRST, then one cosine per
+    # surviving pair (a pair sharing all B bands would otherwise get its
+    # re-rank fold evaluated B times before dedup)
+    corpus_bands = emb.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_emb"),
         F.explode(
             rp_band_keys(F.col(vec_col), dim, planes_per_band, n_bands, seed)
         ).alias("band"),
     )
-    q = queries.select(
+    q_bands = queries.select(
         "query_id",
-        "q_emb",
         F.explode(
             rp_band_keys(F.col("q_emb"), dim, planes_per_band, n_bands, seed)
         ).alias("band"),
     )
-    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
-    joined = corpus.join(F.broadcast(q), "band")
+    pairs = corpus_bands.join(F.broadcast(q_bands), "band").select(
+        "query_id", "neighbor_id"
+    )
     if exclude_self:
-        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    pairs = pairs.distinct()
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb"))
+    q = queries.select("query_id", "q_emb")
+    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
-        joined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
-        .distinct()
+        pairs.join(F.broadcast(q), "query_id")
+        .join(corpus, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )

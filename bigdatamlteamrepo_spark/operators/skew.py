@@ -22,7 +22,7 @@ SALT_COL = "__salt"
 #: replicated n_salts×, so right/full outer would emit each unmatched
 #: build row once per salt — n_salts duplicates)
 _SALT_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi",
-                  "leftsemi", "left_anti", "leftanti", "cross"}
+                  "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
 
 
 def salted_join(

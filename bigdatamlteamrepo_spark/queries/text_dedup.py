@@ -661,6 +661,29 @@ _JAC_SQL = (
 )
 
 
+def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s) — distinct 3-token shingle set per document."""
+    return (
+        _with_tokens(spark, sf_dir)
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s"))
+    )
+
+
+def _pair_jaccard(pairs: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact shingle-set Jaccard ≥ threshold over (doc_a, doc_b) pairs."""
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
+    union = F.size("s_a") + F.size("s_b") - inter
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 @query(
     "ngram_jaccard_pairs",
     oracle=f"""
@@ -675,25 +698,7 @@ WHERE {_JAC_SQL} >= {_JACCARD_MIN}
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = lsh_candidate_pairs(spark, sf_dir)
-    sets = (
-        _with_tokens(spark, sf_dir)
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s"))
-    )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
-    union = F.size("s_a") + F.size("s_b") - inter
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (inter.cast("double") / union).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= _JACCARD_MIN)
-    )
+    return _pair_jaccard(cand, _shingle_sets(spark, sf_dir), _JACCARD_MIN)
 
 
 def ngram_jaccard_pairs_exact(
@@ -703,17 +708,12 @@ def ngram_jaccard_pairs_exact(
 
     Test-only oracle for recall measurement — O(n²), never registered.
     """
-    sets = (
-        _with_tokens(spark, sf_dir)
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s"))
+    sets = _shingle_sets(spark, sf_dir)
+    all_pairs = (
+        sets.select(F.col("doc_id").alias("doc_a"))
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b")),
+            F.col("doc_a") < F.col("doc_b"),
+        )
     )
-    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
-    union = F.size("s_a") + F.size("s_b") - inter
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _pair_jaccard(all_pairs, sets, threshold)
