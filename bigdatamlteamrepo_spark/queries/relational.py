@@ -689,3 +689,84 @@ def lineitem_flag_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_parts"),
         F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
     )
+
+
+# --------------------------------------------------------------------------
+# q4-shaped EXISTS semi-join: orders in a quarter having at least one
+# late-shipped line (shipdate > orderdate + 60 days).  The driver schema
+# lacks commit/receipt dates, so lateness is defined against the order
+# date — the plan shape (filtered fact → correlated EXISTS → grouped
+# count) is exactly TPC-H q4's.  Semi-join = no row duplication, no
+# post-join dedup, and the date filter pushes to the orders scan.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority_checking",
+    priority=90,
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q16-shaped supplier-count: distinct suppliers per (brand, type, size)
+# for non-excluded parts, excluding "problem" suppliers via NOT IN
+# (anti-join).  TPC-H q16's plan shape on the driver schema (negative
+# account balance stands in for the complaints filter).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q16_parts_supplier_counts",
+    priority=90,
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size >= 5
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") >= 5)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(bad_supp, "l_suppkey", "left_anti")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
