@@ -1,0 +1,365 @@
+"""Training-data-pipeline queries: repetition signals, composite quality
+filtering, end-to-end near-dup dedup, PII scanning, embedding
+quantization, and distribution percentiles.
+
+These extend the reference's text surface (model.py:50-101 preprocessing,
+MLP.ipynb:c5 labeling) with the operations a 100 TB pretraining-data
+pipeline runs between raw crawl and training shards:
+
+* **Repetition metrics** (Gopher-style, Rae et al. 2021 §A1.1): top
+  n-gram mass and duplicate-n-gram fractions — pure row-level array
+  expressions, embarrassingly parallel, no shuffle.
+* **Quality filter**: first-failing-rule CASE chain (the reference's
+  first-match-wins labeling idiom, MLP.ipynb:c5:31-38, repurposed as a
+  filter) + one grouped count — one scan, one small shuffle.
+* **Near-dup dedup summary**: MinHash-LSH candidates → exact Jaccard
+  verify → connected components → keep min-doc_id representative.  Every
+  stage is linear-shuffle (the candidate graph tracks true-duplicate
+  mass, not n²); components use O(log² n)-round star contraction.
+* **PII scan**: regexp_count over codegen — see operators/pii.py.
+* **Int8 quantization**: symmetric per-vector max-abs scaling — the
+  4×-memory-reduction preprocessing step before ANN index build; all
+  integer outputs are exact, so the oracle hash-matches bit-for-bit.
+* **Percentiles**: exact linear-interpolation percentile (Spark
+  ``percentile`` ≡ DuckDB ``quantile_cont``) — the distribution-shift
+  monitor a pipeline runs per ingest batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.functions.text import shingles, tokenize
+from bigdatamlteamrepo_spark.operators.pii import pii_counts, pii_counts_sql
+from bigdatamlteamrepo_spark.queries.registry import query
+from bigdatamlteamrepo_spark.queries.text_dedup import (
+    _JAC_SQL,
+    _JACCARD_MIN,
+    _TOKENS_SQL,
+    lsh_pairs_ctes,
+    ngram_jaccard_pairs,
+)
+
+# --------------------------------------------------------------------------
+# Repetition metrics (Gopher §A1.1 signals).  max-count-of-any-unigram /
+# bigram and the duplicate-bigram fraction; integer-derived doubles are
+# bit-deterministic so no rounding is needed.
+# --------------------------------------------------------------------------
+
+_BIGRAMS_SQL = "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])"
+
+
+def _top_count_sql(arr: str) -> str:
+    return (
+        f"list_max(list_transform(list_distinct({arr}), "
+        f"x -> len(list_filter({arr}, y -> y = x))))"
+    )
+
+
+def _top_count(arr):
+    """Max occurrence count of any element in an array column."""
+    return F.array_max(
+        F.transform(
+            F.array_distinct(arr),
+            lambda x: F.size(F.filter(arr, lambda y: y == x)),
+        )
+    )
+
+
+@query(
+    "doc_repetition_metrics",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+m AS (
+  SELECT doc_id, toks, {_BIGRAMS_SQL} AS bg
+  FROM t WHERE len(toks) >= 2
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       CAST({_top_count_sql('toks')} AS DOUBLE) / len(toks) AS top_unigram_frac,
+       CAST({_top_count_sql('bg')} AS DOUBLE) / len(bg) AS top_bigram_frac,
+       CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac
+FROM m
+""",
+)
+def doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.withColumn("toks", tokenize("text")).filter(F.size("toks") >= 2)
+    df = df.withColumn("bg", shingles(F.col("toks"), 2))
+    n_tok = F.size("toks").cast("double")
+    n_bg = F.size("bg").cast("double")
+    return df.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (_top_count(F.col("toks")).cast("double") / n_tok).alias("top_unigram_frac"),
+        (_top_count(F.col("bg")).cast("double") / n_bg).alias("top_bigram_frac"),
+        (
+            (F.size("bg") - F.size(F.array_distinct("bg"))).cast("double") / n_bg
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Composite quality filter: first-failing-rule per doc, counted per
+# (reason, lang).  Thresholds chosen to split the driver corpus (token
+# count median ≈ 56, TTR median ≈ 0.46, top-unigram median ≈ 0.09) so
+# the filter's branches are all exercised, not vacuous.
+# --------------------------------------------------------------------------
+
+_QF_MIN_TOKENS = 20
+_QF_MAX_TOKENS = 5000
+_QF_MIN_TTR = 0.35
+_QF_MAX_TOP_FRAC = 0.12
+_QF_CPT_RANGE = (2.0, 10.0)
+
+
+@query(
+    "doc_quality_filter",
+    oracle=f"""
+WITH t AS (SELECT lang, n_chars, {_TOKENS_SQL} AS toks FROM documents),
+m AS (
+  SELECT lang,
+         len(toks) AS n,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         CAST({_top_count_sql('toks')} AS DOUBLE) / len(toks) AS topf,
+         CAST(n_chars AS DOUBLE) / len(toks) AS cpt
+  FROM t WHERE len(toks) > 0
+)
+SELECT CASE
+         WHEN n < {_QF_MIN_TOKENS} THEN 'too_short'
+         WHEN n > {_QF_MAX_TOKENS} THEN 'too_long'
+         WHEN ttr < {_QF_MIN_TTR} THEN 'low_diversity'
+         WHEN topf > {_QF_MAX_TOP_FRAC} THEN 'repetitive'
+         WHEN cpt < {_QF_CPT_RANGE[0]} OR cpt > {_QF_CPT_RANGE[1]} THEN 'weird_tokens'
+         ELSE 'pass'
+       END AS reason,
+       lang,
+       COUNT(*) AS n_docs
+FROM m GROUP BY 1, 2
+""",
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.withColumn("toks", tokenize("text")).filter(F.size("toks") > 0)
+    n = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n.cast("double")
+    topf = _top_count(F.col("toks")).cast("double") / n.cast("double")
+    cpt = F.col("n_chars").cast("double") / n.cast("double")
+    reason = (
+        F.when(n < _QF_MIN_TOKENS, "too_short")
+        .when(n > _QF_MAX_TOKENS, "too_long")
+        .when(ttr < _QF_MIN_TTR, "low_diversity")
+        .when(topf > _QF_MAX_TOP_FRAC, "repetitive")
+        .when(
+            (cpt < _QF_CPT_RANGE[0]) | (cpt > _QF_CPT_RANGE[1]), "weird_tokens"
+        )
+        .otherwise("pass")
+    )
+    return (
+        df.withColumn("reason", reason)
+        .groupBy("reason", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# End-to-end near-dup dedup: verified-Jaccard pairs → connected
+# components → keep the min-doc_id representative per cluster; report
+# kept/removed per source.  The "what actually ships to training"
+# capstone over the LSH tier.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "neardup_dedup_summary",
+    oracle=f"""
+WITH RECURSIVE
+{lsh_pairs_ctes()},
+__sets AS (SELECT doc_id, list_distinct(sh) AS s FROM __sh),
+__ver AS (
+  SELECT p.doc_a, p.doc_b
+  FROM __lsh_pairs p
+  JOIN __sets a ON a.doc_id = p.doc_a
+  JOIN __sets b ON b.doc_id = p.doc_b
+  WHERE {_JAC_SQL} >= {_JACCARD_MIN}
+),
+__edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM __ver
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM __ver
+),
+__reach AS (
+  SELECT src, dst FROM __edges
+  UNION
+  SELECT r.src, e.dst FROM __reach r JOIN __edges e ON r.dst = e.src
+),
+__rep AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep FROM __reach GROUP BY src
+),
+__m AS (
+  SELECT d.source, d.doc_id, COALESCE(r.rep, d.doc_id) AS rep
+  FROM documents d LEFT JOIN __rep r ON r.doc_id = d.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id = rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN doc_id <> rep THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM __m GROUP BY source
+""",
+)
+def neardup_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup decision per document: docs connected by verified Jaccard ≥
+    0.5 pairs form a cluster; the min doc_id survives.  Star-contraction
+    components (operators/graph.py) keep the round count O(log² n) at
+    any cluster diameter; the recursive oracle computes the identical
+    min-reachable-id labeling."""
+    from bigdatamlteamrepo_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    merged = docs.join(
+        labels.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
+    ).withColumn("rep", F.coalesce("component", "doc_id"))
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("doc_id") == F.col("rep")).cast("long")).alias("n_kept"),
+        F.sum((F.col("doc_id") != F.col("rep")).cast("long")).alias("n_removed"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PII scan per source.  The driver corpus is synthetic word salad, so
+# the expected counts here are zeros — the operator's behavior on text
+# that DOES contain emails/IPs/phones is pinned by fixture tests
+# (tests/test_pii.py); this query is the contract that the scan runs as
+# one codegen'd pass over the real corpus layout.
+# --------------------------------------------------------------------------
+
+
+def _pii_oracle() -> str:
+    c = pii_counts_sql("lower(text)")
+    return f"""
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM({c['n_email']}) AS BIGINT) AS total_emails,
+       CAST(SUM({c['n_ipv4']}) AS BIGINT) AS total_ipv4,
+       CAST(SUM({c['n_phone']}) AS BIGINT) AS total_phones,
+       CAST(SUM(CASE WHEN {c['n_email']} + {c['n_ipv4']} + {c['n_phone']} > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii
+FROM documents GROUP BY source
+"""
+
+
+@query("doc_pii_scan", oracle=_pii_oracle())
+def doc_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = pii_counts("text")
+    df = docs.select("source", *[c.alias(k) for k, c in counts.items()])
+    any_pii = (F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")) > 0
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_email").cast("bigint").alias("total_emails"),
+        F.sum("n_ipv4").cast("bigint").alias("total_ipv4"),
+        F.sum("n_phone").cast("bigint").alias("total_phones"),
+        F.sum(any_pii.cast("long")).alias("n_docs_with_pii"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Symmetric int8 quantization of the embedding column: scale =
+# max|x|/127 per vector.  Quantized sums-of-squares are exact integers;
+# the reconstruction MSE folds doubles in array order in both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_int8_quant_stats",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+  FROM s WHERE scale > 0
+)
+SELECT vec_id,
+       scale,
+       CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sq_sum,
+       len(list_filter(qv, x -> x = 0)) AS n_zero,
+       list_sum(list_transform(range(1, len(v) + 1),
+                i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)))
+         / len(v) AS recon_mse
+FROM q
+""",
+)
+def embedding_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    df = emb.select("vec_id", v.alias("v"))
+    df = df.withColumn(
+        "scale", F.array_max(F.transform("v", F.abs)) / F.lit(127.0)
+    ).filter(F.col("scale") > 0)
+    df = df.withColumn(
+        "qv", F.transform("v", lambda x: F.round(x / F.col("scale")).cast("long"))
+    )
+    sq_err = F.zip_with(
+        "v",
+        "qv",
+        lambda x, q: (x - q * F.col("scale")) * (x - q * F.col("scale")),
+    )
+    return df.select(
+        "vec_id",
+        "scale",
+        F.aggregate("qv", F.lit(0).cast("long"), lambda acc, x: acc + x * x).alias(
+            "q_sq_sum"
+        ),
+        F.size(F.filter("qv", lambda x: x == 0)).cast("bigint").alias("n_zero"),
+        (
+            F.aggregate(sq_err, F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("v").cast("double")
+        ).alias("recon_mse"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact percentile profile per event type (Spark `percentile` and DuckDB
+# `quantile_cont` share the (n-1)·p linear-interpolation definition).
+# --------------------------------------------------------------------------
+
+_PCTS = (0.25, 0.5, 0.75, 0.9)
+
+
+@query(
+    "events_value_percentiles",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       {", ".join(f"quantile_cont(value, {p}) AS p{int(p * 100)}" for p in _PCTS)}
+FROM events GROUP BY event_type
+""",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pct_arr = "array(" + ", ".join(f"{p}D" for p in _PCTS) + ")"
+    df = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"percentile(value, {pct_arr})").alias("pcts"),
+    )
+    return df.select(
+        "event_type",
+        "n",
+        *[
+            F.get("pcts", i).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(_PCTS)
+        ],
+    )

@@ -25,12 +25,51 @@ BENCH_SET: list[str] = []
 #: are sorted by priority; see :func:`ordered`
 _ORDER: dict[str, tuple[int, int]] = {}
 
+#: promoted ahead of core — this round's driver-window rotation
+PRI_ROTATE = 40
 #: default priority — inside the driver window
 PRI_CORE = 50
 #: demoted: family-redundant or rows-only queries that yield their
 #: driver slot to a query carrying new oracle evidence (still fully
 #: covered by the local pytest parity suite)
 PRI_EXTRA = 90
+
+#: Driver-window rotation (round 3): the driver checks only the first 50
+#: exported queries, so oracle-paired queries that have never received a
+#: driver CORRECTNESS row are promoted here ahead of queries already
+#: proven green in a previous round's window (those keep full local
+#: parity coverage at sf0.001/0.01/0.1).  One set, swapped per round —
+#: individual ``@query(priority=...)`` values stay stable.
+ROTATE_IN: frozenset[str] = frozenset(
+    {
+        # in-window round 2 but driver-unchecked in round 1 — pin them in
+        "winnowing_neardup_pairs",
+        "embedding_neardup_lsh",
+        "customer_running_totals",
+        "orders_priority_rollup",
+        "segment_price_variance",
+        "neardup_cluster_representatives",
+        "segment_stats_unpivot",
+        "doc_class_weights",
+        "lineitem_flag_status_cube",
+        "events_props_typed",
+        "events_value_median_by_type",
+        "events_last_order_asof",
+        # oracle-paired but outside every previous window
+        "q4_order_priority_checking",
+        "q16_parts_supplier_counts",
+        "customer_spend_ranks",
+        "order_custkeys_intersect_all",
+        "order_custkeys_except_all",
+        # round-3 training-data-pipeline tier (queries/pipeline.py)
+        "doc_repetition_metrics",
+        "doc_quality_filter",
+        "neardup_dedup_summary",
+        "doc_pii_scan",
+        "embedding_int8_quant_stats",
+        "events_value_percentiles",
+    }
+)
 
 
 def query(
@@ -47,7 +86,7 @@ def query(
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = fn
-        _ORDER[name] = (priority, len(_ORDER))
+        _ORDER[name] = (PRI_ROTATE if name in ROTATE_IN else priority, len(_ORDER))
         if oracle is not None:
             ORACLE[name] = oracle
         if bench:
