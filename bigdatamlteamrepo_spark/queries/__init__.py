@@ -15,5 +15,6 @@ from bigdatamlteamrepo_spark.queries import extensions  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import analytic  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import multimodal_q  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import pipeline  # noqa: F401,E402
+from bigdatamlteamrepo_spark.queries import shards  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "BENCH_SET"]

@@ -68,6 +68,11 @@ ROTATE_IN: frozenset[str] = frozenset(
         "doc_pii_scan",
         "embedding_int8_quant_stats",
         "events_value_percentiles",
+        # round-3 training-shard planning tier (queries/shards.py)
+        "source_token_budgets",
+        "doc_mixture_sample",
+        "doc_pack_plan",
+        "doc_shard_assignment",
     }
 )
 

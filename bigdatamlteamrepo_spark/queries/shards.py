@@ -1,0 +1,278 @@
+"""Training-shard planning: mixture weights, temperature sampling,
+sequence packing, and deterministic shard assignment.
+
+The step between a deduplicated corpus and a training run: decide how
+much of each source to sample, pack documents into fixed-length
+sequences, and deal documents to output shards.  Everything here is
+deterministic (portable md5-derived hashes, no ``rand()``) so every
+query is oracle-checkable, and every plan is one scan plus one
+small-key shuffle — the shapes that survive 100 TB:
+
+* **Token budgets / mixture weights** (temperature sampling, Raffel et
+  al. 2020 §3.4.3 / GPT-3 Appendix A): per-source token mass, corpus
+  share, and the alpha-tempered mixture weight — one grouped agg plus a
+  broadcast of 20 totals.
+* **Temperature subsampling**: deterministic Bernoulli keep-decision
+  per doc (``md5(doc_id)``-derived uniform < per-source rate).  No
+  ``rand()`` means re-runs and retried tasks keep identical rows — a
+  property worth more than true randomness in a reproducible pipeline.
+* **Sequence packing** (concat-then-chunk): documents are concatenated
+  per source in doc_id order and sliced into SEQ_LEN-token windows; a
+  document's shard is the window its first token lands in.  The running
+  token sum is a window cumsum PARTITIONED BY source, so each source
+  packs independently — no single-partition global window (the
+  classic scale trap for ``SUM() OVER (ORDER BY ...)`` with no
+  PARTITION BY).
+* **Shard assignment**: shard = portable_hash(doc_id) mod N plus a
+  within-shard position — the deterministic "global shuffle" a trainer
+  consumes; each shard's ordering sorts locally within its own hash
+  partition.
+
+Reference parity: extends the reference's train/val/test splitting
+(model.py:114-116, 76.5/13.5/10 via sklearn) to the corpus-level
+mixing/packing a 100 TB pretraining pipeline needs; same
+deterministic-split philosophy, corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.functions.text import tokenize
+from bigdatamlteamrepo_spark.queries.registry import query
+from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
+
+#: mixture temperature — weight_s ∝ tokens_s^ALPHA (α<1 upweights
+#: small sources, the T5/GPT-3 convention)
+MIX_ALPHA = 0.5
+#: packed sequence length (tokens per training sample window)
+SEQ_LEN = 2048
+#: output shard count for the deterministic deal
+N_SHARDS = 8
+
+#: 32-bit uniform in [0,1) from the first 8 md5 hex digits — identical
+#: in Spark (conv/base-16) and DuckDB ('0x' literal cast); granularity
+#: 2^-32 is plenty for per-doc Bernoulli decisions
+_U32 = 4294967296.0
+
+
+def _unit_hash(col) -> "F.Column":
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return h / F.lit(_U32)
+
+
+def _unit_hash_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT / {_U32})"
+
+
+# --------------------------------------------------------------------------
+# Per-source token budgets + tempered mixture weights.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "source_token_budgets",
+    oracle=f"""
+WITH t AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, pow(CAST(total_tokens AS DOUBLE), {MIX_ALPHA}) AS raw_w FROM t
+)
+SELECT source, n_docs, total_tokens,
+       CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER () AS token_share,
+       raw_w / SUM(raw_w) OVER () AS mix_weight,
+       (raw_w / SUM(raw_w) OVER ())
+         / (CAST(total_tokens AS DOUBLE) / SUM(total_tokens) OVER ())
+         AS oversample_factor
+FROM w
+""",
+)
+def source_token_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token mass and α-tempered mixture weight.  The
+    OVER () totals are a broadcast of one row per source (≤ domains in
+    the corpus — thousands at most), never a data shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.withColumn("n_tokens", F.size(tokenize("text")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .withColumn("raw_w", F.pow(F.col("total_tokens").cast("double"), MIX_ALPHA))
+    )
+    tot = Window.partitionBy()
+    share = F.col("total_tokens").cast("double") / F.sum("total_tokens").over(tot)
+    mix = F.col("raw_w") / F.sum("raw_w").over(tot)
+    return t.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        share.alias("token_share"),
+        mix.alias("mix_weight"),
+        (mix / share).alias("oversample_factor"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Temperature subsampling: per-source keep-rate ∝ tokens^(α-1),
+# normalized so the largest source's rate is the anchor; deterministic
+# md5 Bernoulli per doc.  Rates quantized to 6 decimals so the keep
+# boundary is engine-exact.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_mixture_sample",
+    oracle=f"""
+WITH t AS (
+  SELECT source, CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT source,
+         round(pow(CAST(total_tokens AS DOUBLE) /
+                   MIN(total_tokens) OVER (), {MIX_ALPHA} - 1.0), 6) AS keep_rate
+  FROM t
+),
+d AS (
+  SELECT d.source, r.keep_rate,
+         CASE WHEN {_unit_hash_sql('d.doc_id')} < r.keep_rate
+              THEN 1 ELSE 0 END AS kept
+  FROM documents d JOIN r ON d.source = r.source
+)
+SELECT source, keep_rate,
+       COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept
+FROM d GROUP BY source, keep_rate
+""",
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic temperature subsample: keep_rate_s =
+    (t_s/t_min)^(α-1) — sampled tokens per source become ∝ t_s^α, the
+    tempered mixture, with the SMALLEST source anchored at rate 1.0
+    (α-1 < 0, so bigger sources are downsampled harder).  The
+    per-source rate table is tiny and broadcast; the keep decision is a
+    row-local expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        docs.withColumn("n_tokens", F.size(tokenize("text")))
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+    )
+    tmin = F.min("total_tokens").over(Window.partitionBy())
+    frac = F.col("total_tokens").cast("double") / tmin
+    rates = t.select(
+        "source",
+        F.round(F.pow(frac, MIX_ALPHA - 1.0), 6).alias("keep_rate"),
+    )
+    d = docs.select("doc_id", "source").join(F.broadcast(rates), "source")
+    kept = (_unit_hash(F.col("doc_id")) < F.col("keep_rate")).cast("int")
+    return (
+        d.withColumn("kept", kept)
+        .groupBy("source", "keep_rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Concat-then-chunk sequence packing, per source.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_pack_plan",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+  FROM t
+)
+SELECT source,
+       tok_offset // {SEQ_LEN} AS shard_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM c GROUP BY source, shard_id
+""",
+)
+def doc_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents concatenated per source in doc_id order, sliced into
+    SEQ_LEN-token windows; a doc belongs to the window containing its
+    first token.  The cumsum window is partitioned by source, so the
+    sort/aggregate parallelizes across sources (per-source skew would
+    need a second-level split key — e.g. pre-bucketing doc_id ranges —
+    before this runs on a 100 TB single-source corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(tokenize("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        c.withColumn("shard_id", F.floor(F.col("tok_offset") / SEQ_LEN).cast("bigint"))
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic shard deal + within-shard order (the "global shuffle"
+# a trainer reads).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_shard_assignment",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h32
+  FROM documents
+)
+SELECT doc_id,
+       h32 % {N_SHARDS} AS shard,
+       ROW_NUMBER() OVER (PARTITION BY h32 % {N_SHARDS}
+                          ORDER BY h32, doc_id) AS pos
+FROM h
+""",
+)
+def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deal docs to N_SHARDS with a deterministic within-shard
+    order (sort by the same hash → pseudorandom but reproducible read
+    order).  One hash-partition shuffle on ``shard`` + a local sort —
+    exactly Spark's native repartition+sortWithinPartitions shape; no
+    global ordering bottleneck."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h32 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    d = docs.withColumn("h32", h32).withColumn(
+        "shard", F.col("h32") % N_SHARDS
+    )
+    w = Window.partitionBy("shard").orderBy("h32", "doc_id")
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
