@@ -148,6 +148,89 @@ def rp_lsh_banded_topk(
     )
 
 
+def rp_multiprobe_buckets(
+    vec_col, dim: int, n_planes: int, n_flip: int, seed: int = 42
+):
+    """Query-side multi-probe bucket list (Lv et al., VLDB 2007): the
+    vector's own sign-sketch bucket plus the ``n_flip`` Hamming-1
+    neighbors obtained by flipping the LEAST-CONFIDENT planes — the ones
+    with the smallest |margin| = |v·h_p|, where a near-neighbor is most
+    likely to land on the other side.
+
+    Pure column expression: per-plane dots are computed once, margins
+    sorted with ``array_sort`` over (|margin|, plane) structs, and each
+    flip is ``bucket XOR 2^p``.  The buckets are distinct by
+    construction (distinct bits flipped), so the probe join needs no
+    pair dedup.  The corpus index (:func:`rp_signature`) is untouched —
+    recall is bought entirely at query time, the multi-probe trade.
+    """
+    dots = [dot(vec_col, _hyperplane(dim, p, seed)) for p in range(n_planes)]
+    bucket = None
+    for p, d in enumerate(dots):
+        bit = F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, p)
+        bucket = term if bucket is None else bucket.bitwiseOR(term)
+    margins = F.array(
+        *[
+            F.struct(F.abs(d).alias("m"), F.lit(p).cast("int").alias("p"))
+            for p, d in enumerate(dots)
+        ]
+    )
+    flip_planes = F.transform(
+        F.slice(F.array_sort(margins), 1, n_flip), lambda s: s["p"]
+    )
+    flipped = F.transform(
+        flip_planes,
+        lambda p: bucket.bitwiseXOR(F.pow(F.lit(2.0), p).cast("long")),
+    )
+    return F.concat(F.array(bucket), flipped)
+
+
+def rp_lsh_multiprobe_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_flip: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Multi-probe RP-LSH top-k: each query probes 1 + ``n_flip``
+    buckets of the SAME single-sketch index that :func:`rp_lsh_topk`
+    uses.  Candidate volume grows ~(1+n_flip)×/query while the corpus
+    is still hashed exactly once — at 100 TB this beats re-banding the
+    corpus (``rp_lsh_banded_topk`` writes n_bands corpus rows) whenever
+    the query set is much smaller than the corpus.
+    """
+    corpus = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_emb"),
+        rp_signature(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    q = queries.select(
+        "query_id",
+        "q_emb",
+        F.explode(
+            rp_multiprobe_buckets(F.col("q_emb"), dim, n_planes, n_flip, seed)
+        ).alias("bucket"),
+    )
+    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    joined = corpus.join(F.broadcast(q), "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    return (
+        joined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def rp_signature(vec_col, dim: int, n_planes: int = 16, seed: int = 42):
     """Sign-bit LSH bucket id (long) for a vector column."""
     sig = None

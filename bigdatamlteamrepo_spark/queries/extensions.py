@@ -230,6 +230,22 @@ def ann_rp_lsh_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_rp_lsh_multiprobe_topk", priority=90)
+def ann_rp_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.operators.similarity import rp_lsh_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_lsh_multiprobe_topk(
+        emb,
+        _queries_set(spark, sf_dir),
+        k=10,
+        dim=64,
+        n_planes=4,
+        n_flip=2,
+        exclude_self=True,
+    )
+
+
 @query("ann_ivf_topk", priority=90)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

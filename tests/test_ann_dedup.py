@@ -86,6 +86,53 @@ def test_rp_lsh_banded_recall(spark, clustered_emb):
     assert _recall(approx, exact) >= 0.9
 
 
+def test_rp_lsh_multiprobe_recall(spark, clustered_emb):
+    """Probing Hamming-1 buckets of the SAME index must not lose
+    candidates vs the single-bucket sketch, and at the fixture's scale
+    reaches the banded recall bar without re-hashing the corpus."""
+    from bigdatamlteamrepo_spark.operators.similarity import rp_lsh_multiprobe_topk
+
+    exact = _brute_topk(spark, clustered_emb).collect()
+    q = clustered_emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    single = rp_lsh_topk(
+        clustered_emb, q, k=10, dim=32, n_planes=4, seed=42, exclude_self=True
+    ).collect()
+    multi = rp_lsh_multiprobe_topk(
+        clustered_emb, q, k=10, dim=32, n_planes=4, n_flip=2, seed=42,
+        exclude_self=True,
+    ).collect()
+    assert _recall(multi, exact) >= _recall(single, exact)
+    assert _recall(multi, exact) >= 0.9
+    # no duplicate (query, neighbor) pairs from the probe join
+    seen = [(r.query_id, r.neighbor_id) for r in multi]
+    assert len(seen) == len(set(seen))
+
+
+def test_multiprobe_buckets_distinct_and_sized(spark, clustered_emb):
+    from bigdatamlteamrepo_spark.operators.similarity import rp_multiprobe_buckets
+
+    rows = (
+        clustered_emb.limit(20)
+        .select(
+            rp_multiprobe_buckets(
+                F.col("embedding"), dim=32, n_planes=8, n_flip=3
+            ).alias("probes")
+        )
+        .collect()
+    )
+    for r in rows:
+        assert len(r.probes) == 4
+        assert len(set(r.probes)) == 4
+        for b in r.probes:
+            assert 0 <= b < 2**8
+        # every probe is within Hamming distance 1 of the home bucket
+        home = r.probes[0]
+        for b in r.probes[1:]:
+            assert bin(home ^ b).count("1") == 1
+
+
 def test_ivf_recall(spark, clustered_emb):
     exact = _brute_topk(spark, clustered_emb).collect()
     q = clustered_emb.filter(F.col("vec_id") < 6).select(
