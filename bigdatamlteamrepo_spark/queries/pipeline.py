@@ -332,6 +332,60 @@ def embedding_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Vocabulary coverage: top-V tokens per language and the OOV mass a
+# V-entry vocab would leave — the classic wordcount shape (map-side
+# partial agg on token) followed by a rank over the token-count table,
+# which is orders of magnitude smaller than the corpus.
+# --------------------------------------------------------------------------
+
+_VOCAB_V = 200
+
+
+@query(
+    "vocab_coverage_by_lang",
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, unnest({_TOKENS_SQL}) AS token FROM documents
+),
+c AS (SELECT lang, token, COUNT(*) AS cnt FROM tok GROUP BY lang, token),
+r AS (
+  SELECT lang, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+  FROM c
+)
+SELECT lang,
+       COUNT(*) AS distinct_tokens,
+       CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN rk <= {_VOCAB_V} THEN cnt ELSE 0 END) AS BIGINT)
+         AS covered_tokens,
+       1.0 - CAST(SUM(CASE WHEN rk <= {_VOCAB_V} THEN cnt ELSE 0 END) AS DOUBLE)
+           / SUM(cnt) AS oov_rate
+FROM r GROUP BY lang
+""",
+)
+def vocab_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage of a per-language top-V vocabulary (ties broken by
+    token text, so the vocab — and the hash — is deterministic)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tokenize("text")).alias("token"))
+    c = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    r = c.withColumn("rk", F.row_number().over(w))
+    in_vocab = F.when(F.col("rk") <= _VOCAB_V, F.col("cnt")).otherwise(F.lit(0))
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum("cnt").cast("bigint").alias("total_tokens"),
+        F.sum(in_vocab).cast("bigint").alias("covered_tokens"),
+        (
+            F.lit(1.0)
+            - F.sum(in_vocab).cast("double") / F.sum("cnt").cast("double")
+        ).alias("oov_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact percentile profile per event type (Spark `percentile` and DuckDB
 # `quantile_cont` share the (n-1)·p linear-interpolation definition).
 # --------------------------------------------------------------------------

@@ -68,6 +68,7 @@ ROTATE_IN: frozenset[str] = frozenset(
         "doc_pii_scan",
         "embedding_int8_quant_stats",
         "events_value_percentiles",
+        "vocab_coverage_by_lang",
         # round-3 training-shard planning tier (queries/shards.py)
         "source_token_budgets",
         "doc_mixture_sample",
