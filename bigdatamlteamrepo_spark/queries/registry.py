@@ -58,6 +58,8 @@ ROTATE_IN: frozenset[str] = frozenset(
         # oracle-paired but outside every previous window
         "q4_order_priority_checking",
         "q16_parts_supplier_counts",
+        "q7_nation_pair_volume",
+        "q2_min_acctbal_supplier_per_part",
         "customer_spend_ranks",
         "order_custkeys_intersect_all",
         "order_custkeys_except_all",

@@ -770,3 +770,120 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --------------------------------------------------------------------------
+# Q7-shaped nation-pair volume: revenue shipped from supplier-nation to
+# customer-nation per year, both directions of one nation pair.  TPC-H
+# q7's plan study: the two fact joins (lineitem⋈orders on orderkey,
+# then ⋈customer on custkey) shuffle on their keys; nation is a
+# broadcast dim applied twice under different aliases, and the pair
+# predicate prunes BEFORE the fact-fact join because each side's
+# nationkey filter pushes into its dim join.
+# --------------------------------------------------------------------------
+
+_Q7_NATIONS = ("NATION_1", "NATION_2")
+
+
+@query(
+    "q7_nation_pair_volume",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(CAST(SUM(volume) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year, {_REV_SQL} AS volume
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c_nationkey
+  WHERE (n1.n_name = '{_Q7_NATIONS[0]}' AND n2.n_name = '{_Q7_NATIONS[1]}')
+     OR (n1.n_name = '{_Q7_NATIONS[1]}' AND n2.n_name = '{_Q7_NATIONS[0]}')
+) GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*_Q7_NATIONS)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (F.col("supp_nation") == _Q7_NATIONS[0]) & (
+        F.col("cust_nation") == _Q7_NATIONS[1]
+    ) | (F.col("supp_nation") == _Q7_NATIONS[1]) & (
+        F.col("cust_nation") == _Q7_NATIONS[0]
+    )
+    return (
+        li.join(maybe_broadcast(supp, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(cust, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(_rev()).cast("decimal(38,4)").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2-shaped correlated min: for each large part, the supplier(s) whose
+# account balance equals the minimum over that part's shippers.  The
+# correlated scalar subquery decorrelates into (distinct part-supplier
+# pairs) → window MIN over the part — dedup BEFORE the supplier join
+# shrinks the shuffled build side from |lineitem| to |distinct pairs|.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q2_min_acctbal_supplier_per_part",
+    oracle="""
+SELECT DISTINCT p_partkey, p_brand, s_suppkey, s_name, s_acctbal
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size >= 45
+  AND s_acctbal = (
+    SELECT MIN(s2.s_acctbal)
+    FROM lineitem l2 JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    WHERE l2.l_partkey = p_partkey
+  )
+""",
+)
+def q2_min_acctbal_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 45)
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        pairs.join(maybe_broadcast(supp, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal")
+    )
