@@ -76,6 +76,75 @@ def minhash_values(shingles_col: Column, n_seeds: int) -> Column:
     )
 
 
+#: modulus for word-derived minhash values (32-bit universal hashing)
+UH_MOD = 2**32
+
+
+def uh_constants(n_seeds: int) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) universal-hash constants per seed.
+
+    ``h_i(w1, w2) = (a_i*w1 + b_i*w2 + c_i) mod 2^32`` with odd 20-bit
+    multipliers: a*w1 < 2^52, the whole sum < 2^54 — exact in BIGINT
+    arithmetic in every engine (no unsigned-overflow semantics to
+    match).  Generated from a fixed PRNG seed so the Spark plan and the
+    DuckDB oracle embed identical literals (same pattern as the ANN
+    hyperplanes, operators/similarity.py).
+    """
+    import random
+
+    rng = random.Random(1337)
+    return [
+        (
+            rng.randrange(1, 2**20) | 1,
+            rng.randrange(1, 2**20) | 1,
+            rng.randrange(2**32),
+        )
+        for _ in range(n_seeds)
+    ]
+
+
+def minhash_values_fast(shingles_col: Column, n_seeds: int) -> Column:
+    """All n MinHash values with ONE md5 per shingle → array<long>.
+
+    The portable scheme (:func:`minhash_values`) pays n_seeds md5 calls
+    per shingle — the dominant cost of the whole dedup tier (measured
+    ~16× the rest of the signature work at 16 seeds).  Here each
+    shingle is digested once; the digest's first two 32-bit words feed
+    per-seed universal hashes (:func:`uh_constants`), so extra seeds
+    cost two multiplies each instead of an md5.  Still fully
+    SQL-portable: hex-substring word extraction and BIGINT arithmetic
+    behave identically in DuckDB.
+
+    Two materialized passes (hex digests, then word structs) keep each
+    md5/conv evaluated exactly once — folding directly over shingles
+    would duplicate the conv subtree into every seed's expression.
+    """
+    hexes = F.transform(shingles_col, F.md5)
+    words = F.transform(
+        hexes,
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("w1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("w2"),
+        ),
+    )
+    consts = uh_constants(n_seeds)
+    init = F.array(*[F.lit(UH_MOD).cast("long") for _ in range(n_seeds)])
+    return F.aggregate(
+        words,
+        init,
+        lambda acc, w: F.array(
+            *[
+                F.least(
+                    F.get(acc, i),
+                    (F.lit(a) * w["w1"] + F.lit(b) * w["w2"] + F.lit(c))
+                    % F.lit(UH_MOD),
+                )
+                for i, (a, b, c) in enumerate(consts)
+            ]
+        ),
+    )
+
+
 def band_keys(mh_col: Column, n_hashes: int, n_bands: int) -> Column:
     """LSH band keys from a MinHash signature array → array<string>[n_bands].
 
@@ -94,7 +163,10 @@ def band_keys(mh_col: Column, n_hashes: int, n_bands: int) -> Column:
             F.md5(
                 F.concat(
                     F.lit(f"{b}#"),
-                    *[F.get(mh_col, b * r + j) for j in range(r)],
+                    # explicit string cast so long-valued signatures
+                    # (minhash_values_fast) key identically to the
+                    # oracle's CAST(... AS VARCHAR) concatenation
+                    *[F.get(mh_col, b * r + j).cast("string") for j in range(r)],
                 )
             )
             for b in range(n_bands)

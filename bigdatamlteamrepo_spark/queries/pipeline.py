@@ -174,6 +174,7 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "neardup_dedup_summary",
+    bench=True,
     oracle=f"""
 WITH RECURSIVE
 {lsh_pairs_ctes()},

@@ -190,6 +190,7 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_pack_plan",
+    bench=True,
     oracle=f"""
 WITH t AS (
   SELECT source, doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents

@@ -502,24 +502,35 @@ def lsh_pairs_ctes(n_hashes: int = LSH_N_HASHES, n_bands: int = LSH_N_BANDS) -> 
     """Shared oracle CTE chain ending in ``__lsh_pairs(doc_a, doc_b)``.
 
     Mirrors the Spark plan of :func:`lsh_candidate_pairs` hash-for-hash
-    (md5 minhash → banded keys → equi-join) so every LSH-derived query
+    (one md5 per shingle → word-derived universal-hash minhash
+    (functions/text.py:minhash_values_fast) → banded keys → equi-join)
+    so every LSH-derived query
     stays oracle-checkable.  Callers embed it as ``WITH {ctes}, ...``.
     """
+    from bigdatamlteamrepo_spark.functions.text import UH_MOD, uh_constants
+
     r = n_hashes // n_bands
+    consts = uh_constants(n_hashes)
     sigs = ",\n         ".join(
-        f"{_mh_over_sh_sql(i)} AS mh_{i}" for i in range(n_hashes)
+        f"list_min(list_transform(ws, w -> ({a} * w.w1 + {b} * w.w2 + {c})"
+        f" % {UH_MOD})) AS mh_{i}"
+        for i, (a, b, c) in enumerate(consts)
     )
     band_sel = "\n  UNION ALL\n  ".join(
         f"SELECT doc_id, md5('{b}#' || "
-        + " || ".join(f"mh_{b * r + j}" for j in range(r))
+        + " || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
         + ") AS band FROM __sig"
         for b in range(n_bands)
     )
     return f"""__t0 AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
 __sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM __t0 WHERE len(toks) >= 3),
+__w AS (SELECT doc_id, list_transform(sh, s -> struct_pack(
+         w1 := ('0x' || substr(md5(s), 1, 8))::BIGINT,
+         w2 := ('0x' || substr(md5(s), 9, 8))::BIGINT)) AS ws
+  FROM __sh),
 __sig AS (SELECT doc_id,
          {sigs}
-  FROM __sh),
+  FROM __w),
 __bands AS (
   {band_sel}
 ),
@@ -543,14 +554,19 @@ def lsh_candidate_pairs(
     the s-curve 1-(1-j^r)^b, so precision/recall move with
     (n_hashes, n_bands), not data size.
     """
-    from bigdatamlteamrepo_spark.functions.text import band_keys, minhash_values
+    from bigdatamlteamrepo_spark.functions.text import band_keys, minhash_values_fast
 
     df = _with_tokens(spark, sf_dir).filter(F.size("toks") >= 3)
     sh = shingles(F.col("toks"), 3)
-    sig = df.select("doc_id", minhash_values(sh, n_hashes).alias("mh"))
+    sig = df.select("doc_id", minhash_values_fast(sh, n_hashes).alias("mh"))
     bands = sig.select(
         "doc_id", F.explode(band_keys(F.col("mh"), n_hashes, n_bands)).alias("band")
     )
+    # materialize the banded signatures once: the self-join below would
+    # otherwise evaluate the n_hashes-seed MinHash fold — by far the
+    # dominant cost — twice, once per alias (measured ~2x at sf0.1);
+    # (doc_id, band) rows are tiny relative to the corpus
+    bands = bands.localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
