@@ -67,6 +67,16 @@ def _unit_hash_sql(expr: str) -> str:
     return f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT / {_U32})"
 
 
+def hash32(col) -> "F.Column":
+    """Portable 32-bit hash of an id column (first 8 md5 hex digits)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def shard_of(col, n_shards: int = N_SHARDS) -> "F.Column":
+    """Deterministic shard id in [0, n_shards) for an id column."""
+    return hash32(col) % n_shards
+
+
 # --------------------------------------------------------------------------
 # Per-source token budgets + tempered mixture weights.
 # --------------------------------------------------------------------------
@@ -267,10 +277,7 @@ def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly Spark's native repartition+sortWithinPartitions shape; no
     global ordering bottleneck."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    h32 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    d = docs.withColumn("h32", h32).withColumn(
+    d = docs.withColumn("h32", hash32(F.col("doc_id"))).withColumn(
         "shard", F.col("h32") % N_SHARDS
     )
     w = Window.partitionBy("shard").orderBy("h32", "doc_id")
