@@ -77,3 +77,48 @@ def test_no_python_udfs_in_oracle_queries(spark, sf_dir):
     for name in sorted(ORACLE):
         df = QUERIES[name](spark, sf_dir)
         assert checks.python_udf_count(df) == 0, f"{name} has a Python UDF"
+
+
+def test_pipeline_and_shard_plans_no_cartesian(spark, sf_dir):
+    """Round-3 tiers: every join in the training-pipeline and shard
+    queries must be a hash equi-join — no all-pairs fallback anywhere."""
+    for name in (
+        "doc_repetition_metrics",
+        "doc_quality_filter",
+        "neardup_dedup_summary",
+        "doc_pii_scan",
+        "embedding_int8_quant_stats",
+        "vocab_coverage_by_lang",
+        "source_token_budgets",
+        "doc_mixture_sample",
+        "doc_pack_plan",
+        "doc_shard_assignment",
+    ):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pii_scan_prunes_columns(spark, sf_dir):
+    """The PII scan must read only (source, text) — a scan pulling the
+    whole row for a 2-column aggregate is wrong at any scale."""
+    df = QUERIES["doc_pii_scan"](spark, sf_dir)
+    cols = checks.reads_columns(df)
+    assert set(cols) <= {"source", "text"}, cols
+
+
+def test_pack_plan_window_is_partitioned(spark, sf_dir):
+    """The packing cumsum must be a PARTITION BY source window — a
+    global (single-partition) running sum would serialize at scale."""
+    plan = (
+        QUERIES["doc_pack_plan"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "hashpartitioning(source" in plan, plan[:2000]
