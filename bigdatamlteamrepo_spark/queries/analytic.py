@@ -522,3 +522,87 @@ def undersample_balanced_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", has_any_keyword(tokenize("text"), LABEL_KEYWORDS)
     )
     return undersample_to_balance(docs, "label", seed=42).select("doc_id", "label")
+
+
+# --------------------------------------------------------------------------
+# RANGE-frame window: trailing-hour event stats per user.  The frame is
+# defined on epoch seconds in BOTH engines (identical frame membership),
+# and the frame sum goes through exact decimal so it is independent of
+# the order the engine visits frame rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_trailing_hour_stats",
+    oracle="""
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_trailing_hour,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+         AS sum_trailing_hour
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+)
+""",
+)
+def events_trailing_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding per-row lookback (fraud/rate-limit shape).  RANGE frames
+    bound state by event-time span, not row count — the right frame when
+    per-user event rates are skewed (a ROWS frame would mean a variable
+    time horizon per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_trailing_hour"),
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS with per-column GROUPING() flags — the irregular-set
+# sibling of the rollup/cube queries above (neither is a prefix of the
+# other's set list, so neither ROLLUP nor CUBE expresses it).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_grouping_sets",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority) AS g_priority,
+       GROUPING(o_orderstatus) AS g_status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+)
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expressed through the SQL surface: the DataFrame API exposes only
+    rollup/cube, and hand-unioning three aggregations would scan the
+    fact table three times — GROUPING SETS shares one scan + one
+    expand."""
+    ev = load_table(spark, sf_dir, "orders")
+    ev.createOrReplaceTempView("__orders_gs")
+    return ev.sparkSession.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+                 AS total_value
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )

@@ -60,6 +60,8 @@ ROTATE_IN: frozenset[str] = frozenset(
         "q16_parts_supplier_counts",
         "q7_nation_pair_volume",
         "q2_min_acctbal_supplier_per_part",
+        "events_trailing_hour_stats",
+        "orders_grouping_sets",
         "customer_spend_ranks",
         "order_custkeys_intersect_all",
         "order_custkeys_except_all",
