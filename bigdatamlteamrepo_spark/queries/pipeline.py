@@ -333,6 +333,65 @@ def embedding_int8_quant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Benchmark decontamination: training docs sharing any exact 8-token
+# gram with the held-out eval set (here: doc_id < EVAL_N as the eval
+# stand-in).  The eval gram set is tiny and BROADCAST, so the corpus
+# side is one explode + broadcast-hash-join + grouped count — no
+# shuffle of the exploded grams.  Complements the near-dup tier:
+# contamination checks use exact containment (an eval row quoted inside
+# a much larger training doc has low Jaccard but must still flag).
+# --------------------------------------------------------------------------
+
+_EVAL_N = 20
+_DECON_W = 8
+
+_DECON_GRAMS_SQL = (
+    f"list_transform(range(1, greatest(len(toks) - {_DECON_W - 1}, 0) + 1), "
+    "i -> " + " || ' ' || ".join(f"toks[i+{j}]" for j in range(_DECON_W)) + ")"
+)
+
+
+@query(
+    "doc_eval_contamination",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id, source, unnest({_DECON_GRAMS_SQL}) AS gram
+  FROM t WHERE len(toks) >= {_DECON_W}
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < {_EVAL_N})
+SELECT g.doc_id, g.source,
+       COUNT(DISTINCT g.gram) AS n_shared_grams,
+       COUNT(*) AS n_gram_hits
+FROM g JOIN ev USING (gram)
+WHERE g.doc_id >= {_EVAL_N}
+GROUP BY g.doc_id, g.source
+""",
+)
+def doc_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.withColumn("toks", tokenize("text"))
+        .filter(F.size("toks") >= _DECON_W)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(shingles(F.col("toks"), _DECON_W)).alias("gram"),
+        )
+    )
+    ev = g.filter(F.col("doc_id") < _EVAL_N).select("gram").distinct()
+    return (
+        g.filter(F.col("doc_id") >= _EVAL_N)
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.count(F.lit(1)).alias("n_gram_hits"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Vocabulary coverage: top-V tokens per language and the OOV mass a
 # V-entry vocab would leave — the classic wordcount shape (map-side
 # partial agg on token) followed by a rank over the token-count table,

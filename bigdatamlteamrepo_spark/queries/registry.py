@@ -73,6 +73,7 @@ ROTATE_IN: frozenset[str] = frozenset(
         "embedding_int8_quant_stats",
         "events_value_percentiles",
         "vocab_coverage_by_lang",
+        "doc_eval_contamination",
         # round-3 training-shard planning tier (queries/shards.py)
         "source_token_budgets",
         "doc_mixture_sample",
