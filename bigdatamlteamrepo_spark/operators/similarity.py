@@ -281,6 +281,108 @@ def rp_lsh_topk(
     )
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_sample_fraction: float | None = None,
+) -> None:
+    """Persist an IVF index: ``centroids/`` (cell, center) and
+    ``corpus/`` parquet PARTITIONED BY cell.
+
+    Build-once/query-many: the quantizer KMeans (fit on a sample at
+    scale) runs a single time; every later query batch reads ONLY its
+    probed ``cell=<k>/`` directories — at 1000 cells / 8 probes that is
+    0.8% of the corpus per query batch, enforced by partition pruning
+    rather than trust.  The FAISS inverted-file layout expressed as a
+    parquet layout.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = emb.withColumn(
+        "__v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    fit_set = (
+        with_vec.sample(False, fit_sample_fraction, seed=seed)
+        if fit_sample_fraction is not None
+        else with_vec
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="cell").fit(
+        fit_set
+    )
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    emb.sparkSession.createDataFrame(
+        centers, "cell int, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/centroids")
+    (
+        model.transform(with_vec)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_emb"),
+            "cell",
+        )
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(index_dir + "/corpus")
+    )
+
+
+def ivf_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k against a persisted IVF index (:func:`build_ivf_index`).
+
+    Probed cell ids are computed against the tiny centroid table and
+    collected driver-side (metadata-sized: ≤ n_probe × |queries| ints),
+    then pushed into the corpus scan as a static partition filter so
+    only probed ``cell=`` directories are listed and read.
+    """
+    centroids = spark.read.parquet(index_dir + "/centroids")
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_emb",
+        "cell",
+        cosine_similarity(
+            F.col("q_emb").cast("array<double>"), F.col("center")
+        ).alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+    probed = qc.withColumn("p", F.row_number().over(wq)).filter(
+        F.col("p") <= n_probe
+    )
+    cells = sorted({r.cell for r in probed.select("cell").distinct().collect()})
+
+    corpus = spark.read.parquet(index_dir + "/corpus").filter(
+        F.col("cell").isin(cells)
+    )
+    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    joined = corpus.join(
+        F.broadcast(probed.select("query_id", "q_emb", "cell")), "cell"
+    )
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    return (
+        joined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

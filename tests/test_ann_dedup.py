@@ -168,3 +168,56 @@ def test_simhash_identical_texts_hamming_zero(spark):
     )
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_neardup_pairs(df, max_hamming=32).collect()}
     assert pairs.get((0, 1)) == 0
+
+
+def test_ivf_persisted_index_prunes_and_recalls(spark, clustered_emb, tmp_path):
+    """Build-once/query-many: persisted index must (a) match the recall
+    bar, (b) read only probed cell directories (partition pruning)."""
+    from bigdatamlteamrepo_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(clustered_emb, idx, n_cells=6, seed=42)
+
+    exact = _brute_topk(spark, clustered_emb).collect()
+    q = clustered_emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    res = ivf_index_topk(spark, idx, q, k=10, n_probe=2, exclude_self=True)
+    assert _recall(res.collect(), exact) >= 0.9
+
+    # pruning: the scan touches at most n_probe * n_queries distinct cells
+    touched = {
+        f.split("cell=")[1].split("/")[0]
+        for f in res.inputFiles()
+        if "cell=" in f
+    }
+    import glob
+
+    all_cells = {
+        d.split("cell=")[1] for d in glob.glob(f"{idx}/corpus/cell=*")
+    }
+    assert touched < all_cells or len(all_cells) <= 2 * 6  # strict subset
+    assert len(touched) <= 2 * 6
+
+
+def test_ivf_persisted_matches_inmemory(spark, clustered_emb, tmp_path):
+    from bigdatamlteamrepo_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+
+    idx = str(tmp_path / "ivf2")
+    build_ivf_index(clustered_emb, idx, n_cells=6, seed=42)
+    q = clustered_emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    mem = ivf_topk(
+        clustered_emb, q, k=10, n_cells=6, n_probe=2, seed=42, exclude_self=True
+    )
+    per = ivf_index_topk(spark, idx, q, k=10, n_probe=2, exclude_self=True)
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in mem.collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank) for r in per.collect()}
+    assert a == b
