@@ -26,6 +26,7 @@ from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity
 from bigdatamlteamrepo_spark.operators.similarity import (
     ivf_topk,
     rp_lsh_banded_topk,
+    rp_lsh_multiprobe_topk,
     rp_lsh_topk,
 )
 
@@ -101,6 +102,19 @@ def main() -> None:
         secs = time.perf_counter() - t0
         lines.append(
             f"| RP-LSH | n_planes={n_planes} | {_recall(rows, exact):.3f} | {secs:.2f} |"
+        )
+        print(lines[-1], flush=True)
+
+    for n_planes, n_flip in ((4, 2), (4, 4), (6, 3), (6, 6)):
+        t0 = time.perf_counter()
+        rows = rp_lsh_multiprobe_topk(
+            emb, queries, k=K, dim=64, n_planes=n_planes, n_flip=n_flip,
+            exclude_self=True,
+        ).collect()
+        secs = time.perf_counter() - t0
+        lines.append(
+            f"| RP-LSH multiprobe | planes={n_planes} flip={n_flip}"
+            f" | {_recall(rows, exact):.3f} | {secs:.2f} |"
         )
         print(lines[-1], flush=True)
 
