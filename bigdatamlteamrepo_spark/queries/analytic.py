@@ -541,7 +541,7 @@ SELECT event_id, user_id,
          AS sum_trailing_hour
 FROM events
 WINDOW w AS (
-  PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+  PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
 )
 """,
