@@ -606,3 +606,43 @@ def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth (ntile) value buckets per order priority: decile summary
+# of order values.  The rank window is PARTITIONED (per priority), so
+# the sort parallelizes across groups; a global equi-depth profile at
+# 100 TB would use approx-percentile cut points instead of a total
+# order (events_value_percentiles covers the exact-percentile path).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "orders_value_deciles",
+    oracle="""
+WITH t AS (
+  SELECT o_orderpriority, o_totalprice,
+         NTILE(10) OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT o_orderpriority, decile,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS bucket_value
+FROM t GROUP BY o_orderpriority, decile
+""",
+)
+def orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    t = orders.withColumn("decile", F.ntile(10).over(w))
+    return t.groupBy("o_orderpriority", "decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("bucket_value"),
+    )

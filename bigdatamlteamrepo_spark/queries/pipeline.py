@@ -477,3 +477,87 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, p in enumerate(_PCTS)
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 retrieval scoring for a fixed query-term set: df/idf from one
+# corpus agg (broadcast — |terms| rows), tf per doc from the token
+# array, per-term contributions summed in FIXED literal term order so
+# the double accumulation is engine-identical.  The "search the
+# corpus" capability over the same token pipeline the dedup tier uses.
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "stream", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "doc_bm25_scores",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+n AS (SELECT COUNT(*) AS n_docs, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+df AS (
+  SELECT {", ".join(
+    f"SUM(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END) AS df_{i}"
+    for i, w in enumerate(_BM25_TERMS))}
+  FROM t
+),
+s AS (
+  SELECT doc_id, len(toks) AS dl,
+         {", ".join(
+    f"CAST(len(list_filter(toks, x -> x = '{w}')) AS DOUBLE) AS tf_{i}"
+    for i, w in enumerate(_BM25_TERMS))}
+  FROM t
+)
+SELECT doc_id,
+       {" + ".join(
+    f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+    f" * tf_{i} * ({_BM25_K1} + 1.0)"
+    f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    for i in range(len(_BM25_TERMS)))} AS bm25
+FROM s, n, df
+WHERE {" + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))} > 0
+""",
+)
+def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 against a literal term set.  One corpus pass builds
+    (N, avgdl, df_t) — a single broadcast row — and scoring is a
+    row-local expression; no shuffle beyond the stats agg.  Term
+    contributions are added in tuple order in BOTH engines, keeping the
+    floating sum bit-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize("text").alias("toks"))
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("toks").cast("double")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("toks", w).cast("int")).alias(f"df_{i}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    )
+    def _tf(term: str):
+        # closure (not a default-arg lambda: F.filter would read a
+        # second lambda parameter as the array-index argument)
+        return F.size(F.filter("toks", lambda x: x == term)).cast("double")
+
+    d = t.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        *[_tf(w).alias(f"tf_{i}") for i, w in enumerate(_BM25_TERMS)],
+    ).crossJoin(F.broadcast(stats))
+    terms = []
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        denom = F.col(f"tf_{i}") + _BM25_K1 * (
+            1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        terms.append(idf * F.col(f"tf_{i}") * (_BM25_K1 + 1.0) / denom)
+    score = terms[0]
+    for term in terms[1:]:
+        score = score + term
+    any_tf = sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS)))
+    return d.filter(any_tf > 0).select("doc_id", score.alias("bm25"))

@@ -62,6 +62,8 @@ ROTATE_IN: frozenset[str] = frozenset(
         "q2_min_acctbal_supplier_per_part",
         "events_trailing_hour_stats",
         "orders_grouping_sets",
+        "doc_bm25_scores",
+        "orders_value_deciles",
         "customer_spend_ranks",
         "order_custkeys_intersect_all",
         "order_custkeys_except_all",
