@@ -69,6 +69,8 @@ def connected_components(
     nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct().cache()
 
     converged = False
+    # carried across rounds so each round runs ONE count job, not two
+    e_count = e.count()
     for rnd in range(max_rounds):
         # ---- large-star: (v > u) → m(u), over the SYMMETRIC neighbor list
         nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -82,6 +84,11 @@ def connected_components(
             large.filter(F.col("x") != F.col("y"))
             .select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
             .distinct()
+            # referenced three times below (neighbor list, closed-min,
+            # small-star join) — cache so the large-star shuffle chain
+            # runs once per round, without the extra eager job a
+            # localCheckpoint would cost
+            .cache()
         )
         # ---- small-star: neighbors v ≤ u (canonical e already has v ≥ u:
         # direct the list at the LARGER endpoint so 'v' holds the smaller)
@@ -99,14 +106,16 @@ def connected_components(
             e2 = e2.checkpoint()
         else:
             e2 = e2.localCheckpoint(eager=True)
+        e1.unpersist()
 
         # both sets are distinct, so equal size + empty one-sided
         # difference ⟹ equal sets (one exceptAll job, not two)
-        if e2.count() == e.count() and e2.exceptAll(e).count() == 0:
+        e2_count = e2.count()
+        if e2_count == e_count and e2.exceptAll(e).count() == 0:
             e = e2
             converged = True
             break
-        e = e2
+        e, e_count = e2, e2_count
     if not converged:
         nodes.unpersist()
         raise RuntimeError(
