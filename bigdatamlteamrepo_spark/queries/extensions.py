@@ -17,8 +17,11 @@ Near-dup tier design (the 100 TB story):
   bands (complete for Hamming ≤ 3), oracle-checked via the same
   portable bit derivation.
 
-ANN queries use engine-side MLlib KMeans (IVF) → rows-only checks, with
-recall-vs-exact asserted in pytest on planted-cluster fixtures.
+ANN: the single-sketch RP-LSH top-k is fully hash-checked (literal
+hyperplanes in both engines, cosine re-rank bit-exact); banded/
+multi-probe/IVF variants are rows-only with recall-vs-exact asserted
+in pytest on planted-cluster fixtures (IVF's quantizer is engine-side
+MLlib KMeans, so no SQL twin exists).
 """
 
 from __future__ import annotations
@@ -206,11 +209,61 @@ def _queries_set(spark: SparkSession, sf_dir: str, n_queries: int = 5) -> DataFr
     )
 
 
-@query("ann_rp_lsh_topk", bench=True, priority=90)
+_ANN_PLANES = 4
+_ANN_K = 10
+_ANN_NQ = 5
+
+
+def _ann_sketch_oracle() -> str:
+    """DuckDB twin of the single-sketch RP-LSH top-k: identical literal
+    hyperplanes ⇒ identical sign bits ⇒ identical buckets; cosine
+    re-rank is the same sequential fold as knn_cosine_topk's bit-exact
+    oracle, so rank order (tie-broken by neighbor_id) matches."""
+    rows = []
+    for p in range(_ANN_PLANES):
+        vals = hyperplane_values(_LSH_DIM, p, _LSH_SEED)
+        lit = "[" + ", ".join(repr(v) for v in vals) + "]"
+        rows.append(f"({p}, {lit}::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    cos = (
+        f"({dot_expr('q_emb', 'c_emb')} / "
+        f"({norm_expr('q_emb')} * {norm_expr('c_emb')}))"
+    )
+    return f"""
+WITH __planes(plane_id, p) AS (VALUES
+    {values}),
+__sig AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, {_LSH_DIM} + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
+              THEN 1 << pl.plane_id ELSE 0 END) AS BIGINT) AS bucket
+  FROM embeddings e CROSS JOIN __planes pl
+  GROUP BY e.vec_id, e.embedding
+),
+__j AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.embedding AS q_emb, c.embedding AS c_emb
+  FROM __sig q JOIN __sig c USING (bucket)
+  WHERE q.vec_id < {_ANN_NQ} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, {cos} AS cosine_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY {cos} DESC, neighbor_id) AS INT) AS rank
+FROM __j
+QUALIFY rank <= {_ANN_K}
+"""
+
+
+@query("ann_rp_lsh_topk", bench=True, priority=90, oracle=_ann_sketch_oracle())
 def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return rp_lsh_topk(
-        emb, _queries_set(spark, sf_dir), k=10, dim=64, n_planes=4, exclude_self=True
+        emb,
+        _queries_set(spark, sf_dir, _ANN_NQ),
+        k=_ANN_K,
+        dim=_LSH_DIM,
+        n_planes=_ANN_PLANES,
+        exclude_self=True,
     )
 
 

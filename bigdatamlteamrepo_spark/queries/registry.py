@@ -64,6 +64,7 @@ ROTATE_IN: frozenset[str] = frozenset(
         "orders_grouping_sets",
         "doc_bm25_scores",
         "orders_value_deciles",
+        "ann_rp_lsh_topk",
         "customer_spend_ranks",
         "order_custkeys_intersect_all",
         "order_custkeys_except_all",
