@@ -283,18 +283,80 @@ def ann_rp_lsh_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_rp_lsh_multiprobe_topk", priority=90)
+_MP_FLIP = 2
+
+
+def _ann_multiprobe_oracle() -> str:
+    """DuckDB twin of the multi-probe sketch: per-plane dots are the
+    same sequential folds, so |margin| ordering (tie-broken by plane)
+    and the XOR'd probe buckets match bit-for-bit."""
+    rows = []
+    for p in range(_ANN_PLANES):
+        vals = hyperplane_values(_LSH_DIM, p, _LSH_SEED)
+        lit = "[" + ", ".join(repr(v) for v in vals) + "]"
+        rows.append(f"({p}, {lit}::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    cos = (
+        f"({dot_expr('q_emb', 'c_emb')} / "
+        f"({norm_expr('q_emb')} * {norm_expr('c_emb')}))"
+    )
+    return f"""
+WITH __planes(plane_id, p) AS (VALUES
+    {values}),
+__dots AS (
+  SELECT e.vec_id, pl.plane_id,
+         list_sum(list_transform(range(1, {_LSH_DIM} + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) AS d
+  FROM embeddings e CROSS JOIN __planes pl
+),
+__sig AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN d >= 0 THEN 1 << plane_id ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM __dots GROUP BY vec_id
+),
+__flips AS (
+  SELECT vec_id, plane_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY abs(d), plane_id)
+           AS rk
+  FROM __dots
+),
+__probes AS (
+  SELECT vec_id, bucket AS probe FROM __sig WHERE vec_id < {_ANN_NQ}
+  UNION ALL
+  SELECT f.vec_id, xor(s.bucket, CAST(1 << f.plane_id AS BIGINT)) AS probe
+  FROM __flips f JOIN __sig s USING (vec_id)
+  WHERE f.rk <= {_MP_FLIP} AND f.vec_id < {_ANN_NQ}
+),
+__j AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         eq.embedding AS q_emb, ec.embedding AS c_emb
+  FROM __probes p
+  JOIN __sig c ON c.bucket = p.probe
+  JOIN embeddings eq ON eq.vec_id = p.vec_id
+  JOIN embeddings ec ON ec.vec_id = c.vec_id
+  WHERE c.vec_id <> p.vec_id
+)
+SELECT query_id, neighbor_id, {cos} AS cosine_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY {cos} DESC, neighbor_id) AS INT) AS rank
+FROM __j
+QUALIFY rank <= {_ANN_K}
+"""
+
+
+@query("ann_rp_lsh_multiprobe_topk", priority=90, oracle=_ann_multiprobe_oracle())
 def ann_rp_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatamlteamrepo_spark.operators.similarity import rp_lsh_multiprobe_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return rp_lsh_multiprobe_topk(
         emb,
-        _queries_set(spark, sf_dir),
-        k=10,
-        dim=64,
-        n_planes=4,
-        n_flip=2,
+        _queries_set(spark, sf_dir, _ANN_NQ),
+        k=_ANN_K,
+        dim=_LSH_DIM,
+        n_planes=_ANN_PLANES,
+        n_flip=_MP_FLIP,
         exclude_self=True,
     )
 

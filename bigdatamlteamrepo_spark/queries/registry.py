@@ -65,6 +65,7 @@ ROTATE_IN: frozenset[str] = frozenset(
         "doc_bm25_scores",
         "orders_value_deciles",
         "ann_rp_lsh_topk",
+        "ann_rp_lsh_multiprobe_topk",
         "customer_spend_ranks",
         "order_custkeys_intersect_all",
         "order_custkeys_except_all",
