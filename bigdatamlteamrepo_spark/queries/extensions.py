@@ -267,18 +267,70 @@ def ann_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_rp_lsh_banded_topk", priority=90)
+_BANDED_PPB = 4
+_BANDED_NB = 8
+
+
+def _ann_banded_oracle() -> str:
+    """DuckDB twin of the banded (OR-amplified) RP-LSH top-k: same
+    32 literal hyperplanes, candidates = any shared (band, key)."""
+    rows = []
+    for p in range(_BANDED_PPB * _BANDED_NB):
+        vals = hyperplane_values(_LSH_DIM, p, _LSH_SEED)
+        lit = "[" + ", ".join(repr(v) for v in vals) + "]"
+        rows.append(f"({p}, {lit}::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    cos = (
+        f"({dot_expr('q_emb', 'c_emb')} / "
+        f"({norm_expr('q_emb')} * {norm_expr('c_emb')}))"
+    )
+    return f"""
+WITH __planes(plane_id, p) AS (VALUES
+    {values}),
+__bits AS (
+  SELECT e.vec_id, pl.plane_id,
+         CASE WHEN list_sum(list_transform(range(1, {_LSH_DIM} + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings e CROSS JOIN __planes pl
+),
+__bands AS (
+  SELECT vec_id, plane_id // {_BANDED_PPB} AS band,
+         string_agg(bit, '' ORDER BY plane_id) AS key
+  FROM __bits GROUP BY vec_id, plane_id // {_BANDED_PPB}
+),
+__cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM __bands q JOIN __bands c ON q.band = c.band AND q.key = c.key
+  WHERE q.vec_id < {_ANN_NQ} AND c.vec_id <> q.vec_id
+),
+__j AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         eq.embedding AS q_emb, ec.embedding AS c_emb
+  FROM __cand cd
+  JOIN embeddings eq ON eq.vec_id = cd.query_id
+  JOIN embeddings ec ON ec.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, {cos} AS cosine_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY {cos} DESC, neighbor_id) AS INT) AS rank
+FROM __j
+QUALIFY rank <= {_ANN_K}
+"""
+
+
+@query("ann_rp_lsh_banded_topk", priority=90, oracle=_ann_banded_oracle())
 def ann_rp_lsh_banded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatamlteamrepo_spark.operators.similarity import rp_lsh_banded_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return rp_lsh_banded_topk(
         emb,
-        _queries_set(spark, sf_dir),
-        k=10,
-        dim=64,
-        planes_per_band=4,
-        n_bands=8,
+        _queries_set(spark, sf_dir, _ANN_NQ),
+        k=_ANN_K,
+        dim=_LSH_DIM,
+        planes_per_band=_BANDED_PPB,
+        n_bands=_BANDED_NB,
         exclude_self=True,
     )
 

@@ -66,6 +66,7 @@ ROTATE_IN: frozenset[str] = frozenset(
         "orders_value_deciles",
         "ann_rp_lsh_topk",
         "ann_rp_lsh_multiprobe_topk",
+        "ann_rp_lsh_banded_topk",
         "customer_spend_ranks",
         "order_custkeys_intersect_all",
         "order_custkeys_except_all",
