@@ -476,8 +476,14 @@ def dedup_exact_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_HASHES = 4
 
-LSH_N_HASHES = 16
-LSH_N_BANDS = 4
+# 24 hashes / 6 bands of 4: same per-band s-curve exponent (r=4) as the
+# original 16/4 config but 1.5 bands' worth more OR-amplification —
+# chosen after minhash_values_fast made extra seeds nearly free
+# (arithmetic, not md5).  Measured: candidate set == exact >=0.5
+# shingle-Jaccard pair set at sf0.001, sf0.01 AND sf0.1 (the 16/4
+# config missed 2/256 at sf0.1 on the s-curve tail).
+LSH_N_HASHES = 24
+LSH_N_BANDS = 6
 
 _SHINGLES_SQL = (
     "list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "

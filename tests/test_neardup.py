@@ -45,12 +45,10 @@ def test_ngram_jaccard_lsh_matches_exact(spark, sf_dir):
     }
     assert len(exact) > 0  # non-vacuous
     assert set(lsh) <= set(exact)  # verify step guarantees precision 1.0
-    if sf_dir.rstrip("/").endswith(("sf0.001", "sf0.01")):
-        # measured: candidate set == exact pair set at the driver SFs
-        assert lsh == exact
-    else:
-        # larger corpora hit the s-curve tail (sf0.1: 254/256 measured)
-        assert len(lsh) / len(exact) >= 0.98
+    # 24-hash/6-band config: candidate set == exact pair set measured at
+    # sf0.001, sf0.01 AND sf0.1 (the old 16/4 config missed 2/256 at
+    # sf0.1 on the s-curve tail)
+    assert lsh == exact
 
 
 def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
