@@ -363,3 +363,38 @@ def events_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_s").alias("total_gap_s"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# View→click attribution (batch twin of the stream-stream interval join
+# in streaming/joins.py): clicks within 30 minutes after a view by the
+# same user.  The interval predicate makes this a bounded range join —
+# at scale both sides bucket by user_id and the per-user time sort is
+# local.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_view_click_attribution",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       v.ts AS v_ts,
+       c.ts AS c_ts
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND c.ts > v.ts
+ AND c.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND c.event_type = 'click'
+""",
+)
+def events_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.streaming.joins import view_click_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return view_click_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        within="30 minutes",
+    )
