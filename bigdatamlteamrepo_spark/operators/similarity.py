@@ -281,6 +281,70 @@ def rp_lsh_topk(
     )
 
 
+def voronoi_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_anchors: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF-flat ANN with DATA-DEFINED anchors: the first ``n_anchors``
+    corpus vectors partition the space into Voronoi cells (by cosine,
+    ties to the lower anchor id); queries probe the ``n_probe`` nearest
+    anchors and re-rank exactly inside probed cells.
+
+    Unlike the KMeans quantizer (:func:`ivf_topk`), every step is a
+    deterministic expression over the data itself — no fitted model —
+    so the whole query is SQL-expressible and value-hash-checkable.
+    Assignment is one scan with a broadcast anchor table (n_anchors×
+    row expansion through the cross join, pruned back by the top-1
+    window: fine for hundreds-to-thousands of anchors, which is also
+    the regime where cell pruning pays).
+    """
+    anchors = emb.filter(F.col(id_col) < n_anchors).select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("a_emb")
+    )
+    asim = cosine_similarity(F.col("c_emb"), F.col("a_emb"))
+    corpus = (
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb"))
+        .crossJoin(F.broadcast(anchors))
+        .select("neighbor_id", "c_emb", "cell", asim.alias("a_sim"))
+    )
+    wc = Window.partitionBy("neighbor_id").orderBy(F.desc("a_sim"), F.asc("cell"))
+    assigned = (
+        corpus.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") == 1)
+        .select("neighbor_id", "c_emb", "cell")
+    )
+
+    qsim = cosine_similarity(F.col("q_emb"), F.col("a_emb"))
+    qc = queries.crossJoin(F.broadcast(anchors)).select(
+        "query_id", "q_emb", "cell", qsim.alias("a_sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("a_sim"), F.asc("cell"))
+    probed = qc.withColumn("r", F.row_number().over(wq)).filter(
+        F.col("r") <= n_probe
+    )
+
+    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    joined = assigned.join(
+        F.broadcast(probed.select("query_id", "q_emb", "cell")), "cell"
+    )
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    return (
+        joined.select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     index_dir: str,

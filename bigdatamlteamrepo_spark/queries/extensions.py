@@ -413,6 +413,69 @@ def ann_rp_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VOR_ANCHORS = 8
+_VOR_PROBE = 3
+
+
+def _ann_voronoi_oracle() -> str:
+    """DuckDB twin of :func:`voronoi_topk`: anchors come from the data
+    (vec_id < n_anchors), so no fitted model stands between the two
+    engines — assignment, probing, and re-rank are all the same
+    deterministic folds."""
+    acos = (
+        f"({dot_expr('v_emb', 'a_emb')} / "
+        f"({norm_expr('v_emb')} * {norm_expr('a_emb')}))"
+    )
+    cos = (
+        f"({dot_expr('q_emb', 'c_emb')} / "
+        f"({norm_expr('q_emb')} * {norm_expr('c_emb')}))"
+    )
+    return f"""
+WITH __anchors AS (
+  SELECT vec_id AS cell, embedding AS a_emb FROM embeddings
+  WHERE vec_id < {_VOR_ANCHORS}
+),
+__asim AS (
+  SELECT e.vec_id, e.embedding AS v_emb, a.cell, a.a_emb,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY ({acos.replace('v_emb', 'e.embedding')}) DESC, a.cell) AS r
+  FROM embeddings e CROSS JOIN __anchors a
+),
+__assigned AS (
+  SELECT vec_id AS neighbor_id, v_emb AS c_emb, cell FROM __asim WHERE r = 1
+),
+__probed AS (
+  SELECT vec_id AS query_id, v_emb AS q_emb, cell FROM __asim
+  WHERE vec_id < {_ANN_NQ} AND r <= {_VOR_PROBE}
+),
+__j AS (
+  SELECT p.query_id, c.neighbor_id, p.q_emb, c.c_emb
+  FROM __probed p JOIN __assigned c USING (cell)
+  WHERE c.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, {cos} AS cosine_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY {cos} DESC, neighbor_id) AS INT) AS rank
+FROM __j
+QUALIFY rank <= {_ANN_K}
+"""
+
+
+@query("ann_voronoi_topk", oracle=_ann_voronoi_oracle(), priority=90)
+def ann_voronoi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.operators.similarity import voronoi_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return voronoi_topk(
+        emb,
+        _queries_set(spark, sf_dir, _ANN_NQ),
+        k=_ANN_K,
+        n_anchors=_VOR_ANCHORS,
+        n_probe=_VOR_PROBE,
+        exclude_self=True,
+    )
+
+
 @query("ann_ivf_topk", priority=90)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

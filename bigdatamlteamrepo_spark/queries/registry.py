@@ -68,6 +68,7 @@ ROTATE_IN: frozenset[str] = frozenset(
         "ann_rp_lsh_multiprobe_topk",
         "ann_rp_lsh_banded_topk",
         "events_view_click_attribution",
+        "ann_voronoi_topk",
         "customer_spend_ranks",
         "order_custkeys_intersect_all",
         "order_custkeys_except_all",
