@@ -694,6 +694,9 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pair_jaccard(pairs: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
     """Exact shingle-set Jaccard ≥ threshold over (doc_a, doc_b) pairs."""
+    # both join sides read the same shingle-set table; materialize it
+    # once instead of re-tokenizing/re-shingling the corpus per side
+    sets = sets.localCheckpoint(eager=True)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
