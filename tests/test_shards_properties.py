@@ -1,0 +1,94 @@
+"""Property tests for the shard-planning tier (hypothesis over
+generated corpora): packing conservation and sampling monotonicity —
+invariants that must hold for ANY input, not just the driver fixture."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.queries.shards import SEQ_LEN
+
+
+def _pack(spark, rows):
+    """Mirror doc_pack_plan's core on an in-memory frame."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = df.withColumn("off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        c.withColumn("shard_id", F.floor(F.col("off") / SEQ_LEN))
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+        .collect()
+    )
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=1, max_value=400),  # token counts << SEQ_LEN
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_packing_conserves_docs_and_tokens(shared_spark, docs):
+    rows = [(src, i, n) for i, (src, n) in enumerate(docs)]
+    out = _pack(shared_spark, rows)
+    assert sum(r.n_docs for r in out) == len(rows)
+    assert sum(r.shard_tokens for r in out) == sum(n for _, _, n in rows)
+    # shard ids per source are contiguous from 0 (concat-then-chunk
+    # leaves no gaps when every doc is shorter than the window)
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r.shard_id)
+    for ids in by_src.values():
+        ids = sorted(ids)
+        assert ids == list(range(len(ids)))
+    # a window holds at most SEQ_LEN tokens' worth of document STARTS,
+    # so shard_tokens < SEQ_LEN + max doc length
+    max_doc = max(n for _, _, n in rows)
+    for r in out:
+        assert r.shard_tokens < SEQ_LEN + max_doc
+
+
+def test_mixture_rate_monotone_in_source_size(spark):
+    """Bigger sources must never get a higher keep-rate (the whole
+    point of temperature sampling)."""
+    import math
+
+    from bigdatamlteamrepo_spark.queries.shards import MIX_ALPHA
+
+    sizes = [100, 1000, 10_000, 1_000_000]
+    rates = [
+        round(math.pow(t / sizes[0], MIX_ALPHA - 1.0), 6) for t in sizes
+    ]
+    assert rates[0] == 1.0
+    assert all(a >= b for a, b in zip(rates, rates[1:]))
+
+
+# reuse the session fixture under a second name so hypothesis's
+# function-scoped-fixture health check stays quiet (the session is
+# intentionally shared state)
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def shared_spark(spark):
+    return spark
