@@ -6,9 +6,10 @@ Two variants, both UDF-free DataFrame plans:
   * **Random-hyperplane LSH** (:func:`rp_lsh_topk`): sign-bit sketch of
     the corpus against ``n_planes`` deterministic hyperplanes → bucket
     equi-join → exact cosine re-rank within buckets.  Hyperplane
-    components are xxhash64-derived (seeded, reproducible, no driver
-    state) so the sketch is a pure column expression; at 100 TB the
-    corpus side is one scan + one shuffle on bucket keys.
+    components are drawn driver-side from a seeded numpy
+    ``default_rng`` and embedded as plan literals (reproducible, no
+    executor state) so the sketch is a pure column expression; at
+    100 TB the corpus side is one scan + one shuffle on bucket keys.
   * **IVF** (:func:`ivf_topk`): KMeans coarse quantizer (MLlib) →
     probe the ``n_probe`` nearest centroids per query → exact re-rank
     within probed cells.  The classic FAISS-style inverted-file layout,
