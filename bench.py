@@ -50,23 +50,14 @@ def _split_layout(spark, sf_dir: str) -> str:
     marker = os.path.join(dst, "_DONE")
     if os.path.exists(marker):
         return dst
-    from bigdatamlteamrepo_spark.catalog import (
-        _PHYSICAL_SCHEMAS,
-        TABLE_SCHEMAS,
-        load_table,
-    )
+    from bigdatamlteamrepo_spark.catalog import TABLE_SCHEMAS, load_table
 
     os.makedirs(dst, exist_ok=True)
     for t in TABLE_SCHEMAS:
-        if t == "events":
-            # rewrite the PHYSICAL layout (ts stays int64) so load_table's
-            # nanos-as-long read + timestamp conversion works unchanged
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.schema(_PHYSICAL_SCHEMAS[t]).parquet(
-                f"{sf_dir}/{t}.parquet"
-            )
-        else:
-            df = load_table(spark, sf_dir, t)
+        # events: load_table normalizes ts (ns or µs source) to Spark's
+        # native µs timestamps, so the split copy is written at the
+        # LOGICAL schema and reads back through the plain path
+        df = load_table(spark, sf_dir, t)
         n_files = max(1, min(16, df.count() // 40_000))
         tmp = os.path.join(dst, f"_tmp_{t}")
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)

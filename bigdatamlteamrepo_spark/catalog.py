@@ -95,9 +95,13 @@ TABLE_SCHEMAS: dict[str, T.StructType] = {
 }
 
 #: Physical read schema where it differs from the logical schema above.
-#: events.ts is nanosecond-precision INT64 in parquet — Spark has no
-#: nanosecond TimestampType, so we read the raw long (legacy nanosAsLong)
-#: and truncate to microseconds, matching DuckDB's ns→µs behavior.
+#: events.ts has been generated as BOTH nanosecond- and microsecond-
+#: precision INT64 across driver rounds.  Spark has no nanosecond
+#: TimestampType, so for ns files we read the raw long (legacy
+#: nanosAsLong) and truncate to microseconds, matching DuckDB's ns→µs
+#: behavior; µs files read natively.  :func:`events_ts_unit` sniffs the
+#: parquet footer (one cheap metadata read, cached per path) so the
+#: engine never assumes which encoding a given dataset carries.
 _PHYSICAL_SCHEMAS: dict[str, T.StructType] = {
     "events": T.StructType(
         [
@@ -127,6 +131,35 @@ TABLE_SCHEMAS["embeddings"] = T.StructType(
         T.StructField("label", T.IntegerType()),
     ]
 )
+
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Timestamp unit ('ns' or 'us') of an events parquet file/directory,
+    read from the parquet footer (cached).  Footer metadata is the source
+    of truth — at 100 TB you cannot afford a data scan to discover the
+    encoding, and the driver has shipped both encodings across rounds."""
+    if path not in _TS_UNIT_CACHE:
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        f = path
+        if _os.path.isdir(path):
+            parts = sorted(
+                p
+                for p in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+                if _os.path.isfile(p)
+            )
+            if not parts:
+                raise FileNotFoundError(f"no parquet files under {path!r}")
+            f = parts[0]
+        ts_type = _pq.ParquetFile(f).schema_arrow.field("ts").type
+        _TS_UNIT_CACHE[path] = getattr(ts_type, "unit", "us")
+    return _TS_UNIT_CACHE[path]
+
 
 #: Dimension tables small enough to always broadcast in a join
 #: (region/nation are bounded; supplier/part/customer are bounded at the
@@ -158,7 +191,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_SCHEMAS)}")
-    if name == "events":
+    if name == "events" and events_ts_unit(f"{sf_dir}/{name}.parquet") == "ns":
         # Runtime-settable legacy conf: nanos timestamps surface as long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F

@@ -29,20 +29,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream of the events table (parquet micro-batches).
 
     In production this is Kafka; the file source exercises the same
-    incremental planner.  The ns-timestamp quirk is handled as in the
-    batch loader (catalog.py).
+    incremental planner.  The ts-precision quirk (ns vs µs files across
+    driver rounds) is handled as in the batch loader (catalog.py).
     """
-    from bigdatamlteamrepo_spark.catalog import _PHYSICAL_SCHEMAS
+    from bigdatamlteamrepo_spark.catalog import _PHYSICAL_SCHEMAS, events_ts_unit
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # file-stream source requires a directory basePath; select the single
-    # events file with a glob filter
-    raw = (
-        spark.readStream.schema(_PHYSICAL_SCHEMAS["events"])
+    if events_ts_unit(f"{sf_dir}/events.parquet") == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # file-stream source requires a directory basePath; select the
+        # single events file with a glob filter
+        raw = (
+            spark.readStream.schema(_PHYSICAL_SCHEMAS["events"])
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(TABLE_SCHEMAS["events"])
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def tumbling_counts(
