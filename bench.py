@@ -53,10 +53,11 @@ def _split_layout(spark, sf_dir: str) -> str:
     from bigdatamlteamrepo_spark.catalog import TABLE_SCHEMAS, load_table
 
     os.makedirs(dst, exist_ok=True)
+    # events: load_table normalizes ts (ns or µs source) to Spark's
+    # native µs timestamps; write the copy as INT64 µs (not the INT96
+    # writer default) so it reads back through the plain native path
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     for t in TABLE_SCHEMAS:
-        # events: load_table normalizes ts (ns or µs source) to Spark's
-        # native µs timestamps, so the split copy is written at the
-        # LOGICAL schema and reads back through the plain path
         df = load_table(spark, sf_dir, t)
         n_files = max(1, min(16, df.count() // 40_000))
         tmp = os.path.join(dst, f"_tmp_{t}")

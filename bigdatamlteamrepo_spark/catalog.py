@@ -156,8 +156,17 @@ def events_ts_unit(path: str) -> str:
             if not parts:
                 raise FileNotFoundError(f"no parquet files under {path!r}")
             f = parts[0]
-        ts_type = _pq.ParquetFile(f).schema_arrow.field("ts").type
-        _TS_UNIT_CACHE[path] = getattr(ts_type, "unit", "us")
+        pf = _pq.ParquetFile(f)
+        idx = pf.schema_arrow.get_field_index("ts")
+        if pf.metadata.schema.column(idx).physical_type == "INT96":
+            # legacy INT96 timestamps (Spark's default writer output):
+            # pyarrow reports them as timestamp[ns], but Spark reads them
+            # natively as µs TimestampType — the nanosAsLong long-read
+            # path would crash on them
+            _TS_UNIT_CACHE[path] = "us"
+        else:
+            ts_type = pf.schema_arrow.field("ts").type
+            _TS_UNIT_CACHE[path] = getattr(ts_type, "unit", "us")
     return _TS_UNIT_CACHE[path]
 
 

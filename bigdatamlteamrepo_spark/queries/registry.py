@@ -65,7 +65,9 @@ ROTATE_IN: frozenset[str] = frozenset(
         "doc_bm25_scores",
         "orders_value_deciles",
         "ann_rp_lsh_topk",
-        "ann_rp_lsh_multiprobe_topk",
+        # ann_rp_lsh_multiprobe_topk yields its slot to the TPC-H tier
+        # (same RP-LSH oracle family as the two rows kept in-window);
+        # it stays oracle-paired in the local parity suite.
         "ann_rp_lsh_banded_topk",
         "events_view_click_attribution",
         "ann_voronoi_topk",
@@ -86,6 +88,18 @@ ROTATE_IN: frozenset[str] = frozenset(
         "doc_mixture_sample",
         "doc_pack_plan",
         "doc_shard_assignment",
+        # TPC-H completion tier (queries/relational2.py) — never checked
+        "q6_forecast_revenue",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q12_late_shipment_priority",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q19_disjunctive_revenue",
+        "q21_waiting_suppliers",
+        "q22_sales_opportunity",
     }
 )
 
