@@ -1,0 +1,213 @@
+"""Mergeable distinct/frequency sketches as portable column expressions.
+
+Three classic streaming sketches — HyperLogLog (distinct count), KMV /
+bottom-k (distinct count), and count-min (frequency) — built entirely
+from md5-derived integer hashing so the SAME arithmetic runs in Spark
+and in the DuckDB oracle (value-hash-checkable, like the MinHash tier
+in functions/text.py).
+
+Why sketches matter at 100 TB: each one is an algebraic aggregate —
+per-partition partial states (register maxes, bottom-k heaps, counter
+grids) merge associatively, so Spark computes them as map-side partial
+aggregates + one O(sketch-size) reduce, never shuffling raw values.
+``COUNT(DISTINCT x)`` shuffles every distinct value; an HLL register
+table is 256 rows per group no matter how many rows the group holds.
+
+Hashing: h60(v) = first 15 hex digits of md5(v) as a 60-bit integer —
+below 2^60, so every intermediate here (shifts, mods, sums of 256
+pow-of-two terms ≤ 2^53) stays exact in signed 64-bit arithmetic in
+both engines (same safety argument as functions/text.uh_constants).
+
+Reference parity: the reference engine has no sketch tier; this extends
+the LLM-training-pipeline surface (corpus cardinality / heavy-hitter
+profiling before dedup and mixture planning).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared 60-bit portable hash
+# ---------------------------------------------------------------------------
+
+#: 2^52 — the low-bit window HLL ranks scan (60-bit hash minus 8 register bits)
+_POW52 = 1 << 52
+#: 2^53 — rank-0 term weight; max term of the HLL harmonic sum
+_POW53 = 1 << 53
+#: 2^60 — the h60 hash range
+POW60 = 1 << 60
+
+
+def h60(col: Column) -> Column:
+    """60-bit integer hash: first 15 md5 hex digits (exact in BIGINT)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB twin of :func:`h60`."""
+    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (p=8 → m=256 registers)
+# ---------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256
+#: Flajolet et al. bias constant α_m for m ≥ 128: 0.7213 / (1 + 1.079/m).
+#: Computed once and embedded as the SAME double literal in both engines.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+#: max rank: 52 scannable low bits all zero → rank 53
+_MAX_RANK = 53
+
+
+def hll_register(h: Column) -> Column:
+    """Register index = top 8 bits of the 60-bit hash (shift, not double
+    division — h exceeds 2^53 so float division would lose bits)."""
+    return F.shiftright(h, 60 - HLL_P)
+
+
+def hll_rank(h: Column) -> Column:
+    """Leading-zero rank of the low 52 bits, in [1, 53].
+
+    bit_length(w) via the minimal base-2 string (Spark ``conv`` and
+    DuckDB ``bin`` both emit no leading zeros) — integer-exact, no
+    floating log2 near power-of-two boundaries.
+    """
+    w = h % F.lit(_POW52)
+    bitlen = F.length(F.conv(w, 10, 2))
+    return F.when(w == 0, F.lit(_MAX_RANK)).otherwise(F.lit(_MAX_RANK) - bitlen)
+
+
+def hll_register_sql(hexpr: str) -> str:
+    return f"(({hexpr}) // {1 << (60 - HLL_P)})"
+
+
+def hll_rank_sql(hexpr: str) -> str:
+    return (
+        f"(CASE WHEN ({hexpr}) % {_POW52} = 0 THEN {_MAX_RANK} "
+        f"ELSE {_MAX_RANK} - length(bin(({hexpr}) % {_POW52})) END)"
+    )
+
+
+def hll_estimate_cols(m_col: str = "m", n_present_col: str = "n_regs") -> dict[str, Column]:
+    """Aggregates over a per-(group, register) max-rank table.
+
+    The harmonic sum Σ 2^-M_j is computed scaled by 2^53 so it stays an
+    exact BIGINT (each term = 2^(53-M_j) ≤ 2^53, ≤ 256 terms < 2^62):
+    float summation order never enters, so the estimate is deterministic
+    under any partitioning.  Missing registers contribute 2^53 each
+    (rank 0).  Small-range (linear-counting) correction applied below
+    2.5·m when empty registers remain, per the HLL paper.
+    """
+    s_present = F.sum(
+        F.pow(F.lit(2.0), F.lit(_MAX_RANK) - F.col(m_col)).cast("long")
+    )
+    n_present = F.count(F.lit(1))
+    return {"s_present": s_present, "n_present": n_present}
+
+
+def hll_finalize(s_present: Column, n_present: Column) -> Column:
+    """Final HLL estimate (double, rounded to 6 decimals for cross-engine
+    hash stability of the single ``ln`` in the linear-counting branch)."""
+    zeros = F.lit(HLL_M) - n_present
+    s_total = s_present + zeros.cast("long") * F.lit(_POW53)
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * float(_POW53)) / s_total.cast("double")
+    lc = F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double"))
+    return F.round(
+        F.when((raw <= F.lit(2.5 * HLL_M)) & (zeros > 0), lc).otherwise(raw), 6
+    )
+
+
+def hll_finalize_sql(s_present: str, n_present: str) -> str:
+    zeros = f"({HLL_M} - {n_present})"
+    s_total = f"({s_present} + {zeros} * {_POW53})"
+    raw = f"({HLL_ALPHA * HLL_M * HLL_M * float(_POW53)!r} / CAST({s_total} AS DOUBLE))"
+    lc = f"({float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST({zeros} AS DOUBLE)))"
+    return (
+        f"round(CASE WHEN {raw} <= {2.5 * HLL_M!r} AND {zeros} > 0 "
+        f"THEN {lc} ELSE {raw} END, 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k distinct sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def kmv_estimate(kth: Column, n: Column) -> Column:
+    """(k-1)·2^60 / h_(k) when the sketch is full, else the exact count
+    (fewer than k distinct hashes seen = the sketch IS the distinct set).
+    2^60 is a power of two — exact as a double scale factor."""
+    return F.round(
+        F.when(
+            n >= KMV_K,
+            F.lit(float(KMV_K - 1)) * F.lit(float(POW60)) / kth.cast("double"),
+        ).otherwise(n.cast("double")),
+        6,
+    )
+
+
+def kmv_estimate_sql(kth: str, n: str) -> str:
+    return (
+        f"round(CASE WHEN {n} >= {KMV_K} THEN "
+        f"{float(KMV_K - 1)!r} * {float(POW60)!r} / CAST({kth} AS DOUBLE) "
+        f"ELSE CAST({n} AS DOUBLE) END, 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (depth 4 × width 1024)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+#: prime just under 2^20 for the universal-hash mod chain
+_CMS_PRIME = 1048573
+
+
+def cms_constants(seed: int = 2024) -> list[tuple[int, int]]:
+    """Per-depth (a, b): a odd < 2^20 so a·h32 < 2^52 stays exact."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 20) | 1, rng.randrange(1 << 20))
+        for _ in range(CMS_DEPTH)
+    ]
+
+
+def h32(col: Column) -> Column:
+    """32-bit md5-derived hash (same scheme as queries/shards.hash32)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str) -> str:
+    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+
+
+def cms_bucket(h32_col: Column, a: int, b: int) -> Column:
+    return (F.lit(a) * h32_col + F.lit(b)) % F.lit(_CMS_PRIME) % F.lit(CMS_WIDTH)
+
+
+def cms_bucket_sql(h32_expr: str, a: int, b: int) -> str:
+    return f"((({a} * {h32_expr} + {b}) % {_CMS_PRIME}) % {CMS_WIDTH})"
+
+
+def cms_counters(df: DataFrame, key: str) -> DataFrame:
+    """(depth j, bucket, cnt) counter grid — ≤ 4·1024 rows regardless of
+    input size; built with ONE map-side-combinable aggregation over a
+    4-way posexplode (each input row contributes to one bucket per
+    depth, exactly the streaming update rule)."""
+    h = h32(F.col(key))
+    buckets = F.array(*[cms_bucket(h, a, b) for a, b in cms_constants()])
+    return (
+        df.select(F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

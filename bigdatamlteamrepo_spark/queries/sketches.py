@@ -1,0 +1,255 @@
+"""Sketch + graph-centrality queries: HyperLogLog, KMV, count-min, and
+integer PageRank — every one value-hash-checked against DuckDB via the
+portable md5-derived arithmetic in operators/sketches.py.
+
+Scale stance: the sketch queries exist precisely FOR the 100 TB case —
+each reduces to a map-side-combinable aggregate whose reduce state is
+O(sketch size) (256 registers / 64 hashes / 4×1024 counters) instead of
+shuffling distinct raw values the way COUNT(DISTINCT) does.  The exact
+counts computed alongside are the accuracy yardstick, not part of the
+sketch cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table, maybe_broadcast
+from bigdatamlteamrepo_spark.operators.pagerank import integer_pagerank, pagerank_cte_sql
+from bigdatamlteamrepo_spark.operators.sketches import (
+    CMS_WIDTH,
+    KMV_K,
+    cms_bucket,
+    cms_bucket_sql,
+    cms_constants,
+    cms_counters,
+    h32,
+    h32_sql,
+    h60,
+    h60_sql,
+    hll_finalize,
+    hll_finalize_sql,
+    hll_rank,
+    hll_rank_sql,
+    hll_register,
+    hll_register_sql,
+    kmv_estimate,
+    kmv_estimate_sql,
+)
+from bigdatamlteamrepo_spark.queries.registry import query
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct orders per return flag.
+# --------------------------------------------------------------------------
+
+_H = h60_sql("l_orderkey")
+
+
+@query(
+    "hll_orders_by_flag",
+    oracle=f"""
+WITH regs AS (
+  SELECT l_returnflag,
+         {hll_register_sql(_H)} AS reg,
+         MAX({hll_rank_sql(_H)}) AS m
+  FROM lineitem GROUP BY l_returnflag, reg
+),
+sketch AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(pow(2.0, 53 - m) AS BIGINT)) AS BIGINT) AS s_present,
+         COUNT(*) AS n_present
+  FROM regs GROUP BY l_returnflag
+),
+exact AS (
+  SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS exact_distinct
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT s.l_returnflag,
+       e.exact_distinct,
+       {hll_finalize_sql('s.s_present', 's.n_present')} AS hll_estimate,
+       CAST(256 - s.n_present AS BIGINT) AS empty_registers
+FROM sketch s JOIN exact e USING (l_returnflag)
+""",
+)
+def hll_orders_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l_orderkey per return flag, estimated from a 256-register
+    HLL.  Plan shape at scale: ONE aggregation to ≤ 256·|flags| register
+    rows (map-side combined), then a ≤ 256-row-per-group finalize — no
+    distinct-value shuffle.  The exact branch is the yardstick."""
+    li = load_table(spark, sf_dir, "lineitem")
+    h = h60(F.col("l_orderkey"))
+    regs = (
+        li.select("l_returnflag", hll_register(h).alias("reg"), hll_rank(h).alias("r"))
+        .groupBy("l_returnflag", "reg")
+        .agg(F.max("r").alias("m"))
+    )
+    sketch = regs.groupBy("l_returnflag").agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("long")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return sketch.join(exact, "l_returnflag").select(
+        "l_returnflag",
+        "exact_distinct",
+        hll_finalize(F.col("s_present"), F.col("n_present")).alias("hll_estimate"),
+        (F.lit(256) - F.col("n_present")).cast("long").alias("empty_registers"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KMV bottom-k distinct parts.
+# --------------------------------------------------------------------------
+
+_HP = h60_sql("l_partkey")
+
+
+@query(
+    "kmv_distinct_parts",
+    oracle=f"""
+WITH hashes AS (SELECT DISTINCT {_HP} AS h FROM lineitem),
+bottom AS (SELECT h FROM hashes ORDER BY h LIMIT {KMV_K}),
+sk AS (SELECT MAX(h) AS kth_hash, COUNT(*) AS n_kept FROM bottom),
+exact AS (SELECT COUNT(DISTINCT l_partkey) AS exact_distinct FROM lineitem)
+SELECT sk.n_kept, sk.kth_hash,
+       {kmv_estimate_sql('sk.kth_hash', 'sk.n_kept')} AS kmv_estimate,
+       exact.exact_distinct
+FROM sk, exact
+""",
+)
+def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l_partkey via a bottom-64 hash sketch.  The distinct on
+    60-bit hashes is the one shuffle; the bottom-k is a TakeOrdered (per
+    partition top-k, merged on the driver) — the sketch state that would
+    be carried per group in a production rollup is just 64 longs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hashes = li.select(h60(F.col("l_partkey")).alias("h")).distinct()
+    bottom = hashes.orderBy("h").limit(KMV_K)
+    sk = bottom.agg(
+        F.max("h").alias("kth_hash"), F.count(F.lit(1)).alias("n_kept")
+    )
+    exact = li.agg(F.countDistinct("l_partkey").alias("exact_distinct"))
+    return sk.crossJoin(exact).select(
+        "n_kept",
+        "kth_hash",
+        kmv_estimate(F.col("kth_hash"), F.col("n_kept")).alias("kmv_estimate"),
+        "exact_distinct",
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min heavy hitters: top suppliers by line count.
+# --------------------------------------------------------------------------
+
+_HS = h32_sql("l_suppkey")
+_CMS_BUCKETS_SQL = " UNION ALL ".join(
+    f"SELECT {j} AS j, {cms_bucket_sql(_HS, a, b)} AS bucket FROM lineitem"
+    for j, (a, b) in enumerate(cms_constants())
+)
+_CMS_KEY_BUCKETS_SQL = " UNION ALL ".join(
+    f"SELECT l_suppkey, {j} AS j, {cms_bucket_sql(_HS, a, b)} AS bucket FROM keys"
+    for j, (a, b) in enumerate(cms_constants())
+)
+
+
+@query(
+    "cms_heavy_suppliers",
+    oracle=f"""
+WITH counters AS (
+  SELECT j, bucket, COUNT(*) AS cnt FROM ({_CMS_BUCKETS_SQL}) GROUP BY j, bucket
+),
+keys AS (SELECT DISTINCT l_suppkey FROM lineitem),
+est AS (
+  SELECT l_suppkey, MIN(cnt) AS cms_estimate
+  FROM ({_CMS_KEY_BUCKETS_SQL}) kb JOIN counters USING (j, bucket)
+  GROUP BY l_suppkey
+),
+truth AS (SELECT l_suppkey, COUNT(*) AS true_count FROM lineitem GROUP BY l_suppkey)
+SELECT t.l_suppkey, t.true_count, e.cms_estimate
+FROM truth t JOIN est e USING (l_suppkey)
+ORDER BY t.true_count DESC, t.l_suppkey LIMIT 20
+""",
+)
+def cms_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by lineitem count with their count-min estimate
+    (depth 4 × width 1024).  The counter grid is ≤ 4096 rows however
+    large lineitem grows, so the estimate join broadcasts it; CMS
+    guarantees estimate ≥ true (collisions only inflate) — pinned by
+    test_sketches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counters = cms_counters(li, "l_suppkey")
+    keys = li.select("l_suppkey").distinct()
+    kh = h32(F.col("l_suppkey"))
+    key_buckets = keys.select(
+        "l_suppkey",
+        F.posexplode(
+            F.array(*[cms_bucket(kh, a, b) for a, b in cms_constants()])
+        ).alias("j", "bucket"),
+    )
+    est = (
+        key_buckets.join(F.broadcast(counters), ["j", "bucket"])
+        .groupBy("l_suppkey")
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )
+    truth = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        truth.join(est, "l_suppkey")
+        .select("l_suppkey", "true_count", "cms_estimate")
+        .orderBy(F.desc("true_count"), F.asc("l_suppkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Integer PageRank over the customer-nation → supplier-nation trade graph.
+# --------------------------------------------------------------------------
+
+_EDGES_CTE = """edges AS (
+  SELECT c_nationkey AS src, s_nationkey AS dst, COUNT(*) AS weight
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY src, dst
+)"""
+
+
+@query(
+    "pagerank_nation_trade",
+    oracle=pagerank_cte_sql(_EDGES_CTE, n_iter=10)
+    + """
+SELECT n_name AS nation, rank AS rank_scaled
+FROM pr10 JOIN nation ON n_nationkey = node
+ORDER BY rank DESC, nation
+""",
+)
+def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-iteration integer PageRank (operators/pagerank.py) over the
+    nation-level trade graph (edge weight = lineitem count from customer
+    nation to supplier nation).  The edge aggregation is the only scan
+    of the fact tables; the iteration then runs on the ≤ |nations|²
+    edge list.  Bit-exact vs the unrolled-CTE DuckDB oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(maybe_broadcast(cust, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(supp, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    ranks = integer_pagerank(edges, n_iter=10)
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), F.col("n_name").alias("nation")
+    )
+    return (
+        ranks.join(maybe_broadcast(nation, "nation"), "node")
+        .select("nation", F.col("rank").alias("rank_scaled"))
+        .orderBy(F.desc("rank_scaled"), F.asc("nation"))
+    )

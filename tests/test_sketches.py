@@ -1,0 +1,92 @@
+"""Sketch-tier properties beyond oracle parity: the statistical
+guarantees each sketch advertises, and the plan shapes that make them
+the scale path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.operators.pagerank import integer_pagerank
+from bigdatamlteamrepo_spark.queries.sketches import (
+    cms_heavy_suppliers,
+    hll_orders_by_flag,
+    kmv_distinct_parts,
+    pagerank_nation_trade,
+)
+
+
+def test_hll_estimate_within_error_bound(spark, sf_dir):
+    # 256 registers → standard error 1.04/sqrt(256) = 6.5%; assert 3σ
+    rows = hll_orders_by_flag(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r.hll_estimate - r.exact_distinct) / max(r.exact_distinct, 1)
+        assert rel < 0.20, (r.l_returnflag, r.exact_distinct, r.hll_estimate)
+
+
+def test_kmv_estimate_within_error_bound(spark, sf_dir):
+    # k=64 → standard error ~1/sqrt(64-2) = 12.7%; assert 3σ (or exact
+    # when the sketch never filled)
+    r = kmv_distinct_parts(spark, sf_dir).collect()[0]
+    if r.n_kept < 64:
+        assert r.kmv_estimate == float(r.exact_distinct)
+    else:
+        rel = abs(r.kmv_estimate - r.exact_distinct) / r.exact_distinct
+        assert rel < 0.40, (r.exact_distinct, r.kmv_estimate)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    rows = cms_heavy_suppliers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cms_estimate >= r.true_count, r
+    # width 1024 >> distinct suppliers at test SFs: the min over 4 rows
+    # should be exact for most heavy hitters
+    exact = sum(1 for r in rows if r.cms_estimate == r.true_count)
+    assert exact >= len(rows) // 2
+
+
+def test_pagerank_mass_and_determinism(spark):
+    # Fixed 4-node graph with a known structure: A→B→C→A cycle + D→A.
+    edges = spark.createDataFrame(
+        [(0, 1, 3), (1, 2, 1), (2, 0, 2), (3, 0, 5)],
+        "src int, dst int, weight int",
+    )
+    r1 = {r.node: r.rank for r in integer_pagerank(edges, n_iter=10).collect()}
+    r2 = {
+        r.node: r.rank
+        for r in integer_pagerank(edges.repartition(7), n_iter=10).collect()
+    }
+    assert r1 == r2, "rank must not depend on partitioning"
+    scale = 10**9
+    # teleport floor for every node; D receives only teleport (no in-edges)
+    assert r1[3] == 15 * scale // 100
+    # total mass bounded by initial mass (floor losses only shrink it)
+    assert sum(r1.values()) <= 4 * scale
+    # cycle members accumulate D's donation: all above teleport
+    for n in (0, 1, 2):
+        assert r1[n] > r1[3]
+
+
+def test_pagerank_nation_trade_shape(spark, sf_dir):
+    rows = pagerank_nation_trade(spark, sf_dir).collect()
+    assert len(rows) == 25
+    ranks = [r.rank_scaled for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r.rank_scaled >= 15 * 10**9 // 100 for r in rows)
+
+
+def test_sketch_plans_no_cartesian_and_broadcast_counters(spark, sf_dir):
+    for fn in (hll_orders_by_flag, cms_heavy_suppliers):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+    # HLL never shuffles distinct raw values: the register aggregation
+    # must be a partial/final HashAggregate pair, not an expand-distinct
+    hll_plan = (
+        hll_orders_by_flag(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "HashAggregate" in hll_plan
