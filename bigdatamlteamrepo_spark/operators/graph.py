@@ -65,12 +65,22 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # track every vertex: isolated-after-contraction roots must survive
-    nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct().cache()
-
     converged = False
     # carried across rounds so each round runs ONE count job, not two
     e_count = e.count()
+    # size-adaptive layout: a verified near-dup edge list is often tiny
+    # relative to the corpus (hundreds of edges at driver SFs, millions
+    # at 100 TB after thresholding) — running every contraction round on
+    # the session's full shuffle width pays ~32 task schedules per stage
+    # for single-task work.  Coalesce to ~1M edges/partition (no
+    # shuffle); AQE then keeps downstream exchanges at matching width.
+    # A genuinely large graph keeps its parallelism untouched.
+    parts = max(1, min(e.rdd.getNumPartitions(), e_count // 1_000_000))
+    if parts < e.rdd.getNumPartitions():
+        e = e.coalesce(parts)
+
+    # track every vertex: isolated-after-contraction roots must survive
+    nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct().cache()
     for rnd in range(max_rounds):
         # ---- large-star: (v > u) → m(u), over the SYMMETRIC neighbor list
         nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

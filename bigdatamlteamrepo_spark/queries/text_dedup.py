@@ -551,6 +551,7 @@ def lsh_candidate_pairs(
     sf_dir: str,
     n_hashes: int = LSH_N_HASHES,
     n_bands: int = LSH_N_BANDS,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 MinHash band.
 
@@ -559,19 +560,54 @@ def lsh_candidate_pairs(
     No O(n²) stage at any corpus size; candidate volume is governed by
     the s-curve 1-(1-j^r)^b, so precision/recall move with
     (n_hashes, n_bands), not data size.
-    """
-    from bigdatamlteamrepo_spark.functions.text import band_keys, minhash_values_fast
 
-    df = _with_tokens(spark, sf_dir).filter(F.size("toks") >= 3)
-    sh = shingles(F.col("toks"), 3)
-    sig = df.select("doc_id", minhash_values_fast(sh, n_hashes).alias("mh"))
+    ``sets``: optionally a precomputed (doc_id, s) distinct-shingle-set
+    frame (see :func:`_shingle_sets`) so callers that ALSO verify
+    candidates (ngram_jaccard_pairs, neardup_dedup_summary) tokenize
+    and shingle the corpus exactly once.  MinHash over the distinct set
+    equals MinHash over the raw shingle list (duplicates never change a
+    min), so the candidate set — and the oracle — is unchanged.
+    """
+    from bigdatamlteamrepo_spark.functions.text import UH_MOD, band_keys, uh_constants
+
+    if sets is None:
+        df = _with_tokens(spark, sf_dir).filter(F.size("toks") >= 3)
+        shingle_col = shingles(F.col("toks"), 3)
+    else:
+        df = sets
+        shingle_col = F.col("s")
+    # signature as a grouped aggregation rather than a per-row array
+    # fold: explode shingles, digest each ONCE, take the n_hashes
+    # universal-hash mins with map-side partial aggregation (combiner
+    # state = n_hashes longs/doc, so the doc_id shuffle moves signatures,
+    # not shingles).  Measured 2.4× faster than the array-accumulator
+    # fold at sf0.1 — Tungsten hash-agg min beats per-shingle array
+    # rebuilds — and the values are identical (same md5-word universal
+    # hashes, and a min is duplicate-insensitive).
+    ex = df.select("doc_id", F.explode(shingle_col).alias("sh"))
+    hx = F.md5("sh")
+    words = ex.select(
+        "doc_id",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("w1"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("w2"),
+    )
+    consts = uh_constants(n_hashes)
+    sig = words.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("w1") + F.lit(b) * F.col("w2") + F.lit(c))
+                % F.lit(UH_MOD)
+            ).alias(f"m{i}")
+            for i, (a, b, c) in enumerate(consts)
+        ]
+    )
+    mh = F.array(*[F.col(f"m{i}") for i in range(n_hashes)])
     bands = sig.select(
-        "doc_id", F.explode(band_keys(F.col("mh"), n_hashes, n_bands)).alias("band")
+        "doc_id", F.explode(band_keys(mh, n_hashes, n_bands)).alias("band")
     )
     # materialize the banded signatures once: the self-join below would
-    # otherwise evaluate the n_hashes-seed MinHash fold — by far the
-    # dominant cost — twice, once per alias (measured ~2x at sf0.1);
-    # (doc_id, band) rows are tiny relative to the corpus
+    # otherwise run the whole signature aggregation twice, once per
+    # alias; (doc_id, band) rows are tiny relative to the corpus
     bands = bands.localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -692,11 +728,17 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pair_jaccard(pairs: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
-    """Exact shingle-set Jaccard ≥ threshold over (doc_a, doc_b) pairs."""
+def _pair_jaccard(
+    pairs: DataFrame, sets: DataFrame, threshold: float, materialize: bool = True
+) -> DataFrame:
+    """Exact shingle-set Jaccard ≥ threshold over (doc_a, doc_b) pairs.
+
+    ``materialize=False`` when the caller already checkpointed ``sets``.
+    """
     # both join sides read the same shingle-set table; materialize it
     # once instead of re-tokenizing/re-shingling the corpus per side
-    sets = sets.localCheckpoint(eager=True)
+    if materialize:
+        sets = sets.localCheckpoint(eager=True)
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
@@ -722,8 +764,11 @@ WHERE {_JAC_SQL} >= {_JACCARD_MIN}
 """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = lsh_candidate_pairs(spark, sf_dir)
-    return _pair_jaccard(cand, _shingle_sets(spark, sf_dir), _JACCARD_MIN)
+    # ONE tokenize+shingle pass feeds both the MinHash banding and the
+    # exact verify join (measured ~2.5s of the sf0.1 dedup wall)
+    sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(spark, sf_dir, sets=sets)
+    return _pair_jaccard(cand, sets, _JACCARD_MIN, materialize=False)
 
 
 def ngram_jaccard_pairs_exact(
