@@ -1,11 +1,16 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-No media libraries ship in this container, so the *decode* step is a
-deterministic stub (documented below); everything Spark-side — schema,
-partition sizing, UDF signatures, batch shapes — is real and tested.
-Swapping the stub for PIL/torchaudio/ffmpeg is a one-function change
-that doesn't touch the plan.
+Two payload tiers:
+
+  * **Real codecs** for uncompressed formats (PPM images, PCM16 WAV —
+    sources/codecs.py, pure numpy): generation, decode, resize, and
+    feature extraction below operate on actual pixels/samples.
+  * **Stub** for compressed formats (PNG/JPEG/MP4): no media libraries
+    ship in this container, so that decode is a deterministic fake;
+    swapping in PIL/torchaudio/ffmpeg is a one-function change that
+    doesn't touch the plan.  Everything Spark-side — schema, partition
+    sizing, UDF signatures, batch shapes — is identical across tiers.
 
 Scale design:
   * payloads live in their own column so column pruning keeps metadata-
@@ -164,3 +169,119 @@ def sample_frames(df: DataFrame, fps: float = 1.0) -> DataFrame:
             )
 
     return df.filter(F.col("kind") == "video").mapInPandas(op, schema=FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real-codec tier: PPM images + PCM16 WAV audio (sources/codecs.py)
+# ---------------------------------------------------------------------------
+
+
+def generate_decodable_media(
+    spark: SparkSession, n_rows: int = 120, seed: int = 42
+) -> DataFrame:
+    """Media table whose payloads are REAL encoded files: PPM (P6)
+    images and PCM16 WAV clips, synthesized executor-side from the
+    media_id (deterministic integer patterns — bit-identical under any
+    partitioning).  Same MEDIA_SCHEMA as the stub tier."""
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        encode_ppm,
+        encode_wav,
+        synth_audio,
+        synth_image,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                if (mid + seed) % 2 == 0:
+                    w, h = 32 + (mid * 7 + seed) % 97, 32 + (mid * 11 + seed) % 73
+                    rows.append(
+                        (mid, "image", encode_ppm(synth_image(mid, w, h)),
+                         "image/x-portable-pixmap", w, h, None, None)
+                    )
+                else:
+                    rate = 8_000
+                    n = rate // 4 + (mid * 13 + seed) % rate  # 0.25-1.25 s
+                    rows.append(
+                        (mid, "audio", encode_wav(synth_audio(mid, n), rate),
+                         "audio/wav", None, None, n * 1000 // rate, rate)
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(n_rows).mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+DECODE_STATS_SCHEMA = (
+    "media_id long, kind string, n_bytes int, px_width int, px_height int, "
+    "mean_luma double, n_samples int, rms double, zero_crossings int"
+)
+
+
+def decode_media_stats(df: DataFrame) -> DataFrame:
+    """REAL decode of PPM/WAV payloads → per-item content statistics.
+
+    Images: decoded dimensions (from the actual header, not the
+    metadata column) and mean integer luma (2R+5G+B)/8.  Audio: sample
+    count, RMS amplitude, zero-crossing count.  All content-derived —
+    this is the stage the stub tier cannot do.
+    """
+    from bigdatamlteamrepo_spark.sources.codecs import decode_ppm, decode_wav
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind == "image":
+                    rgb = decode_ppm(payload)
+                    luma = (
+                        2 * rgb[..., 0].astype(np.uint32)
+                        + 5 * rgb[..., 1]
+                        + rgb[..., 2]
+                    ) // 8
+                    rows.append(
+                        (mid, kind, len(payload), rgb.shape[1], rgb.shape[0],
+                         float(luma.mean()), None, None, None)
+                    )
+                else:
+                    samples, _ = decode_wav(payload)
+                    x = samples.astype(np.float64)
+                    zc = int(np.count_nonzero(np.diff(np.signbit(x))))
+                    rows.append(
+                        (mid, kind, len(payload), None, None, None,
+                         len(samples), float(np.sqrt((x * x).mean())), zc)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "n_bytes", "px_width", "px_height",
+                         "mean_luma", "n_samples", "rms", "zero_crossings"],
+            )
+
+    return df.mapInPandas(op, schema=DECODE_STATS_SCHEMA)
+
+
+def resize_images_real(df: DataFrame, max_side: int = 64) -> DataFrame:
+    """Decode → box-average downscale → re-encode, all real bytes; the
+    output metadata comes from the resized array's actual shape."""
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        decode_ppm,
+        encode_ppm,
+        resize_rgb,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                small = resize_rgb(decode_ppm(payload), max_side)
+                rows.append(
+                    (mid, small.shape[1], small.shape[0], encode_ppm(small))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "payload"]
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(op, schema=RESIZE_SCHEMA)

@@ -1,0 +1,109 @@
+"""Real-codec tier: PPM/WAV encode-decode roundtrips, box resize math,
+and the Spark decode pipeline over actual payload bytes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bigdatamlteamrepo_spark.sources.codecs import (
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    resize_rgb,
+    synth_audio,
+    synth_image,
+)
+
+
+def test_ppm_roundtrip_exact():
+    rgb = synth_image(7, w=41, h=29)
+    again = decode_ppm(encode_ppm(rgb))
+    assert again.shape == (29, 41, 3)
+    assert np.array_equal(rgb, again)
+
+
+def test_ppm_rejects_non_p6():
+    with pytest.raises(ValueError):
+        decode_ppm(b"P3\n1 1\n255\n0 0 0")
+
+
+def test_wav_roundtrip_exact():
+    samples = synth_audio(11, 4097)
+    back, rate = decode_wav(encode_wav(samples, 8000))
+    assert rate == 8000
+    assert np.array_equal(samples, back)
+
+
+def test_resize_box_average_exact():
+    # 4x4 constant blocks downscaled by exactly 2 → the block means
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    rgb[:2, :2] = 10
+    rgb[:2, 2:] = 20
+    rgb[2:, :2] = 30
+    rgb[2:, 2:] = 40
+    small = resize_rgb(rgb, max_side=2)
+    assert small.shape == (2, 2, 3)
+    assert small[0, 0, 0] == 10 and small[0, 1, 0] == 20
+    assert small[1, 0, 0] == 30 and small[1, 1, 0] == 40
+
+
+def test_resize_never_upscales_and_bounds():
+    rgb = synth_image(3, w=100, h=60)
+    assert resize_rgb(rgb, 200) is rgb
+    small = resize_rgb(rgb, 64)
+    assert max(small.shape[:2]) <= 64
+    # aspect preserved within integer-ceil rounding: factor ceil(100/64)=2
+    assert small.shape == (30, 50, 3)
+
+
+def test_decode_pipeline_matches_local_computation(spark):
+    from bigdatamlteamrepo_spark.sources.multimodal import (
+        decode_media_stats,
+        generate_decodable_media,
+    )
+
+    media = generate_decodable_media(spark, n_rows=30, seed=42)
+    rows = {r.media_id: r for r in decode_media_stats(media).collect()}
+    assert len(rows) == 30
+    # cross-check one image and one audio row against driver-side numpy
+    img_id = next(m for m, r in rows.items() if r.kind == "image")
+    w, h = 32 + (img_id * 7 + 42) % 97, 32 + (img_id * 11 + 42) % 73
+    rgb = synth_image(img_id, w, h)
+    luma = (2 * rgb[..., 0].astype(np.uint32) + 5 * rgb[..., 1] + rgb[..., 2]) // 8
+    assert rows[img_id].px_width == w and rows[img_id].px_height == h
+    assert abs(rows[img_id].mean_luma - float(luma.mean())) < 1e-9
+    aud_id = next(m for m, r in rows.items() if r.kind == "audio")
+    n = 8000 // 4 + (aud_id * 13 + 42) % 8000
+    x = synth_audio(aud_id, n).astype(np.float64)
+    assert rows[aud_id].n_samples == n
+    assert abs(rows[aud_id].rms - float(np.sqrt((x * x).mean()))) < 1e-9
+
+
+def test_decode_stats_partitioning_invariant(spark):
+    from bigdatamlteamrepo_spark.sources.multimodal import (
+        decode_media_stats,
+        generate_decodable_media,
+    )
+
+    a = decode_media_stats(generate_decodable_media(spark, 24, 1)).collect()
+    b = decode_media_stats(
+        generate_decodable_media(spark, 24, 1).repartition(5)
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_resize_images_real_reencodes(spark):
+    from bigdatamlteamrepo_spark.sources.multimodal import (
+        generate_decodable_media,
+        resize_images_real,
+    )
+
+    media = generate_decodable_media(spark, n_rows=20, seed=9)
+    out = resize_images_real(media, max_side=40).collect()
+    assert out
+    for r in out:
+        rgb = decode_ppm(bytes(r.payload))
+        assert rgb.shape == (r.height, r.width, 3)
+        assert max(r.width, r.height) <= 40
