@@ -136,6 +136,95 @@ def hll_finalize_sql(s_present: str, n_present: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# HLL as ONE aggregation: 2^p conditional register maxes.
+#
+# The register table above needs two grouped aggregations (per-register
+# max, then per-group finalize) — fine in batch, illegal in Structured
+# Streaming (single-aggregation rule).  This formulation folds the whole
+# sketch into one groupBy: state = 2^p small ints per group, exactly an
+# HLL's memory contract, so the SAME builder runs batch and streaming
+# (streaming/windows.tumbling_hll_users).  Practical for small p (the
+# expression tree is 2^p aggregates wide); the two-pass register table
+# stays the path for large m.
+# ---------------------------------------------------------------------------
+
+#: Flajolet bias constants for small register counts
+_HLL_ALPHAS = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_alpha(m: int) -> float:
+    return _HLL_ALPHAS.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_agg_exprs(h: Column, p: int) -> list[Column]:
+    """One conditional MAX(rank) aggregate per register (r0..r{2^p-1})."""
+    m = 1 << p
+    low = 60 - p
+    max_rank = low + 1
+    reg = F.shiftright(h, low)
+    w = h % F.lit(1 << low)
+    bitlen = F.length(F.conv(w, 10, 2))
+    rank = F.when(w == 0, F.lit(max_rank)).otherwise(F.lit(max_rank) - bitlen)
+    return [F.max(F.when(reg == j, rank)).alias(f"r{j}") for j in range(m)]
+
+
+def hll_agg_finalize(p: int) -> Column:
+    """Estimate from the r0..r{2^p-1} columns (NULL register = empty).
+    Same exact-integer harmonic sum (scaled 2^(low+1)) and linear-
+    counting correction as the two-pass form; rounded to 6 decimals."""
+    m = 1 << p
+    max_rank = 60 - p + 1
+    term0 = 1 << max_rank
+    s: Column = F.lit(0).cast("long")
+    zeros: Column = F.lit(0)
+    for j in range(m):
+        r = F.col(f"r{j}")
+        s = s + F.coalesce(
+            F.pow(F.lit(2.0), F.lit(max_rank) - r).cast("long"), F.lit(term0)
+        )
+        zeros = zeros + F.when(r.isNull(), 1).otherwise(0)
+    raw = F.lit(hll_alpha(m) * m * m * float(term0)) / s.cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    return F.round(
+        F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lc).otherwise(raw), 6
+    )
+
+
+def hll_agg_exprs_sql(hexpr: str, p: int) -> list[str]:
+    """DuckDB twins of :func:`hll_agg_exprs` (aliases r0..r{2^p-1})."""
+    m = 1 << p
+    low = 60 - p
+    max_rank = low + 1
+    rank = (
+        f"(CASE WHEN ({hexpr}) % {1 << low} = 0 THEN {max_rank} "
+        f"ELSE {max_rank} - length(bin(({hexpr}) % {1 << low})) END)"
+    )
+    reg = f"(({hexpr}) // {1 << low})"
+    return [
+        f"MAX(CASE WHEN {reg} = {j} THEN {rank} END) AS r{j}" for j in range(m)
+    ]
+
+
+def hll_agg_finalize_sql(p: int) -> str:
+    m = 1 << p
+    max_rank = 60 - p + 1
+    term0 = 1 << max_rank
+    s = " + ".join(
+        f"COALESCE(CAST(pow(2.0, {max_rank} - r{j}) AS BIGINT), {term0})"
+        for j in range(m)
+    )
+    zeros = " + ".join(
+        f"(CASE WHEN r{j} IS NULL THEN 1 ELSE 0 END)" for j in range(m)
+    )
+    raw = f"({hll_alpha(m) * m * m * float(term0)!r} / CAST(({s}) AS DOUBLE))"
+    lc = f"({float(m)!r} * ln({float(m)!r} / CAST(({zeros}) AS DOUBLE)))"
+    return (
+        f"round(CASE WHEN {raw} <= {2.5 * m!r} AND ({zeros}) > 0 "
+        f"THEN {lc} ELSE {raw} END, 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
 # KMV / bottom-k distinct sketch
 # ---------------------------------------------------------------------------
 

@@ -100,6 +100,45 @@ def hll_orders_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Single-aggregation HLL: hourly distinct users (the streaming shape).
+# --------------------------------------------------------------------------
+
+from bigdatamlteamrepo_spark.operators.sketches import (  # noqa: E402
+    hll_agg_exprs_sql,
+    hll_agg_finalize_sql,
+)
+
+_HLL_P_STREAM = 6
+_HU = h60_sql("user_id")
+
+
+@query(
+    "hll_hourly_users",
+    oracle=f"""
+WITH regs AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         COUNT(*) AS n_events,
+         {', '.join(hll_agg_exprs_sql(_HU, _HLL_P_STREAM))}
+  FROM events GROUP BY 1
+)
+SELECT window_start, n_events,
+       {hll_agg_finalize_sql(_HLL_P_STREAM)} AS approx_users
+FROM regs
+""",
+)
+def hll_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/windows.tumbling_hll_users: 64-register
+    HLL distinct-users per hour as ONE aggregation (the formulation
+    Structured Streaming's single-agg rule requires), oracle-checked
+    register-for-register.  tests/test_streaming_hll.py proves the
+    stream run emits identical rows."""
+    from bigdatamlteamrepo_spark.streaming.windows import tumbling_hll_users
+
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_hll_users(events, p=_HLL_P_STREAM)
+
+
+# --------------------------------------------------------------------------
 # KMV bottom-k distinct parts.
 # --------------------------------------------------------------------------
 

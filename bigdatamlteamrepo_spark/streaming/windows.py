@@ -109,6 +109,39 @@ def session_counts(
     )
 
 
+def tumbling_hll_users(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "30 minutes",
+    p: int = 6,
+) -> DataFrame:
+    """Distinct users per tumbling window, estimated by a 2^p-register
+    HyperLogLog folded into ONE aggregation (operators/sketches.py) —
+    the shape Structured Streaming's single-aggregation rule demands.
+
+    State per open window = 2^p small ints (the sketch's contract), vs
+    the unbounded per-window user set an exact streaming distinct would
+    hold.  The identical builder runs in batch (the oracle-paired
+    hll_hourly_users query) and is the stream≡batch test subject.
+    """
+    from bigdatamlteamrepo_spark.operators.sketches import (
+        h60,
+        hll_agg_exprs,
+        hll_agg_finalize,
+    )
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    h = h60(F.col("user_id"))
+    regs = src.groupBy(F.window("ts", width).alias("win")).agg(
+        F.count(F.lit(1)).alias("n_events"), *hll_agg_exprs(h, p)
+    )
+    return regs.select(
+        F.col("win.start").alias("window_start"),
+        "n_events",
+        hll_agg_finalize(p).alias("approx_users"),
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, name: str, mode: str = "append"
 ) -> "DataFrame":
