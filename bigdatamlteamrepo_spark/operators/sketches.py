@@ -253,6 +253,93 @@ def kmv_estimate_sql(kth: str, n: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter (1024 bits = 16 words × 64, k = 3)
+#
+# The runtime-filter pattern made portable: aggregate a small key set
+# into a fixed-size bitmap (ONE row — 16 BIGINT words via conditional
+# BIT_OR), broadcast it, and pre-filter a fact scan with pure bit
+# arithmetic before any join.  At 100 TB this is the difference between
+# shuffling the fact table for a semi-join and a scan-local filter that
+# drops most rows at the source.  Hashes are the md5-derived universal
+# family, so membership — including FALSE POSITIVES — is deterministic
+# and identical in DuckDB.
+# ---------------------------------------------------------------------------
+
+#: 63 usable bits per word — DuckDB raises on ``1::BIGINT << 63``
+#: (signed overflow), so the sign bit is simply never used and every
+#: word value stays positive in both engines
+_BITS_PER_WORD = 63
+BLOOM_WORDS = 16
+BLOOM_BITS = BLOOM_WORDS * _BITS_PER_WORD  # 1008
+BLOOM_K = 3
+
+
+def bloom_positions(h32_col: Column, seed: int = 77) -> list[Column]:
+    """k bit positions in [0, BLOOM_BITS) for a key's 32-bit hash."""
+    rng = random.Random(seed)
+    out = []
+    for _ in range(BLOOM_K):
+        a, b = rng.randrange(1, 1 << 20) | 1, rng.randrange(1 << 20)
+        out.append((F.lit(a) * h32_col + F.lit(b)) % F.lit(_CMS_PRIME) % F.lit(BLOOM_BITS))
+    return out
+
+
+def bloom_positions_sql(h32_expr: str, seed: int = 77) -> list[str]:
+    rng = random.Random(seed)
+    out = []
+    for _ in range(BLOOM_K):
+        a, b = rng.randrange(1, 1 << 20) | 1, rng.randrange(1 << 20)
+        out.append(f"((({a} * {h32_expr} + {b}) % {_CMS_PRIME}) % {BLOOM_BITS})")
+    return out
+
+
+def bloom_build_aggs(pos_name: str = "pos") -> list[Column]:
+    """Conditional BIT_OR per word over an exploded (key, position) set →
+    columns bw0..bw{15}; every word stays positive (63 bits used).
+    ``pos_name`` must be a real column (Spark's shiftleft Column API
+    takes only literal shift amounts, so the dynamic shift is SQL)."""
+    b = _BITS_PER_WORD
+    one_shifted = F.expr(
+        f"shiftleft(cast(1 as bigint), cast({pos_name} % {b} as int))"
+    )
+    return [
+        F.bit_or(
+            F.when(F.expr(f"{pos_name} div {b}") == w, one_shifted)
+            .otherwise(F.lit(0).cast("long"))
+        ).alias(f"bw{w}")
+        for w in range(BLOOM_WORDS)
+    ]
+
+
+def bloom_test_expr(pos_name: str) -> str:
+    """Spark-SQL expression: 1 iff the bit at column ``pos_name`` is set
+    in the broadcast bw0..bw15 row (use inside F.expr after the
+    cross-join; dynamic shifts require the SQL surface)."""
+    b = _BITS_PER_WORD
+    word = "CASE " + " ".join(
+        f"WHEN ({pos_name} div {b}) = {w} THEN bw{w}" for w in range(BLOOM_WORDS)
+    ) + " END"
+    return f"(shiftright({word}, cast({pos_name} % {b} as int)) & 1)"
+
+
+def bloom_build_aggs_sql(pos_expr: str) -> list[str]:
+    b = _BITS_PER_WORD
+    return [
+        f"BIT_OR(CASE WHEN ({pos_expr}) // {b} = {w} "
+        f"THEN (1::BIGINT << (({pos_expr}) % {b})) ELSE 0::BIGINT END) AS bw{w}"
+        for w in range(BLOOM_WORDS)
+    ]
+
+
+def bloom_test_sql(pos_expr: str) -> str:
+    b = _BITS_PER_WORD
+    word = "CASE " + " ".join(
+        f"WHEN ({pos_expr}) // {b} = {w} THEN bw{w}" for w in range(BLOOM_WORDS)
+    ) + " END"
+    return f"((({word}) >> (({pos_expr}) % {b})) & 1)"
+
+
+# ---------------------------------------------------------------------------
 # Count-min sketch (depth 4 × width 1024)
 # ---------------------------------------------------------------------------
 

@@ -242,6 +242,101 @@ def cms_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Bloom-filter semijoin: the runtime-filter pattern, portable.
+# --------------------------------------------------------------------------
+
+from bigdatamlteamrepo_spark.operators.sketches import (  # noqa: E402
+    BLOOM_K,
+    bloom_build_aggs,
+    bloom_build_aggs_sql,
+    bloom_positions,
+    bloom_positions_sql,
+    bloom_test_expr,
+    bloom_test_sql,
+)
+
+_BLOOM_BAL = 7000.0
+_HC = h32_sql("c_custkey")
+_HO = h32_sql("o_custkey")
+
+
+@query(
+    "bloom_semijoin_orders",
+    oracle=f"""
+WITH keys AS (
+  SELECT c_custkey FROM customer WHERE c_acctbal > {_BLOOM_BAL}
+),
+pos AS (
+  {' UNION ALL '.join(f'SELECT c_custkey, {p} AS pos FROM keys'
+                      for p in bloom_positions_sql(_HC))}
+),
+bloom AS (
+  SELECT {', '.join(bloom_build_aggs_sql('pos'))},
+         (SELECT COUNT(*) FROM keys) AS n_keys
+  FROM pos
+),
+probe AS (
+  SELECT o_orderkey, o_custkey,
+         {' + '.join(bloom_test_sql(p) for p in bloom_positions_sql(_HO))} AS n_hits
+  FROM orders, bloom
+)
+SELECT bloom.n_keys,
+       COUNT(*) FILTER (WHERE n_hits = 3) AS n_passed,
+       (SELECT COUNT(*) FROM orders o JOIN keys k ON o.o_custkey = k.c_custkey)
+         AS n_true,
+       COUNT(*) FILTER (WHERE n_hits = 3) -
+       (SELECT COUNT(*) FROM orders o JOIN keys k ON o.o_custkey = k.c_custkey)
+         AS n_false_positive
+FROM probe, bloom GROUP BY bloom.n_keys
+""",
+)
+def bloom_semijoin_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern: high-balance customers aggregate into a
+    ONE-ROW 1008-bit bloom (16 BIGINT words, conditional BIT_OR) that is
+    cross-join-broadcast onto the orders scan; rows failing any of the 3
+    bit probes drop BEFORE any join.  At 100 TB the semijoin shuffle is
+    replaced by a scan-local filter — the exact trick behind Spark's
+    runtime bloom-filter join, but with md5-derived hashing so even the
+    false-positive count is deterministic and oracle-checked.  The true
+    semi-join count alongside quantifies the FP rate."""
+    cust = load_table(spark, sf_dir, "customer")
+    keys = cust.filter(F.col("c_acctbal") > _BLOOM_BAL).select("c_custkey")
+    kh = h32(F.col("c_custkey"))
+    pos = keys.select(
+        F.explode(F.array(*bloom_positions(kh))).alias("pos")
+    )
+    bloom = pos.agg(*bloom_build_aggs("pos")).crossJoin(
+        F.broadcast(keys.agg(F.count(F.lit(1)).alias("n_keys")))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    oh = h32(F.col("o_custkey"))
+    probe = orders.select(
+        "o_custkey",
+        *[p.alias(f"p{j}") for j, p in enumerate(bloom_positions(oh))],
+    ).crossJoin(F.broadcast(bloom))
+    n_hits = sum(
+        (F.expr(bloom_test_expr(f"p{j}")) for j in range(BLOOM_K)),
+        F.lit(0),
+    )
+    probe = probe.withColumn("n_hits", n_hits)
+    true_cnt = (
+        orders.join(keys, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return (
+        probe.groupBy("n_keys")
+        .agg(F.count(F.when(F.col("n_hits") == 3, 1)).alias("n_passed"))
+        .crossJoin(F.broadcast(true_cnt))
+        .select(
+            "n_keys",
+            "n_passed",
+            "n_true",
+            (F.col("n_passed") - F.col("n_true")).alias("n_false_positive"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Integer PageRank over the customer-nation → supplier-nation trade graph.
 # --------------------------------------------------------------------------
 

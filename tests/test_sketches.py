@@ -46,6 +46,16 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert exact >= len(rows) // 2
 
 
+def test_bloom_no_false_negatives(spark, sf_dir):
+    from bigdatamlteamrepo_spark.queries.sketches import bloom_semijoin_orders
+
+    r = bloom_semijoin_orders(spark, sf_dir).collect()[0]
+    # the bloom guarantee: every true member passes (FPs allowed, FNs never)
+    assert r.n_passed >= r.n_true
+    assert r.n_false_positive == r.n_passed - r.n_true
+    assert r.n_true > 0, "fixture filter selected no customers"
+
+
 def test_pagerank_mass_and_determinism(spark):
     # Fixed 4-node graph with a known structure: A→B→C→A cycle + D→A.
     edges = spark.createDataFrame(
