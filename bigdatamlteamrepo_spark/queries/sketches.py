@@ -138,6 +138,26 @@ def hll_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_hll_users(events, p=_HLL_P_STREAM)
 
 
+def _hll_estimate_over(df: DataFrame, col: str) -> DataFrame:
+    """Global 256-register HLL estimate of distinct ``col`` (two-pass
+    register path) — reusable building block (tools/scaling_experiment)."""
+    h = h60(F.col(col))
+    regs = (
+        df.select(hll_register(h).alias("reg"), hll_rank(h).alias("r"))
+        .groupBy("reg")
+        .agg(F.max("r").alias("m"))
+    )
+    sketch = regs.agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("long")).alias(
+            "s_present"
+        ),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    return sketch.select(
+        hll_finalize(F.col("s_present"), F.col("n_present")).alias("hll_estimate")
+    )
+
+
 # --------------------------------------------------------------------------
 # KMV bottom-k distinct parts.
 # --------------------------------------------------------------------------

@@ -41,9 +41,27 @@ _LANGS = ["en", "de", "fr", "es", "zh"]
 _N_SOURCES = 20
 
 
-def _gen_doc(seed: int, doc_id: int) -> tuple[int, str, str, str, int]:
-    """One document, a pure function of (seed, doc_id)."""
+def _gen_doc(
+    seed: int, doc_id: int, dup_fraction: float = 0.0
+) -> tuple[int, str, str, str, int]:
+    """One document, a pure function of (seed, doc_id, dup_fraction).
+
+    ``dup_fraction`` > 0 makes that share of documents NEAR-COPIES of an
+    earlier document (same token stream with ~10% of tokens mutated) —
+    still purely deterministic, since the base document is regenerated
+    from its own (seed, base_id).  Gives scale experiments a realistic
+    near-dup structure; the default 0.0 keeps the original corpus.
+    """
     rng = random.Random(seed * 1_000_003 + doc_id)
+    if dup_fraction > 0.0 and doc_id > 0 and rng.random() < dup_fraction:
+        base_id = rng.randrange(doc_id)  # never itself; base is never a dup
+        base = _gen_doc(seed, base_id, 0.0)
+        toks = base[1].split()
+        for i in range(len(toks)):
+            if rng.random() < 0.1:
+                toks[i] = rng.choice(_VOCAB)
+        text = " ".join(toks)
+        return (doc_id, text, base[2], f"src_{rng.randrange(_N_SOURCES)}", len(text))
     n_tokens = rng.randint(20, 120)
     text = " ".join(rng.choice(_VOCAB) for _ in range(n_tokens))
     lang = rng.choice(_LANGS)
@@ -61,6 +79,7 @@ class CorpusGenReader(DataSourceReader):
         self.n_docs = int(options.get("n_docs", 1000))
         self.n_parts = int(options.get("partitions", 8))
         self.seed = int(options.get("seed", 42))
+        self.dup_fraction = float(options.get("dup_fraction", 0.0))
 
     def partitions(self) -> list[InputPartition]:
         return [
@@ -73,7 +92,7 @@ class CorpusGenReader(DataSourceReader):
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
         for doc_id in range(partition.lo, partition.hi):
-            yield _gen_doc(self.seed, doc_id)
+            yield _gen_doc(self.seed, doc_id, self.dup_fraction)
 
 
 class CorpusGenStreamReader(SimpleDataSourceStreamReader):
