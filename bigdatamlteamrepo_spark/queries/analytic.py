@@ -233,6 +233,98 @@ def neardup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # --------------------------------------------------------------------------
+# Quality-weighted dedup representatives: what a training-data pipeline
+# actually KEEPS from each near-dup cluster — its best-quality member
+# (type-token ratio; ties to the lower doc_id), not the arbitrary min
+# id.  Same component computation as neardup_cluster_representatives;
+# one extra window argmax over cluster members.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "neardup_best_representatives",
+    oracle=f"""
+WITH RECURSIVE
+{lsh_pairs_ctes()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM __lsh_pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM __lsh_pairs
+),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+labels AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS comp
+  FROM reach GROUP BY src
+),
+quality AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(string_split_regex(lower(text), '\\s+'))) AS DOUBLE)
+           / len(string_split_regex(lower(text), '\\s+')) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT l.doc_id, l.comp, q.quality,
+         ROW_NUMBER() OVER (PARTITION BY l.comp
+                            ORDER BY q.quality DESC, l.doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY l.comp) AS cluster_size
+  FROM labels l JOIN quality q USING (doc_id)
+)
+SELECT r.doc_id, r.cluster_size, b.doc_id AS keep_doc,
+       CAST(r.doc_id = b.doc_id AS BIGINT) AS is_kept
+FROM ranked r
+JOIN (SELECT comp, doc_id FROM ranked WHERE rn = 1) b ON b.comp = r.comp
+""",
+)
+def neardup_best_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup-cluster keeper by quality argmax.  Components via
+    star contraction (scale-safe rounds); the argmax is ONE window pass
+    partitioned by component — at 100 TB cluster sizes are small (near-
+    dup thresholding bounds them), so the window state is trivial."""
+    from bigdatamlteamrepo_spark.operators.graph import connected_components
+    from bigdatamlteamrepo_spark.queries.text_dedup import (
+        _with_tokens,
+        neardup_pairs_lsh,
+    )
+
+    pairs = neardup_pairs_lsh(spark, sf_dir)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("comp")
+    )
+    docs = _with_tokens(spark, sf_dir)
+    quality = docs.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct("toks")).cast("double")
+            / F.size("toks").cast("double")
+        ).alias("quality"),
+    )
+    ranked = labels.join(quality, "doc_id").select(
+        "doc_id",
+        "comp",
+        F.row_number()
+        .over(Window.partitionBy("comp").orderBy(F.desc("quality"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("comp")).alias("cluster_size"),
+    )
+    best = ranked.filter(F.col("rn") == 1).select(
+        F.col("comp").alias("b_comp"), F.col("doc_id").alias("keep_doc")
+    )
+    return (
+        ranked.join(best, F.col("comp") == F.col("b_comp"))
+        .select(
+            "doc_id",
+            "cluster_size",
+            "keep_doc",
+            (F.col("doc_id") == F.col("keep_doc")).cast("long").alias("is_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Unpivot (wide→long): the melt idiom used by the reference's top-k-per-
 # cluster reshaping (SURVEY O2) — stack() keeps it one projection pass.
 # --------------------------------------------------------------------------
