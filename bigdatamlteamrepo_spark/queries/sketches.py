@@ -20,6 +20,7 @@ from bigdatamlteamrepo_spark.operators.pagerank import integer_pagerank, pageran
 from bigdatamlteamrepo_spark.operators.sketches import (
     CMS_WIDTH,
     KMV_K,
+    POW60,
     cms_bucket,
     cms_bucket_sql,
     cms_constants,
@@ -317,6 +318,114 @@ def cms_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", "true_count", "cms_estimate")
         .orderBy(F.desc("true_count"), F.asc("l_suppkey"))
         .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Theta-style KMV set intersection: dataset-overlap estimation.
+# --------------------------------------------------------------------------
+
+_THETA_FULL = f"CAST({POW60} AS BIGINT)"
+
+
+def _bottomk_cte(name: str, member_sql: str) -> str:
+    """CTE pair: distinct bottom-64 hashes of a key set + its θ (the
+    (k+1)-th smallest would bound the sample; with ≤ k distinct hashes
+    the whole set is sampled and θ = 2^60)."""
+    return f"""
+{name}_h AS (
+  SELECT DISTINCT {h60_sql('c_custkey')} AS h FROM ({member_sql})
+),
+{name}_k AS (SELECT h FROM {name}_h ORDER BY h LIMIT {KMV_K}),
+{name}_t AS (
+  SELECT CASE WHEN (SELECT COUNT(*) FROM {name}_h) > {KMV_K}
+              THEN (SELECT MAX(h) FROM {name}_k) ELSE {_THETA_FULL} END AS theta
+)"""
+
+
+_A_SQL = "SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+_B_SQL = "SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '2-HIGH'"
+
+
+@query(
+    "theta_customer_overlap",
+    oracle=f"""
+WITH {_bottomk_cte('a', _A_SQL)},
+{_bottomk_cte('b', _B_SQL)},
+theta AS (
+  SELECT LEAST(a_t.theta, b_t.theta) AS th FROM a_t, b_t
+),
+inter AS (
+  SELECT COUNT(*) AS n_common
+  FROM a_k JOIN b_k USING (h), theta WHERE h < th
+),
+exact AS (
+  SELECT COUNT(*) AS exact_overlap FROM ({_A_SQL}) a JOIN ({_B_SQL}) b USING (c_custkey)
+)
+SELECT theta.th AS theta,
+       inter.n_common,
+       round(CAST(inter.n_common AS DOUBLE) * {float(POW60)!r}
+             / CAST(theta.th AS DOUBLE), 6) AS est_overlap,
+       exact.exact_overlap
+FROM theta, inter, exact
+""",
+)
+def theta_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|A ∩ B| for two customer sets (urgent-order vs high-order
+    customers) from their bottom-64 KMV sketches: below the shared
+    threshold θ both sketches are uniform samples of their sets, so
+    |common hashes < θ| · 2^60 / θ estimates the true overlap — the
+    theta-sketch intersection a pipeline uses to size dataset
+    contamination WITHOUT joining the full sets.  Exact overlap
+    computed alongside as the yardstick; at scale only the two
+    64-long sketches meet."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def bottomk(priority: str):
+        keys = (
+            orders.filter(F.col("o_orderpriority") == priority)
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+        )
+        hashes = keys.select(h60(F.col("c_custkey")).alias("h")).distinct()
+        n = hashes.agg(F.count(F.lit(1)).alias("n"))
+        bk = hashes.orderBy("h").limit(KMV_K)
+        theta = bk.agg(F.max("h").alias("kth")).crossJoin(F.broadcast(n)).select(
+            F.when(F.col("n") > KMV_K, F.col("kth"))
+            .otherwise(F.lit(POW60).cast("long"))
+            .alias("theta")
+        )
+        return keys, bk, theta
+
+    a_keys, a_k, a_t = bottomk("1-URGENT")
+    b_keys, b_k, b_t = bottomk("2-HIGH")
+    theta = (
+        a_t.crossJoin(b_t.withColumnRenamed("theta", "theta_b"))
+        .select(F.least("theta", "theta_b").alias("th"))
+    )
+    inter = (
+        a_k.join(b_k, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    exact = a_keys.join(b_keys, "c_custkey").agg(
+        F.count(F.lit(1)).alias("exact_overlap")
+    )
+    return (
+        theta.crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("th").alias("theta"),
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                * F.lit(float(POW60))
+                / F.col("th").cast("double"),
+                6,
+            ).alias("est_overlap"),
+            "exact_overlap",
+        )
     )
 
 

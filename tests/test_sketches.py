@@ -46,6 +46,19 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert exact >= len(rows) // 2
 
 
+def test_theta_overlap_sanity(spark, sf_dir):
+    from bigdatamlteamrepo_spark.queries.sketches import theta_customer_overlap
+
+    r = theta_customer_overlap(spark, sf_dir).collect()[0]
+    assert 0 < r.theta <= 1 << 60
+    assert r.n_common >= 0
+    # k=64 intersections carry amplified variance; assert the estimate
+    # is the right order of magnitude, not a tight bound
+    if r.exact_overlap > 0:
+        assert r.est_overlap / r.exact_overlap < 3.0
+        assert r.est_overlap / r.exact_overlap > 1 / 3.0
+
+
 def test_bloom_no_false_negatives(spark, sf_dir):
     from bigdatamlteamrepo_spark.queries.sketches import bloom_semijoin_orders
 
