@@ -46,6 +46,45 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert exact >= len(rows) // 2
 
 
+def test_hll_duplicate_insensitive(spark, sf_dir):
+    # estimate(X ∪ X) == estimate(X): register maxes never move on
+    # duplicates — the property that makes HLL a DISTINCT sketch
+    from bigdatamlteamrepo_spark.catalog import load_table
+    from bigdatamlteamrepo_spark.queries.sketches import _hll_estimate_over
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    once = _hll_estimate_over(li, "l_orderkey").collect()[0].hll_estimate
+    doubled = _hll_estimate_over(li.union(li), "l_orderkey").collect()[0].hll_estimate
+    assert once == doubled
+
+
+def test_cms_counters_merge(spark, sf_dir):
+    # counters(A) + counters(B) == counters(A ∪ B): the algebraic-
+    # aggregate property that lets the grid build map-side at any scale
+    from pyspark.sql import functions as F
+
+    from bigdatamlteamrepo_spark.catalog import load_table
+    from bigdatamlteamrepo_spark.operators.sketches import cms_counters
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_orderkey")
+    a = li.filter(F.col("l_orderkey") % 2 == 0)
+    b = li.filter(F.col("l_orderkey") % 2 != 0)
+    merged = {
+        (r.j, r.bucket): r.total
+        for r in (
+            cms_counters(a, "l_suppkey")
+            .union(cms_counters(b, "l_suppkey"))
+            .groupBy("j", "bucket")
+            .agg(F.sum("cnt").alias("total"))
+            .collect()
+        )
+    }
+    full = {
+        (r.j, r.bucket): r.cnt for r in cms_counters(li, "l_suppkey").collect()
+    }
+    assert merged == full
+
+
 def test_theta_overlap_sanity(spark, sf_dir):
     from bigdatamlteamrepo_spark.queries.sketches import theta_customer_overlap
 
