@@ -26,11 +26,11 @@ Scale notes (100 TB stance):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatamlteamrepo_spark.catalog import load_table, maybe_broadcast
-from bigdatamlteamrepo_spark.functions.numeric import dec, dsum
+from bigdatamlteamrepo_spark.functions.numeric import dec
 from bigdatamlteamrepo_spark.queries.registry import query
 from bigdatamlteamrepo_spark.queries.relational import _REV_SQL, _rev
 

@@ -18,7 +18,6 @@ from pyspark.sql import functions as F
 from bigdatamlteamrepo_spark.catalog import load_table, maybe_broadcast
 from bigdatamlteamrepo_spark.operators.pagerank import integer_pagerank, pagerank_cte_sql
 from bigdatamlteamrepo_spark.operators.sketches import (
-    CMS_WIDTH,
     KMV_K,
     POW60,
     cms_bucket,
