@@ -119,6 +119,26 @@ def test_simhash_banding_complete_for_hamming_3(spark, sf_dir):
     assert got == exact
 
 
+def test_lsh_candidates_same_from_raw_or_sets(spark, sf_dir):
+    # MinHash over the distinct shingle set must equal MinHash over the
+    # raw shingle list (min is duplicate-insensitive) — the invariant
+    # that lets ngram_jaccard_pairs share one tokenize+shingle pass
+    from bigdatamlteamrepo_spark.queries.text_dedup import (
+        _shingle_sets,
+        lsh_candidate_pairs,
+    )
+
+    raw = {
+        (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(spark, sf_dir).collect()
+    }
+    sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    from_sets = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(spark, sf_dir, sets=sets).collect()
+    }
+    assert raw == from_sets
+
+
 def test_neardup_plans_have_no_cartesian(spark, sf_dir):
     from bigdatamlteamrepo_spark.queries import QUERIES
 
