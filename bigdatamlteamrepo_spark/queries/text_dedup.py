@@ -355,6 +355,101 @@ def winnowing_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Asymmetric containment (doc-inside-doc): the quote/boilerplate/
+# subset-document detector symmetric Jaccard misses — a short doc fully
+# contained in a long one scores low Jaccard but containment ≈ 1.
+# containment(A in B) = |F_A ∩ F_B| / |F_A| over winnowing fingerprints.
+# Same explode + fingerprint equi-join as winnowing_neardup_pairs (no
+# n²); one broadcast-size join adds each side's fingerprint count.
+# --------------------------------------------------------------------------
+
+_CONTAIN_MIN = 0.5
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, length(text) - {_K_CHARS} + 2),
+                        i -> md5(substring(text, i, {_K_CHARS}))) AS hs
+  FROM documents
+  WHERE length(text) >= {_K_CHARS + _WINNOW_W - 1}
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hs) - {_WINNOW_W} + 2),
+                        i -> list_min(hs[i:i+{_WINNOW_W - 1}]))) AS fp
+  FROM h
+),
+counts AS (SELECT doc_id, len(fp) AS n_fps FROM fps),
+fp AS (SELECT doc_id, unnest(fp) AS f FROM fps),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_WINNOW_MIN_SHARED}
+)
+SELECT s.doc_a, s.doc_b, s.n_shared,
+       CAST(s.n_shared AS DOUBLE) / ca.n_fps AS containment_a,
+       CAST(s.n_shared AS DOUBLE) / cb.n_fps AS containment_b
+FROM shared s
+JOIN counts ca ON ca.doc_id = s.doc_a
+JOIN counts cb ON cb.doc_id = s.doc_b
+WHERE CAST(s.n_shared AS DOUBLE) / ca.n_fps >= {_CONTAIN_MIN}
+   OR CAST(s.n_shared AS DOUBLE) / cb.n_fps >= {_CONTAIN_MIN}
+""",
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _K_CHARS + _WINNOW_W - 1
+    )
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length("text") - (_K_CHARS - 1)),
+        lambda i: F.md5(F.col("text").substr(i, F.lit(_K_CHARS))),
+    )
+    fps_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("hs") - _WINNOW_W),
+            lambda i: F.array_min(F.slice("hs", i + 1, _WINNOW_W)),
+        )
+    )
+    with_fps = docs.withColumn("hs", hs).select("doc_id", fps_arr.alias("fp"))
+    # materialize once: fingerprint explode AND per-doc counts read it
+    with_fps = with_fps.localCheckpoint(eager=True)
+    counts = with_fps.select("doc_id", F.size("fp").alias("n_fps"))
+    fp = with_fps.select("doc_id", F.explode("fp").alias("f"))
+    a, b = fp.alias("a"), fp.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WINNOW_MIN_SHARED)
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_fps").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_fps").alias("n_b"))
+    cont_a = F.col("n_shared").cast("double") / F.col("n_a")
+    cont_b = F.col("n_shared").cast("double") / F.col("n_b")
+    return (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+        )
+        .filter(
+            (F.col("containment_a") >= _CONTAIN_MIN)
+            | (F.col("containment_b") >= _CONTAIN_MIN)
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Language identification (marker voting; see functions/langid.py).
 # Marker voting is pure list/string arithmetic, so it carries a full
 # DuckDB oracle (struct-max argmax with identical tie-break); accuracy
