@@ -492,9 +492,7 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@query(
-    "doc_bm25_scores",
-    oracle=f"""
+_BM25_ORACLE = f"""
 WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
 n AS (SELECT COUNT(*) AS n_docs, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
 df AS (
@@ -518,8 +516,10 @@ SELECT doc_id,
     for i in range(len(_BM25_TERMS)))} AS bm25
 FROM s, n, df
 WHERE {" + ".join(f"tf_{i}" for i in range(len(_BM25_TERMS)))} > 0
-""",
-)
+"""
+
+
+@query("doc_bm25_scores", oracle=_BM25_ORACLE)
 def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 against a literal term set.  One corpus pass builds
     (N, avgdl, df_t) — a single broadcast row — and scoring is a
@@ -561,3 +561,98 @@ def doc_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         score = score + term
     any_tf = sum(F.col(f"tf_{i}") for i in range(len(_BM25_TERMS)))
     return d.filter(any_tf > 0).select("doc_id", score.alias("bm25"))
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# semantic (embedding-cosine) rankings — the standard two-tower fusion a
+# retrieval pipeline runs when neither signal alone suffices.  RRF uses
+# only the integer RANKS (1/(60+r)), so the fused score is exactly
+# reproducible cross-engine as long as each leg's ordering is — and both
+# legs are bit-stable (fixed-order BM25 accumulation, sequential-fold
+# cosine), with id tie-breaks.
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 20
+_RRF_QUERY_VEC = 0
+
+
+def _rrf_oracle() -> str:
+    from bigdatamlteamrepo_spark.functions.vectors import dot_expr, norm_expr
+
+    cos = (
+        f"({dot_expr('c.embedding', 'q.embedding')} / "
+        f"({norm_expr('c.embedding')} * {norm_expr('q.embedding')}))"
+    )
+    return f"""
+WITH lex_scores AS ({_BM25_ORACLE}),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+  FROM lex_scores
+),
+sem_scores AS (
+  SELECT c.vec_id AS doc_id, {cos} AS cos
+  FROM embeddings c, (SELECT embedding FROM embeddings
+                      WHERE vec_id = {_RRF_QUERY_VEC}) q
+  WHERE c.vec_id <> {_RRF_QUERY_VEC}
+),
+sem AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+  FROM sem_scores
+),
+fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         COALESCE(1.0 / ({_RRF_K} + r_lex), 0.0)
+           + COALESCE(1.0 / ({_RRF_K} + r_sem), 0.0) AS rrf_score
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rrf_score FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOP}
+"""
+
+
+@query("hybrid_rrf_retrieval", oracle=_rrf_oracle())
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by reciprocal-rank fusion of BM25 (terms
+    {spark, join, stream, window}) and cosine-to-query-vector rankings
+    (query = embedding 0; doc_id and vec_id share an id space in the
+    driver corpus).  The global rank windows run over ranking-bounded
+    legs — in production each leg is already a top-k (ANN bucket /
+    inverted-index cutoff), so the single-partition window sees k rows,
+    not the corpus."""
+    from pyspark.sql import Window
+
+    from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity
+
+    lex = doc_bm25_scores(spark, sf_dir).withColumn(
+        "r_lex", F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+    ).select("doc_id", "r_lex")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb")
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != _RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("cos"),
+        )
+        .withColumn(
+            "r_sem",
+            F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "r_sem")
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_sem")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_TOP)
