@@ -135,28 +135,50 @@ TABLE_SCHEMAS["embeddings"] = T.StructType(
 _TS_UNIT_CACHE: dict[str, str] = {}
 
 
+def clear_ts_unit_cache(path: str | None = None) -> None:
+    """Invalidate the footer-sniff cache — required after rewriting a
+    path in-process with the other timestamp unit (bench.py's layout
+    rewrite does exactly that)."""
+    if path is None:
+        _TS_UNIT_CACHE.clear()
+    else:
+        _TS_UNIT_CACHE.pop(path, None)
+
+
+def _first_parquet_footer(path: str):
+    """ParquetFile for ``path`` or its first parquet child, resolving the
+    filesystem from the URI (pyarrow.fs): works for local paths and for
+    object-store/HDFS URIs (s3://…, hdfs://…) — the 100 TB deployment
+    never stores events on the driver's local disk."""
+    import pyarrow.fs as _pafs
+    import pyarrow.parquet as _pq
+
+    if "://" in path:
+        fs, fs_path = _pafs.FileSystem.from_uri(path)
+    else:
+        fs, fs_path = _pafs.LocalFileSystem(), path
+    info = fs.get_file_info(fs_path)
+    if info.type == _pafs.FileType.Directory:
+        children = sorted(
+            i.path
+            for i in fs.get_file_info(_pafs.FileSelector(fs_path, recursive=True))
+            if i.type == _pafs.FileType.File and i.path.endswith(".parquet")
+        )
+        if not children:
+            raise FileNotFoundError(f"no parquet files under {path!r}")
+        fs_path = children[0]
+    return _pq.ParquetFile(fs.open_input_file(fs_path))
+
+
 def events_ts_unit(path: str) -> str:
     """Timestamp unit ('ns' or 'us') of an events parquet file/directory,
-    read from the parquet footer (cached).  Footer metadata is the source
-    of truth — at 100 TB you cannot afford a data scan to discover the
-    encoding, and the driver has shipped both encodings across rounds."""
+    read from the parquet footer (cached; invalidate with
+    :func:`clear_ts_unit_cache` after an in-process rewrite).  Footer
+    metadata is the source of truth — at 100 TB you cannot afford a data
+    scan to discover the encoding, and the driver has shipped both
+    encodings across rounds."""
     if path not in _TS_UNIT_CACHE:
-        import glob as _glob
-        import os as _os
-
-        import pyarrow.parquet as _pq
-
-        f = path
-        if _os.path.isdir(path):
-            parts = sorted(
-                p
-                for p in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
-                if _os.path.isfile(p)
-            )
-            if not parts:
-                raise FileNotFoundError(f"no parquet files under {path!r}")
-            f = parts[0]
-        pf = _pq.ParquetFile(f)
+        pf = _first_parquet_footer(path)
         idx = pf.schema_arrow.get_field_index("ts")
         if pf.metadata.schema.column(idx).physical_type == "INT96":
             # legacy INT96 timestamps (Spark's default writer output):

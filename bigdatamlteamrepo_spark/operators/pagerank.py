@@ -59,7 +59,11 @@ def integer_pagerank(
         .select(
             "src",
             "dst",
-            F.expr(f"(weight * {SHARE_SCALE}) div tw").alias("share"),
+            # CAST before multiplying: with an IntegerType weight column
+            # int*int wraps at 32 bits in non-ANSI Spark (weight >= 2048
+            # would overflow SHARE_SCALE scaling) while the DuckDB oracle
+            # promotes — mirror the BIGINT cast the oracle's outw CTE does.
+            F.expr(f"(CAST(weight AS BIGINT) * {SHARE_SCALE}) div tw").alias("share"),
         )
         .localCheckpoint(eager=True)
     )

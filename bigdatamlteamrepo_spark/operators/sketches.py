@@ -95,26 +95,18 @@ def hll_rank_sql(hexpr: str) -> str:
     )
 
 
-def hll_estimate_cols(m_col: str = "m", n_present_col: str = "n_regs") -> dict[str, Column]:
-    """Aggregates over a per-(group, register) max-rank table.
-
-    The harmonic sum Σ 2^-M_j is computed scaled by 2^53 so it stays an
-    exact BIGINT (each term = 2^(53-M_j) ≤ 2^53, ≤ 256 terms < 2^62):
-    float summation order never enters, so the estimate is deterministic
-    under any partitioning.  Missing registers contribute 2^53 each
-    (rank 0).  Small-range (linear-counting) correction applied below
-    2.5·m when empty registers remain, per the HLL paper.
-    """
-    s_present = F.sum(
-        F.pow(F.lit(2.0), F.lit(_MAX_RANK) - F.col(m_col)).cast("long")
-    )
-    n_present = F.count(F.lit(1))
-    return {"s_present": s_present, "n_present": n_present}
-
-
 def hll_finalize(s_present: Column, n_present: Column) -> Column:
     """Final HLL estimate (double, rounded to 6 decimals for cross-engine
-    hash stability of the single ``ln`` in the linear-counting branch)."""
+    hash stability of the single ``ln`` in the linear-counting branch).
+
+    Inputs are the two aggregates callers compute over a per-(group,
+    register) max-rank table: ``s_present`` = Σ 2^(53-M_j) as an exact
+    BIGINT (each term ≤ 2^53, ≤ 256 terms < 2^62 — float summation
+    order never enters, so the estimate is deterministic under any
+    partitioning) and ``n_present`` = register count; missing registers
+    contribute 2^53 each (rank 0).  Small-range (linear-counting)
+    correction applied below 2.5·m when empty registers remain, per the
+    HLL paper."""
     zeros = F.lit(HLL_M) - n_present
     s_total = s_present + zeros.cast("long") * F.lit(_POW53)
     raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * float(_POW53)) / s_total.cast("double")

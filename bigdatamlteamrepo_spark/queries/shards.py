@@ -212,7 +212,7 @@ c AS (
   FROM t
 )
 SELECT source,
-       tok_offset // {SEQ_LEN} AS shard_id,
+       CAST(tok_offset // {SEQ_LEN} AS BIGINT) AS shard_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
        MIN(doc_id) AS first_doc,

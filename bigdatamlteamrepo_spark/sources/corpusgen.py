@@ -51,17 +51,33 @@ def _gen_doc(
     still purely deterministic, since the base document is regenerated
     from its own (seed, base_id).  Gives scale experiments a realistic
     near-dup structure; the default 0.0 keeps the original corpus.
+
+    The dup decision uses its OWN string-seeded RNG (str seeding is
+    process-stable, unlike ``hash()``), never the document RNG: an extra
+    draw on the doc stream would make the regenerated base diverge from
+    the text actually stored at base_id (the r2 ADVICE defect — measured
+    dup-vs-stored-base Jaccard 0.34 instead of 0.60).  The base is
+    regenerated with the SAME dup_fraction so dup-of-dup chains resolve
+    to the stored text.
     """
+    if dup_fraction > 0.0 and doc_id > 0:
+        dup_rng = random.Random(f"{seed}:{doc_id}:dup")
+        if dup_rng.random() < dup_fraction:
+            base_id = dup_rng.randrange(doc_id)  # strictly earlier, never itself
+            base = _gen_doc(seed, base_id, dup_fraction)
+            toks = base[1].split()
+            for i in range(len(toks)):
+                if dup_rng.random() < 0.1:
+                    toks[i] = dup_rng.choice(_VOCAB)
+            text = " ".join(toks)
+            return (
+                doc_id,
+                text,
+                base[2],
+                f"src_{dup_rng.randrange(_N_SOURCES)}",
+                len(text),
+            )
     rng = random.Random(seed * 1_000_003 + doc_id)
-    if dup_fraction > 0.0 and doc_id > 0 and rng.random() < dup_fraction:
-        base_id = rng.randrange(doc_id)  # never itself; base is never a dup
-        base = _gen_doc(seed, base_id, 0.0)
-        toks = base[1].split()
-        for i in range(len(toks)):
-            if rng.random() < 0.1:
-                toks[i] = rng.choice(_VOCAB)
-        text = " ".join(toks)
-        return (doc_id, text, base[2], f"src_{rng.randrange(_N_SOURCES)}", len(text))
     n_tokens = rng.randint(20, 120)
     text = " ".join(rng.choice(_VOCAB) for _ in range(n_tokens))
     lang = rng.choice(_LANGS)

@@ -70,6 +70,39 @@ def test_engine_ops_run_on_generated_corpus(spark):
     assert all(20 <= r.avg_toks <= 120 for r in stats)
 
 
+def test_dup_fraction_neardups_match_stored_base():
+    """r2 ADVICE regression: a dup doc must be a near-copy of the text
+    actually STORED at its base_id (not a phantom regenerated under a
+    shifted RNG stream), and non-dup docs must be byte-identical to the
+    dup_fraction=0 corpus."""
+    import random
+    import statistics
+
+    from bigdatamlteamrepo_spark.sources.corpusgen import _gen_doc
+
+    def shingles(t, n=3):
+        toks = t.split()
+        return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    seed, p, n = 7, 0.3, 1500
+    stored = {i: _gen_doc(seed, i, p) for i in range(n)}
+    jac, n_dup = [], 0
+    for i in range(1, n):
+        dup_rng = random.Random(f"{seed}:{i}:dup")
+        if dup_rng.random() < p:
+            n_dup += 1
+            base_id = dup_rng.randrange(i)
+            a, b = shingles(stored[i][1]), shingles(stored[base_id][1])
+            jac.append(len(a & b) / len(a | b) if a | b else 1.0)
+        else:
+            assert stored[i] == _gen_doc(seed, i, 0.0)
+    assert 0.15 <= n_dup / n <= 0.45
+    # ~10% token mutation ⇒ ~0.6 expected 3-gram Jaccard vs the stored base
+    assert statistics.mean(jac) > 0.5
+    # regeneration reproduces the stored corpus exactly (task retry safety)
+    assert all(_gen_doc(seed, i, p) == stored[i] for i in range(n))
+
+
 def test_stream_matches_batch_prefix(spark):
     _register(spark)
     q = (

@@ -21,6 +21,20 @@ def test_all_queries_run(spark, sf_dir):
         assert df.columns, f"{name} returned no columns"
 
 
+def test_parity_harness_is_type_strict(spark, duck):
+    """The r02 red row (doc_pack_plan) was a DuckDB HUGEINT promotion the
+    value-only local harness missed; assert_parity must now reject it."""
+    df = spark.range(2).selectExpr("CAST(3 AS BIGINT) AS s")
+    good = "SELECT CAST(SUM(x) AS BIGINT) AS s FROM (VALUES (1),(2)) t(x)"
+    bad = "SELECT SUM(x) AS s FROM (VALUES (1),(2)) t(x)"  # HUGEINT
+    assert_parity(df.limit(1), duck, good)
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        assert_parity(df.limit(1), duck, bad)
+    # int-vs-float kind mismatch with equal values must also be caught
+    with pytest.raises(AssertionError, match="type-class"):
+        assert_parity(df.limit(1), duck, "SELECT CAST(3 AS DOUBLE) AS s")
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
