@@ -36,70 +36,73 @@ PRI_EXTRA = 90
 
 #: Driver-window rotation (round 3): the driver checks only the first 50
 #: exported queries, so oracle-paired queries that have never received a
-#: driver CORRECTNESS row are promoted here ahead of queries already
-#: proven green in a previous round's window (those keep full local
-#: parity coverage at sf0.001/0.01/0.1).  One set, swapped per round —
-#: individual ``@query(priority=...)`` values stay stable.
+#: green driver CORRECTNESS row are promoted here ahead of queries
+#: already proven green in a previous round's window (those keep full
+#: local parity coverage at sf0.001/0.01/0.1).  One set, swapped per
+#: round — individual ``@query(priority=...)`` values stay stable.
+#: Exactly 50 names: 15 never-hash-green (the 12 sketch/containment/RRF/
+#: multiprobe/best-reps queries + the r02 red doc_pack_plan + the two
+#: r01 no_oracle rows that gained oracles in r02), 2 new this round,
+#: and 33 highest-value r01 greens for re-confirmation after two rounds
+#: of churn.
 ROTATE_IN: frozenset[str] = frozenset(
     {
-        # in-window round 2 but driver-unchecked in round 1 — pin them in
-        "winnowing_neardup_pairs",
-        "embedding_neardup_lsh",
-        "customer_running_totals",
-        "orders_priority_rollup",
-        "segment_price_variance",
-        "neardup_cluster_representatives",
-        "segment_stats_unpivot",
-        "doc_class_weights",
-        "lineitem_flag_status_cube",
-        "events_props_typed",
-        "events_value_median_by_type",
-        "events_last_order_asof",
-        # oracle-paired but outside every previous window
-        "q4_order_priority_checking",
-        "q16_parts_supplier_counts",
-        "q7_nation_pair_volume",
-        "q2_min_acctbal_supplier_per_part",
-        "events_trailing_hour_stats",
-        "orders_grouping_sets",
-        "doc_bm25_scores",
-        "orders_value_deciles",
-        "ann_rp_lsh_topk",
-        # ann_rp_lsh_multiprobe_topk yields its slot to the TPC-H tier
-        # (same RP-LSH oracle family as the two rows kept in-window);
-        # it stays oracle-paired in the local parity suite.
-        "ann_rp_lsh_banded_topk",
-        "events_view_click_attribution",
-        "ann_voronoi_topk",
-        "customer_spend_ranks",
-        "order_custkeys_intersect_all",
-        "order_custkeys_except_all",
-        # round-3 training-data-pipeline tier (queries/pipeline.py)
-        "doc_repetition_metrics",
-        "doc_quality_filter",
-        "neardup_dedup_summary",
-        "doc_pii_scan",
-        "embedding_int8_quant_stats",
-        "events_value_percentiles",
-        "vocab_coverage_by_lang",
-        "doc_eval_contamination",
-        # round-3 training-shard planning tier (queries/shards.py)
-        "source_token_budgets",
-        "doc_mixture_sample",
+        # --- sketch tier: oracle-paired since r02, never driver-checked
+        "hll_orders_by_flag",
+        "hll_hourly_users",
+        "kmv_distinct_parts",
+        "kmv_orders_by_flag",
+        "cms_heavy_suppliers",
+        "bloom_semijoin_orders",
+        "pagerank_nation_trade",
+        "theta_customer_overlap",
+        # --- containment / retrieval / ANN variants, never checked
+        "doc_containment_pairs",
+        "hybrid_rrf_retrieval",
+        "ann_rp_lsh_multiprobe_topk",
+        "neardup_best_representatives",
+        # --- re-checks: r02 red row (oracle HUGEINT bug, now cast) and
+        #     the two r01 no_oracle rows whose oracles landed in r02
         "doc_pack_plan",
-        "doc_shard_assignment",
-        # TPC-H completion tier (queries/relational2.py) — never checked
-        "q6_forecast_revenue",
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_items",
-        "q12_late_shipment_priority",
-        "q13_customer_distribution",
-        "q14_promo_revenue",
-        "q15_top_supplier",
-        "q19_disjunctive_revenue",
-        "q21_waiting_suppliers",
-        "q22_sales_opportunity",
+        "doc_language_id",
+        "simhash_neardup_pairs",
+        # --- new round-3 queries (skew-split pack, scale-N shard deal)
+        "doc_pack_plan_bucketed",
+        "doc_shard_assignment_n64",
+        # --- r01 greens, re-confirmed this round (33)
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_orders",
+        "customer_order_stats",
+        "top_orders_per_segment",
+        "customers_without_orders",
+        "order_priority_status_crosstab",
+        "nation_region_customer_counts",
+        "dedup_exact_by_lang",
+        "minhash_signatures",
+        "neardup_pairs_lsh",
+        "neardup_cross_source",
+        "ngram_jaccard_pairs",
+        "knn_cosine_topk",
+        "embedding_label_stats",
+        "embedding_neardup_pairs",
+        "doc_winnowing_fingerprints",
+        "doc_keyword_label_counts",
+        "doc_category_distribution",
+        "doc_multihot_label_totals",
+        "doc_token_stats_by_lang",
+        "doc_quality_scores",
+        "doc_bpe_token_counts",
+        "events_hourly_by_type",
+        "events_sliding_by_type",
+        "events_props_stats",
+        "events_user_sessions",
+        "events_hourly_ffill",
+        "events_value_anomalies",
+        "events_type_share",
+        "events_user_gap_stats",
     }
 )
 

@@ -49,8 +49,15 @@ from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
 MIX_ALPHA = 0.5
 #: packed sequence length (tokens per training sample window)
 SEQ_LEN = 2048
-#: output shard count for the deterministic deal
+#: output shard count for the deterministic deal (driver-SF default;
+#: see ``doc_shard_assignment_n64`` for the scale-realistic variant —
+#: window parallelism equals the shard count, so a production deal uses
+#: thousands of shards, not 8)
 N_SHARDS = 8
+#: doc_id-range bucket width for the skew-split pack: the cumsum window
+#: partitions by (source, bucket) so parallelism is ~corpus_size/BUCKET
+#: instead of #sources — a single-source 100 TB corpus still packs wide
+PACK_BUCKET = 4096
 
 #: 32-bit uniform in [0,1) from the first 8 md5 hex digits — identical
 #: in Spark (conv/base-16) and DuckDB ('0x' literal cast); granularity
@@ -198,10 +205,10 @@ def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "doc_pack_plan",
-    bench=True,
-    oracle=f"""
+#: concat-then-chunk pack semantics — shared by the per-source plan and
+#: the bucketed skew-split plan (identical results by construction, so
+#: one oracle serves both)
+_PACK_ORACLE = f"""
 WITH t AS (
   SELECT source, doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents
 ),
@@ -218,8 +225,10 @@ SELECT source,
        MIN(doc_id) AS first_doc,
        MAX(doc_id) AS last_doc
 FROM c GROUP BY source, shard_id
-""",
-)
+"""
+
+
+@query("doc_pack_plan", bench=True, oracle=_PACK_ORACLE)
 def doc_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents concatenated per source in doc_id order, sliced into
     SEQ_LEN-token windows; a doc belongs to the window containing its
@@ -237,6 +246,11 @@ def doc_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     c = t.withColumn("tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return _pack_rollup(c)
+
+
+def _pack_rollup(c: DataFrame) -> DataFrame:
+    """(source, doc_id, n_tokens, tok_offset) → per-(source, shard) stats."""
     return (
         c.withColumn("shard_id", F.floor(F.col("tok_offset") / SEQ_LEN).cast("bigint"))
         .groupBy("source", "shard_id")
@@ -249,38 +263,116 @@ def doc_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_pack_plan_bucketed", oracle=_PACK_ORACLE)
+def doc_pack_plan_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-split pack: byte-identical results to ``doc_pack_plan`` with
+    the cumsum window partitioned by (source, doc_id-range bucket), not
+    source alone — the two-level plan a 100 TB single-source corpus
+    needs (the per-source window's parallelism is #sources; this one's
+    is ~corpus/PACK_BUCKET).
+
+    Two-pass offset folding:
+
+    1. per-(source, bucket) token totals — one hash agg; a window over
+       this TINY table (≈ docs/PACK_BUCKET rows) turns totals into
+       per-bucket starting offsets;
+    2. within-bucket cumsum windows run in parallel across buckets; the
+       broadcast-joined bucket offset is added back, reconstructing the
+       exact global per-source offsets.
+
+    Buckets follow doc_id order (bucket = doc_id div PACK_BUCKET), so
+    concatenation order is preserved.  Shares ``doc_pack_plan``'s oracle
+    because the results are identical by construction — the parity check
+    proves the fold is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokenize("text")).alias("n_tokens"),
+        (F.col("doc_id") / PACK_BUCKET).cast("bigint").alias("bucket"),
+    )
+    bucket_totals = t.groupBy("source", "bucket").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    # tiny table: one row per (source, bucket); the per-source running
+    # offset over it is a metadata-scale window, not a data window
+    bw = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket_offsets = bucket_totals.select(
+        "source",
+        "bucket",
+        (F.sum("bucket_tokens").over(bw) - F.col("bucket_tokens")).alias(
+            "bucket_offset"
+        ),
+    )
+    ww = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.join(F.broadcast(bucket_offsets), ["source", "bucket"]).withColumn(
+        "tok_offset",
+        F.col("bucket_offset") + F.sum("n_tokens").over(ww) - F.col("n_tokens"),
+    )
+    return _pack_rollup(c)
+
+
 # --------------------------------------------------------------------------
 # Deterministic shard deal + within-shard order (the "global shuffle"
 # a trainer reads).
 # --------------------------------------------------------------------------
 
 
-@query(
-    "doc_shard_assignment",
-    oracle=f"""
+def _shard_assignment_oracle(n_shards: int) -> str:
+    return f"""
 WITH h AS (
   SELECT doc_id,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h32
   FROM documents
 )
 SELECT doc_id,
-       h32 % {N_SHARDS} AS shard,
-       ROW_NUMBER() OVER (PARTITION BY h32 % {N_SHARDS}
+       h32 % {n_shards} AS shard,
+       ROW_NUMBER() OVER (PARTITION BY h32 % {n_shards}
                           ORDER BY h32, doc_id) AS pos
 FROM h
-""",
-)
-def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-deal docs to N_SHARDS with a deterministic within-shard
+"""
+
+
+def shard_assignment(
+    spark: SparkSession, sf_dir: str, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Hash-deal docs to ``n_shards`` with a deterministic within-shard
     order (sort by the same hash → pseudorandom but reproducible read
     order).  One hash-partition shuffle on ``shard`` + a local sort —
     exactly Spark's native repartition+sortWithinPartitions shape; no
-    global ordering bottleneck."""
+    global ordering bottleneck.
+
+    The window's parallelism IS ``n_shards``: each shard is one sort
+    task.  A production deal therefore sizes n_shards to the cluster
+    (hundreds to thousands — shards are also the trainer's read unit),
+    never the driver-SF default of 8; ``doc_shard_assignment_n64`` is
+    the registered scale-realistic variant."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     d = docs.withColumn("h32", hash32(F.col("doc_id"))).withColumn(
-        "shard", F.col("h32") % N_SHARDS
+        "shard", F.col("h32") % n_shards
     )
     w = Window.partitionBy("shard").orderBy("h32", "doc_id")
     return d.select(
         "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+@query("doc_shard_assignment", oracle=_shard_assignment_oracle(N_SHARDS))
+def doc_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-SF default deal (N_SHARDS=8) — see :func:`shard_assignment`."""
+    return shard_assignment(spark, sf_dir, N_SHARDS)
+
+
+@query("doc_shard_assignment_n64", oracle=_shard_assignment_oracle(64))
+def doc_shard_assignment_n64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-realistic deal: 64 shards ⇒ 64-way window parallelism at
+    driver SF (thousands in production; parameter, not plan, changes)."""
+    return shard_assignment(spark, sf_dir, 64)

@@ -68,6 +68,47 @@ def test_packing_conserves_docs_and_tokens(shared_spark, docs):
         assert r.shard_tokens < SEQ_LEN + max_doc
 
 
+def test_bucketed_pack_equals_per_source_pack(spark, sf_dir):
+    """The skew-split (source, bucket) pack must reconstruct the exact
+    global per-source offsets — byte-identical shard stats."""
+    from bigdatamlteamrepo_spark.queries.shards import (
+        doc_pack_plan,
+        doc_pack_plan_bucketed,
+    )
+
+    a = {tuple(r) for r in doc_pack_plan(spark, sf_dir).collect()}
+    b = {tuple(r) for r in doc_pack_plan_bucketed(spark, sf_dir).collect()}
+    assert a == b and a
+
+
+def test_bucketed_pack_window_partitions_by_bucket(spark, sf_dir):
+    """Plan gate: the data-scale cumsum window must be keyed by
+    (source, bucket) — parallelism ~docs/PACK_BUCKET, not #sources."""
+    from bigdatamlteamrepo_spark.queries.shards import doc_pack_plan_bucketed
+
+    plan = doc_pack_plan_bucketed(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    data_windows = [s for s in specs if "doc_id" in s]  # the cumsum windows
+    assert data_windows, plan
+    assert all("bucket" in s for s in data_windows), data_windows
+
+
+def test_shard_assignment_n_shards_parameter(spark, sf_dir):
+    """Every shard in [0, n) is populated and positions are dense."""
+    from bigdatamlteamrepo_spark.queries.shards import shard_assignment
+
+    out = shard_assignment(spark, sf_dir, 16)
+    stats = (
+        out.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"))
+        .collect()
+    )
+    assert sorted(r.shard for r in stats) == list(range(16))
+    assert all(r.mx == r.n for r in stats)
+
+
 def test_mixture_rate_monotone_in_source_size(spark):
     """Bigger sources must never get a higher keep-rate (the whole
     point of temperature sampling)."""
