@@ -31,6 +31,20 @@ def has_any_keyword(arr: Column, keywords: Sequence[str]) -> Column:
     return F.when(F.arrays_overlap(arr, kw), F.lit(1)).otherwise(F.lit(0))
 
 
+def has_any_keyword_substr(arr: Column, keywords: Sequence[str]) -> Column:
+    """1/0 label: does ANY array element CONTAIN any keyword as a
+    substring?  The labeling mode of real free-form corpora ("2 cups
+    whole milk" is a dairy hit) — used by the substring-labeled metric
+    fixture, where allergen evidence is embedded in varied composite
+    phrases instead of appearing as exact keyword phrases."""
+    from functools import reduce
+
+    def any_kw(x: Column) -> Column:
+        return reduce(lambda a, b: a | b, [x.contains(k) for k in keywords])
+
+    return F.when(F.exists(arr, any_kw), F.lit(1)).otherwise(F.lit(0))
+
+
 def first_match_category(
     arr: Column, categories: Mapping[str, Sequence[str]], default: str = "none"
 ) -> Column:

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 from bigdatamlteamrepo_spark.functions.arrays import (
     first_match_category,
     has_any_keyword,
+    has_any_keyword_substr,
     lower_array,
     multi_hot_columns,
 )
@@ -57,10 +58,16 @@ def with_ingredient_array(df: DataFrame, col: str = "ingredients") -> DataFrame:
     return df.withColumn("ingredient_array", lower_array(col))
 
 
-def with_binary_label(df: DataFrame) -> DataFrame:
-    """``Has_Allergen`` 0/1 from the 26-term list (c0:26-29)."""
+def with_binary_label(df: DataFrame, mode: str = "phrase") -> DataFrame:
+    """``Has_Allergen`` 0/1 from the 26-term list (c0:26-29).
+
+    ``mode='phrase'`` is the reference's exact-phrase membership;
+    ``mode='substr'`` labels by substring containment — the semantics of
+    free-form corpora where allergens appear inside longer phrases
+    (used with the substring metric fixture)."""
+    labeler = has_any_keyword if mode == "phrase" else has_any_keyword_substr
     return df.withColumn(
-        "Has_Allergen", has_any_keyword(F.col("ingredient_array"), ALLERGENS)
+        "Has_Allergen", labeler(F.col("ingredient_array"), ALLERGENS)
     )
 
 
@@ -123,6 +130,27 @@ def binary_estimator(
     raise ValueError(f"unknown estimator kind {kind!r}")
 
 
+def _undersample_to_balance_hash(
+    data: DataFrame, label: str, id_col: str, seed: int
+) -> DataFrame:
+    """Partition-invariant undersample: rank rows within each class by a
+    content hash and keep ``minority_count`` per class — same semantics
+    as ``orderBy(rand).limit`` rebalancing, but the kept set depends
+    only on row CONTENT, never on partitioning."""
+    from pyspark.sql import Window
+
+    counts = data.groupBy(label).agg(F.count(F.lit(1)).alias("n"))
+    min_n = counts.agg(F.min("n")).first()[0]
+    w = Window.partitionBy(label).orderBy(
+        F.xxhash64(id_col, F.lit("us"), F.lit(seed)), F.col(id_col)
+    )
+    return (
+        data.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= min_n)
+        .drop("__rk")
+    )
+
+
 @dataclass
 class BinaryResult:
     model: PipelineModel
@@ -139,21 +167,49 @@ def fit_binary(
     split=(0.8, 0.2),
     seed: int = 42,
     max_iter: int = 100,
+    label_mode: str = "phrase",
+    deterministic_split: bool = False,
+    id_col: str = "doc_id",
 ) -> BinaryResult:
     """End-to-end binary pipeline: label → (re)balance → TF-IDF → fit →
     evaluate (AUC/accuracy/F1).  Mirrors MLP.ipynb cells 0-2.
+
+    ``deterministic_split=True`` replaces the reference's
+    partitioning-dependent ``randomSplit`` / ``orderBy(rand)``
+    undersampling with content-hash equivalents keyed on ``id_col``
+    (xxhash64 split decision, hash-ranked undersample, fixed 32-way
+    hash repartition before fit) so the measured metrics are invariant
+    to ``spark.sql.shuffle.partitions`` and input layout — the property
+    the metric-reproduction suite (MLMETRICS.md) depends on.  Default
+    ``False`` keeps the reference's R2/R4 semantics.
     """
-    data = with_binary_label(with_ingredient_array(df)).withColumn(
+    data = with_binary_label(with_ingredient_array(df), label_mode).withColumn(
         "label", F.col("Has_Allergen").cast("double")
     )
     weight_col = None
     if balance == "undersample":
-        data = undersample_to_balance(data, "label", seed=seed)
+        if deterministic_split:
+            data = _undersample_to_balance_hash(data, "label", id_col, seed)
+        else:
+            data = undersample_to_balance(data, "label", seed=seed)
     elif balance == "weight":
         data = class_weights(data, "label")
         weight_col = "classWeightCol"
 
-    train, test = data.randomSplit(list(split), seed=seed)
+    if deterministic_split:
+        u = (
+            F.pmod(F.xxhash64(id_col, F.lit("split"), F.lit(seed)), F.lit(10000))
+            / 10000.0
+        )
+        frac = split[0] / (split[0] + split[1])
+        train = (
+            data.filter(u < frac)
+            .repartition(32, id_col)
+            .sortWithinPartitions(id_col)
+        )
+        test = data.filter(u >= frac)
+    else:
+        train, test = data.randomSplit(list(split), seed=seed)
     train = train.cache()  # fix for the reference's repeated recompute (§3.1)
     est = binary_estimator(kind, num_features, seed, weight_col, max_iter)
     pipe = Pipeline(stages=[*tfidf_stages(num_features=num_features), est])

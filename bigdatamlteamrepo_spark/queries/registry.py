@@ -42,8 +42,8 @@ PRI_EXTRA = 90
 #: round — individual ``@query(priority=...)`` values stay stable.
 #: Exactly 50 names: 15 never-hash-green (the 12 sketch/containment/RRF/
 #: multiprobe/best-reps queries + the r02 red doc_pack_plan + the two
-#: r01 no_oracle rows that gained oracles in r02), 2 new this round,
-#: and 33 highest-value r01 greens for re-confirmation after two rounds
+#: r01 no_oracle rows that gained oracles in r02), 4 new this round,
+#: and 31 highest-value r01 greens for re-confirmation after two rounds
 #: of churn.
 ROTATE_IN: frozenset[str] = frozenset(
     {
@@ -66,9 +66,12 @@ ROTATE_IN: frozenset[str] = frozenset(
         "doc_pack_plan",
         "doc_language_id",
         "simhash_neardup_pairs",
-        # --- new round-3 queries (skew-split pack, scale-N shard deal)
+        # --- new round-3 queries (skew-split pack, scale-N shard deal,
+        #     q11/q20 adapted TPC-H completion)
         "doc_pack_plan_bucketed",
         "doc_shard_assignment_n64",
+        "q11_important_stock",
+        "q20_dominant_supplier",
         # --- r01 greens, re-confirmed this round (33)
         "q1_pricing_summary",
         "q3_shipping_priority",
@@ -101,8 +104,6 @@ ROTATE_IN: frozenset[str] = frozenset(
         "events_user_sessions",
         "events_hourly_ffill",
         "events_value_anomalies",
-        "events_type_share",
-        "events_user_gap_stats",
     }
 )
 

@@ -4,9 +4,12 @@ receipt dates, ship modes, phones, containers and comments — each query
 below states its adaptation).
 
 Together with queries/relational.py this closes the classic 22-query
-relational surface minus the three shapes that require ``partsupp``
-price/cost columns (q11's supplycost value, q20's available quantity)
-— q9 substitutes a retail-price-derived unit cost and keeps the plan.
+relational surface: the three shapes that reference ``partsupp``
+price/cost columns are adapted — q9 substitutes a retail-price-derived
+unit cost, q11 uses shipped value as the stock-value proxy, q20 turns
+the excess-availqty predicate into a dominant-share predicate — each
+keeping the original's plan shape (scalar-subquery threshold,
+decorrelated per-group threshold join, semi-filters).
 
 Scale notes (100 TB stance):
   * every query here keeps the fact tables on the shuffle-join path and
@@ -629,4 +632,112 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(dec("c_acctbal", 30, 2)).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock identification, adapted (the driver schema has no
+# partsupp, so "stock value" is the shipped value SUM(extendedprice ×
+# quantity) per part for suppliers of one nation — same shape: two-key
+# agg, scalar-subquery threshold over the SAME aggregate, filter, sort).
+# Scale: the supply agg shuffles on l_partkey once; the threshold is a
+# 1-row aggregate broadcast back (Spark auto-broadcasts single-row
+# sides); nation/supplier joins hint only the bounded dim.
+# Threshold comparison stays deterministic cross-engine: both sides are
+# exact decimal sums cast to double, then one IEEE multiply by 0.001.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+WITH supply AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(16,2))
+             * CAST(l_quantity AS DECIMAL(12,2))) AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT p_partkey, CAST(v AS DOUBLE) AS part_value
+FROM supply, (SELECT CAST(SUM(v) AS DOUBLE) AS t FROM supply)
+WHERE CAST(v AS DOUBLE) > t * 0.001
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = maybe_broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7"),
+        "nation",
+    )
+    supply = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(dec("l_extendedprice", 16, 2) * dec("l_quantity", 12, 2)).alias("v")
+        )
+    )
+    thresh = supply.agg(F.sum("v").cast("double").alias("t"))
+    return (
+        supply.crossJoin(F.broadcast(thresh))
+        .filter(F.col("v").cast("double") > F.col("t") * 0.001)
+        .select("p_partkey", F.col("v").cast("double").alias("part_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion, adapted (no partsupp availqty, so the
+# "excess stock" predicate becomes a dominant-share predicate: suppliers
+# who shipped > 50% of a 'red%'-named part's 1995 volume).  Shape kept:
+# part-name semi-filter, per-(part, supplier) aggregate vs a correlated
+# per-part threshold — decorrelated into one grouped agg joined back, the
+# q21-style rewrite that avoids walking lineitem twice per row.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q20_dominant_supplier",
+    oracle="""
+WITH qty AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS q
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey AS pk, SUM(q) AS total FROM qty GROUP BY l_partkey
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM qty
+JOIN tot ON l_partkey = pk
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE CAST(q AS DOUBLE) > CAST(total AS DOUBLE) * 0.5
+""",
+)
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    qty = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity", 12, 2)).alias("q"))
+    )
+    tot = qty.groupBy(F.col("l_partkey").alias("pk")).agg(F.sum("q").alias("total"))
+    return (
+        qty.join(tot, qty.l_partkey == tot.pk)
+        .filter(F.col("q").cast("double") > F.col("total").cast("double") * 0.5)
+        .join(sup, qty.l_suppkey == sup.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .distinct()
     )

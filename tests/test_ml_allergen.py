@@ -109,3 +109,49 @@ def test_multihot_labels(recipes):
     assert set(cols) <= set(df.columns)
     totals = df.agg(*[F.sum(c).alias(c) for c in cols]).collect()[0]
     assert all(totals[c] > 0 for c in cols)
+
+
+def test_murmur3_replica_matches_hashing_tf(spark):
+    """The pure-Python murmur3 used for collider mining must agree with
+    MLlib's HashingTF.indexOf on every phrase class we mine with."""
+    from pyspark.ml.feature import HashingTF
+
+    from bigdatamlteamrepo_spark.ml.recipes import (
+        hashing_tf_bucket,
+        mine_substr_colliders,
+        substr_variants,
+    )
+
+    tf = HashingTF(numFeatures=5000)
+    probes = (
+        ["milk", "eggs", "cheese", "butter", "wheat", "soy"]
+        + substr_variants(30)
+        + mine_substr_colliders(60, n_buckets=8)
+    )
+    for term in probes:
+        assert hashing_tf_bucket(term) == tf.indexOf(term), term
+
+
+def test_substr_fixture_structure(spark):
+    """Substring fixture: class balance, label agreement between the
+    substring labeler and generation intent, collider docs negative."""
+    from bigdatamlteamrepo_spark.functions.arrays import has_any_keyword_substr
+    from bigdatamlteamrepo_spark.ml.recipes import (
+        ALLERGENS,
+        generate_recipes_matched_substr,
+    )
+
+    df = generate_recipes_matched_substr(spark, n_rows=3000)
+    labeled = allergen.with_ingredient_array(df).withColumn(
+        "y", has_any_keyword_substr(F.col("ingredient_array"), ALLERGENS)
+    )
+    frac = labeled.agg(F.avg("y")).first()[0]
+    assert 0.25 <= frac <= 0.34, frac
+    # exact-phrase labeling must see (almost) nothing: evidence is
+    # embedded in composite phrases, not exact keyword phrases
+    from bigdatamlteamrepo_spark.functions.arrays import has_any_keyword
+
+    exact = labeled.withColumn(
+        "y2", has_any_keyword(F.col("ingredient_array"), ALLERGENS)
+    )
+    assert exact.agg(F.avg("y2")).first()[0] < 0.01

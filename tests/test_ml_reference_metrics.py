@@ -60,6 +60,50 @@ def test_reference_binary_metrics(matched):
 
 
 @slow
+def test_reference_binary_metrics_substr_fixture(spark):
+    """VERDICT r2 item 6: on the substring-labeled fixture (evidence
+    diffused across ~300 hash buckets, the real-corpus regime) the RF
+    baseline itself lands within ±0.05 of the reference's 0.77/0.76/0.90
+    while LR/MLP stay at theirs — all binary rows inside tolerance
+    (measured, partition-invariant: RF .767/.753/.878,
+    LR .972/.972/.968, MLP .985/.985/.993; MLMETRICS.md).
+
+    ``deterministic_split=True`` because randomSplit/rand-undersample
+    are partitioning-dependent — the content-hash path makes these
+    numbers bit-stable under any shuffle_partitions setting."""
+    from bigdatamlteamrepo_spark.ml.recipes import generate_recipes_matched_substr
+
+    df = generate_recipes_matched_substr(spark).cache()
+    rf = allergen.fit_binary(
+        df, kind="rf", num_features=5000, balance="undersample", seed=42,
+        label_mode="substr", deterministic_split=True,
+    ).metrics
+    lr = allergen.fit_binary(
+        df, kind="lr", num_features=5000, balance="weight", seed=42,
+        max_iter=100, label_mode="substr", deterministic_split=True,
+    ).metrics
+    mlp = allergen.fit_binary(
+        df, kind="mlp", num_features=5000, seed=100, max_iter=100,
+        label_mode="substr", deterministic_split=True,
+    ).metrics
+    df.unpersist()
+    # reference: RF 0.77/0.76/0.90 — ±0.05 on ALL THREE metrics
+    assert abs(rf["accuracy"] - 0.77) <= 0.05, rf
+    assert abs(rf["f1"] - 0.76) <= 0.05, rf
+    assert abs(rf["auc"] - 0.90) <= 0.05, rf
+    # reference: LR 0.93/0.93/0.97 — ±0.05
+    assert abs(lr["accuracy"] - 0.93) <= 0.05, lr
+    assert abs(lr["f1"] - 0.93) <= 0.05, lr
+    assert lr["auc"] >= 0.92, lr
+    # reference: MLP 0.98/0.98/0.99 — ±0.05
+    assert abs(mlp["accuracy"] - 0.98) <= 0.05, mlp
+    assert abs(mlp["f1"] - 0.98) <= 0.05, mlp
+    assert mlp["auc"] >= 0.94, mlp
+    # capacity ordering, the reference's core finding
+    assert rf["accuracy"] < lr["accuracy"] < mlp["accuracy"], (rf, lr, mlp)
+
+
+@slow
 def test_reference_six_class_metrics(matched):
     six = allergen.fit_multiclass_six(
         matched, num_features=5000, max_iter=100, seed=42

@@ -51,6 +51,35 @@ def test_ngram_jaccard_lsh_matches_exact(spark, sf_dir):
     assert lsh == exact
 
 
+import os as _os
+
+import pytest as _pytest
+
+
+@_pytest.mark.skipif(
+    _os.environ.get("SPARK_GRAFT_RUN_SLOW") != "1",
+    reason="sf0.1 sweep (~80k docs); set SPARK_GRAFT_RUN_SLOW=1",
+)
+def test_ngram_jaccard_lsh_matches_exact_sf01(spark):
+    """VERDICT r2 item 10: the 24/6 LSH == exact equality at sf0.1,
+    previously a manual NOTES-recorded run, now slow-gated CI — a future
+    config change cannot silently reopen the s-curve recall gap at the
+    scale where the 16/4 config was measured to miss pairs."""
+    sf01 = "/root/testdata/sf0.1"
+    if not _os.path.isdir(sf01):
+        _pytest.skip("sf0.1 fixtures absent")
+    lsh = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(spark, sf01).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs_exact(spark, sf01).collect()
+    }
+    assert len(exact) > 100
+    assert lsh == exact
+
+
 def test_embedding_lsh_recall_vs_exact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     rows = emb.select("vec_id", "embedding").collect()
