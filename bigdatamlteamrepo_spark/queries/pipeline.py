@@ -656,3 +656,53 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(_RRF_TOP)
+
+
+# --------------------------------------------------------------------------
+# Per-source document caps — the "domain cap" stage of a crawl
+# pipeline: no single source may contribute more than K documents, and
+# the K kept are the highest-quality ones (type-token ratio, doc_id
+# tie-break so the cut is deterministic).  One window shuffle keyed on
+# source; at 100 TB the partition count equals the source cardinality
+# (web domains — millions), so the window parallelizes naturally; a
+# single mega-source would be handled by the same two-level split used
+# in doc_pack_plan_bucketed (pre-aggregate a per-bucket top-K, then
+# top-K of the K·n_buckets survivors — top-K is idempotent under that
+# decomposition).
+# --------------------------------------------------------------------------
+
+_CAP_PER_SOURCE = 10
+
+
+@query(
+    "per_source_doc_caps",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+           / len({_TOKENS_SQL}) AS ttr
+  FROM documents
+  WHERE len({_TOKENS_SQL}) > 0
+),
+r AS (
+  SELECT source, doc_id, ttr,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY ttr DESC, doc_id) AS rnk
+  FROM t
+)
+SELECT source, doc_id, ttr, rnk FROM r WHERE rnk <= {_CAP_PER_SOURCE}
+""",
+)
+def per_source_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", tokenize("text"))
+    n = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n
+    scored = docs.filter(n > 0).select("source", "doc_id", ttr.alias("ttr"))
+    w = Window.partitionBy("source").orderBy(F.desc("ttr"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _CAP_PER_SOURCE)
+        .select("source", "doc_id", "ttr", "rnk")
+    )

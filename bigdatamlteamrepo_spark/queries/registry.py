@@ -42,8 +42,10 @@ PRI_EXTRA = 90
 #: round — individual ``@query(priority=...)`` values stay stable.
 #: Exactly 50 names: 15 never-hash-green (the 12 sketch/containment/RRF/
 #: multiprobe/best-reps queries + the r02 red doc_pack_plan + the two
-#: r01 no_oracle rows that gained oracles in r02), 4 new this round,
-#: and 31 highest-value r01 greens for re-confirmation after two rounds
+#: r01 no_oracle rows that gained oracles in r02), 8 new this round
+#: (skew-split pack, scale-N shard deal, q11/q20, incremental dedup,
+#: prefix-filter dedup, corpus-duplication profile, per-source caps),
+#: and 27 highest-value r01 greens for re-confirmation after two rounds
 #: of churn.
 ROTATE_IN: frozenset[str] = frozenset(
     {
@@ -72,7 +74,11 @@ ROTATE_IN: frozenset[str] = frozenset(
         "doc_shard_assignment_n64",
         "q11_important_stock",
         "q20_dominant_supplier",
-        # --- r01 greens, re-confirmed this round (33)
+        "neardup_incremental_lsh",
+        "neardup_pairs_prefix_filter",
+        "doc_shared_shingle_stats",
+        "per_source_doc_caps",
+        # --- r01 greens, re-confirmed this round (27)
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier_volume",
@@ -80,9 +86,7 @@ ROTATE_IN: frozenset[str] = frozenset(
         "q18_large_volume_orders",
         "customer_order_stats",
         "top_orders_per_segment",
-        "customers_without_orders",
         "order_priority_status_crosstab",
-        "nation_region_customer_counts",
         "dedup_exact_by_lang",
         "minhash_signatures",
         "neardup_pairs_lsh",
@@ -93,8 +97,6 @@ ROTATE_IN: frozenset[str] = frozenset(
         "embedding_neardup_pairs",
         "doc_winnowing_fingerprints",
         "doc_keyword_label_counts",
-        "doc_category_distribution",
-        "doc_multihot_label_totals",
         "doc_token_stats_by_lang",
         "doc_quality_scores",
         "doc_bpe_token_counts",

@@ -641,6 +641,53 @@ __lsh_pairs AS (
 )"""
 
 
+def lsh_band_rows(
+    df: DataFrame,
+    shingle_col,
+    n_hashes: int = LSH_N_HASHES,
+    n_bands: int = LSH_N_BANDS,
+) -> DataFrame:
+    """(doc_id, band) rows — the banded-MinHash signature index.
+
+    The signature is a grouped aggregation rather than a per-row array
+    fold: explode shingles, digest each ONCE, take the n_hashes
+    universal-hash mins with map-side partial aggregation (combiner
+    state = n_hashes longs/doc, so the doc_id shuffle moves signatures,
+    not shingles).  Measured 2.4× faster than the array-accumulator
+    fold at sf0.1 — Tungsten hash-agg min beats per-shingle array
+    rebuilds — and the values are identical (same md5-word universal
+    hashes, and a min is duplicate-insensitive).
+
+    This is exactly the table a 100 TB deployment PERSISTS as its dedup
+    index (partitioned/bucketed by ``band``): batch self-join for
+    corpus dedup, band equi-join for incremental new-batch dedup
+    (:func:`neardup_incremental_lsh`).
+    """
+    from bigdatamlteamrepo_spark.functions.text import UH_MOD, band_keys, uh_constants
+
+    ex = df.select("doc_id", F.explode(shingle_col).alias("sh"))
+    hx = F.md5("sh")
+    words = ex.select(
+        "doc_id",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("w1"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("w2"),
+    )
+    consts = uh_constants(n_hashes)
+    sig = words.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("w1") + F.lit(b) * F.col("w2") + F.lit(c))
+                % F.lit(UH_MOD)
+            ).alias(f"m{i}")
+            for i, (a, b, c) in enumerate(consts)
+        ]
+    )
+    mh = F.array(*[F.col(f"m{i}") for i in range(n_hashes)])
+    return sig.select(
+        "doc_id", F.explode(band_keys(mh, n_hashes, n_bands)).alias("band")
+    )
+
+
 def lsh_candidate_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -663,47 +710,18 @@ def lsh_candidate_pairs(
     equals MinHash over the raw shingle list (duplicates never change a
     min), so the candidate set — and the oracle — is unchanged.
     """
-    from bigdatamlteamrepo_spark.functions.text import UH_MOD, band_keys, uh_constants
-
     if sets is None:
         df = _with_tokens(spark, sf_dir).filter(F.size("toks") >= 3)
         shingle_col = shingles(F.col("toks"), 3)
     else:
         df = sets
         shingle_col = F.col("s")
-    # signature as a grouped aggregation rather than a per-row array
-    # fold: explode shingles, digest each ONCE, take the n_hashes
-    # universal-hash mins with map-side partial aggregation (combiner
-    # state = n_hashes longs/doc, so the doc_id shuffle moves signatures,
-    # not shingles).  Measured 2.4× faster than the array-accumulator
-    # fold at sf0.1 — Tungsten hash-agg min beats per-shingle array
-    # rebuilds — and the values are identical (same md5-word universal
-    # hashes, and a min is duplicate-insensitive).
-    ex = df.select("doc_id", F.explode(shingle_col).alias("sh"))
-    hx = F.md5("sh")
-    words = ex.select(
-        "doc_id",
-        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("w1"),
-        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("w2"),
-    )
-    consts = uh_constants(n_hashes)
-    sig = words.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(a) * F.col("w1") + F.lit(b) * F.col("w2") + F.lit(c))
-                % F.lit(UH_MOD)
-            ).alias(f"m{i}")
-            for i, (a, b, c) in enumerate(consts)
-        ]
-    )
-    mh = F.array(*[F.col(f"m{i}") for i in range(n_hashes)])
-    bands = sig.select(
-        "doc_id", F.explode(band_keys(mh, n_hashes, n_bands)).alias("band")
-    )
     # materialize the banded signatures once: the self-join below would
     # otherwise run the whole signature aggregation twice, once per
     # alias; (doc_id, band) rows are tiny relative to the corpus
-    bands = bands.localCheckpoint(eager=True)
+    bands = lsh_band_rows(df, shingle_col, n_hashes, n_bands).localCheckpoint(
+        eager=True
+    )
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -886,3 +904,156 @@ def ngram_jaccard_pairs_exact(
         )
     )
     return _pair_jaccard(all_pairs, sets, threshold)
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: new-batch documents vs an indexed corpus.
+#
+# A 100 TB pipeline never re-deduplicates the whole corpus when a new
+# crawl lands: it keeps the banded-MinHash signature table
+# (:func:`lsh_band_rows`) as a PERSISTED index (partitioned by ``band``)
+# and equi-joins only the new batch's bands against it.  Cost per
+# ingest is O(|batch|) signature work + one shuffle bounded by band-key
+# collisions — independent of corpus size on the probe side when the
+# index is bucketed by band (no index-side shuffle at all).
+#
+# Here the "new batch" is the deterministic 20% slice
+# ``doc_id % _INCR_MOD == 0`` of the driver corpus and the index is the
+# remaining 80%, so the query is a pure function of sf_dir and stays
+# oracle-checkable; ``write/probe`` of a real persisted index is
+# exercised in tests via the same band-row builder.
+# --------------------------------------------------------------------------
+
+_INCR_MOD = 5
+
+
+@query(
+    "neardup_incremental_lsh",
+    oracle=f"""
+WITH {lsh_pairs_ctes()},
+__sets AS (SELECT doc_id, list_distinct(sh) AS s FROM __sh),
+__cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, i.doc_id AS index_doc
+  FROM __bands n JOIN __bands i ON n.band = i.band
+  WHERE n.doc_id % {_INCR_MOD} = 0 AND i.doc_id % {_INCR_MOD} <> 0
+)
+SELECT c.new_doc, c.index_doc, {_JAC_SQL} AS jaccard
+FROM __cand c
+JOIN __sets a ON a.doc_id = c.new_doc
+JOIN __sets b ON b.doc_id = c.index_doc
+WHERE {_JAC_SQL} >= {_JACCARD_MIN}
+""",
+)
+def neardup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch docs that near-duplicate an already-indexed doc.
+
+    Returns (new_doc, index_doc, jaccard) for every batch document
+    whose exact shingle Jaccard with an index document is ≥ 0.5,
+    candidates generated by the band equi-join (never n×m).
+    """
+    sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    bands = lsh_band_rows(sets, F.col("s")).localCheckpoint(eager=True)
+    is_new = F.col("doc_id") % _INCR_MOD == 0
+    cand = (
+        bands.filter(is_new)
+        .alias("n")
+        .join(bands.filter(~is_new).alias("i"), "band")
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("i.doc_id").alias("index_doc"),
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("new_doc"), F.col("s").alias("s_a"))
+    sb = sets.select(F.col("doc_id").alias("index_doc"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect("s_a", "s_b"))
+    union = F.size("s_a") + F.size("s_b") - inter
+    return (
+        cand.join(sa, "new_doc")
+        .join(sb, "index_doc")
+        .select("new_doc", "index_doc", (inter.cast("double") / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_MIN)
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-duplication profile: per-document fraction of distinct shingles
+# that occur in at least one OTHER document (the corpus-level analogue
+# of doc_repetition_metrics' within-doc dup_bigram_frac — the signal
+# used to decide how aggressively a crawl snapshot needs deduplication).
+# Shape: explode distinct shingles → global shingle document-frequency
+# (one groupBy with map-side partial agg) → join back → per-doc ratio.
+# Both shuffles key on the shingle/doc hash — uniform, skew-free, linear
+# in corpus size; no pairwise stage.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_shared_shingle_stats",
+    oracle=f"""
+WITH __t0 AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+__sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM __t0 WHERE len(toks) >= 3),
+__sets AS (SELECT doc_id, list_distinct(sh) AS s FROM __sh),
+__ex AS (SELECT doc_id, unnest(s) AS g FROM __sets),
+__freq AS (SELECT g, COUNT(*) AS nd FROM __ex GROUP BY g)
+SELECT e.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS shared_frac
+FROM __ex e JOIN __freq f ON f.g = e.g
+GROUP BY e.doc_id
+""",
+)
+def doc_shared_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sets = _shingle_sets(spark, sf_dir)
+    # one explode pass feeds both the frequency agg and the join probe
+    ex = sets.select("doc_id", F.explode("s").alias("g")).localCheckpoint(eager=True)
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long")
+    n = F.count(F.lit(1))
+    return (
+        ex.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            n.alias("n_shingles"),
+            shared.alias("n_shared"),
+            (shared.cast("double") / n).alias("shared_frac"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact set-similarity self-join via prefix filtering (AllPairs/PPJoin;
+# operators/setjoin.py).  The LOSSLESS counterpart of the LSH path
+# above: same shingle-set Jaccard ≥ 0.5 semantics, but candidates come
+# from rarest-prefix token sharing instead of MinHash banding, so
+# recall is exactly 1.0 by construction (no s-curve tail) at the cost
+# of a join keyed on (rare) shingles rather than fixed-width bands.
+# Rule of thumb at 100 TB: prefix filtering when the similarity
+# threshold is high / misses are unacceptable (dedup compliance), LSH
+# when the corpus is so hot-keyed that even rare-token candidates blow
+# up.  The oracle is the O(n²) brute force — at driver SF that's the
+# point: the engine's prefix-filtered plan must reproduce it exactly.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "neardup_pairs_prefix_filter",
+    oracle=f"""
+WITH __t0 AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+__sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM __t0 WHERE len(toks) >= 3),
+__sets AS (SELECT doc_id, list_distinct(sh) AS s FROM __sh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_JAC_SQL} AS jaccard
+FROM __sets a JOIN __sets b ON a.doc_id < b.doc_id
+WHERE {_JAC_SQL} >= {_JACCARD_MIN}
+""",
+)
+def neardup_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.operators.setjoin import prefix_jaccard_join
+
+    sets = _shingle_sets(spark, sf_dir)
+    out = prefix_jaccard_join(sets, _JACCARD_MIN, id_col="doc_id", set_col="s")
+    return out.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+    )
