@@ -398,3 +398,107 @@ def events_view_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         ev.filter(F.col("event_type") == "click"),
         within="30 minutes",
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel: view → click → purchase, each step strictly after the
+# previous one for the same user.  Three conditional-min aggregations
+# chained by user_id joins — every shuffle keys on user_id (uniform,
+# high-cardinality), and each stage's frame shrinks (only users who
+# reached the previous step).  This is the scale-safe decomposition:
+# the collect-and-sort-per-user alternative holds a user's whole event
+# history in one row, which a power user breaks; conditional mins
+# never materialize history.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel_view_click_purchase",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+""",
+)
+def events_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after_click")))
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly retention cohorts: users grouped by the ISO week of their
+# first-ever event; one row per (cohort_week, activity_week) with the
+# distinct-user count.  Two shuffles (first-seen agg on user_id,
+# cohort-cell distinct count) — the standard cohort matrix, linear at
+# any scale.  date_trunc('week') is ISO Monday-start in both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(date_trunc('week', e.ts) AS TIMESTAMP) AS activity_week,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN f ON f.user_id = e.user_id
+GROUP BY 1, 2
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).alias("activity_week"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

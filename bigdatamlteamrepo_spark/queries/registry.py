@@ -42,11 +42,11 @@ PRI_EXTRA = 90
 #: round — individual ``@query(priority=...)`` values stay stable.
 #: Exactly 50 names: 15 never-hash-green (the 12 sketch/containment/RRF/
 #: multiprobe/best-reps queries + the r02 red doc_pack_plan + the two
-#: r01 no_oracle rows that gained oracles in r02), 8 new this round
+#: r01 no_oracle rows that gained oracles in r02), 10 new this round
 #: (skew-split pack, scale-N shard deal, q11/q20, incremental dedup,
-#: prefix-filter dedup, corpus-duplication profile, per-source caps),
-#: and 27 highest-value r01 greens for re-confirmation after two rounds
-#: of churn.
+#: prefix-filter dedup, corpus-duplication profile, per-source caps,
+#: funnel, retention cohorts), and 25 highest-value r01 greens for
+#: re-confirmation after two rounds of churn.
 ROTATE_IN: frozenset[str] = frozenset(
     {
         # --- sketch tier: oracle-paired since r02, never driver-checked
@@ -78,7 +78,9 @@ ROTATE_IN: frozenset[str] = frozenset(
         "neardup_pairs_prefix_filter",
         "doc_shared_shingle_stats",
         "per_source_doc_caps",
-        # --- r01 greens, re-confirmed this round (27)
+        "events_funnel_view_click_purchase",
+        "events_retention_cohorts",
+        # --- r01 greens, re-confirmed this round (25)
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier_volume",
@@ -104,8 +106,6 @@ ROTATE_IN: frozenset[str] = frozenset(
         "events_sliding_by_type",
         "events_props_stats",
         "events_user_sessions",
-        "events_hourly_ffill",
-        "events_value_anomalies",
     }
 )
 

@@ -107,6 +107,40 @@ def main() -> None:
         rows.append((n, n_pairs, labels, t_pairs, t_cc, t_hll, t_exact))
         print(rows[-1], flush=True)
 
+    # ---- exact set-similarity join (prefix filtering) vs LSH ---------
+    # prefix filtering is lossless but its candidate volume rides the
+    # document-frequency distribution of the RAREST prefix tokens; on a
+    # closed-vocabulary corpus this is the adversarial case, so measure
+    # it honestly at the compliance-style threshold τ=0.8.
+    from bigdatamlteamrepo_spark.operators.setjoin import prefix_jaccard_join
+    from bigdatamlteamrepo_spark.queries.text_dedup import lsh_band_rows
+
+    setjoin_rows = []
+    for n in SIZES:
+        d = corpus_dir(spark, n)
+        sets = _shingle_sets(spark, d)
+        _, t_pf = timed(
+            lambda s=sets: prefix_jaccard_join(
+                s, 0.8, id_col="doc_id", set_col="s"
+            ).count()
+        )
+        # incremental probe: 20% "new batch" bands vs the 80% index
+        t0 = time.time()
+        ss = _shingle_sets(spark, d).localCheckpoint(eager=True)
+        bands = lsh_band_rows(ss, F.col("s")).localCheckpoint(eager=True)
+        new_b = bands.filter(F.col("doc_id") % 5 == 0)
+        idx_b = bands.filter(F.col("doc_id") % 5 != 0)
+        n_hits = (
+            new_b.alias("n")
+            .join(idx_b.alias("i"), "band")
+            .select(F.col("n.doc_id").alias("a"), F.col("i.doc_id").alias("b"))
+            .distinct()
+            .count()
+        )
+        t_incr = time.time() - t0
+        setjoin_rows.append((n, t_pf, t_incr, n_hits))
+        print(setjoin_rows[-1], flush=True)
+
     # ---- ANN: brute-force vs RP-LSH over synthetic embeddings --------
     from bigdatamlteamrepo_spark.operators.similarity import rp_lsh_topk
 
@@ -200,6 +234,23 @@ def main() -> None:
         "Brute force scans every vector per query (linear in corpus ×",
         "queries); RP-LSH probes one bucket per query, so its curve is the",
         "signature cost (linear, tiny constant) plus a bucket-local re-rank.",
+        "",
+        "## Exact prefix-filter join (τ=0.8) and incremental band probe",
+        "",
+        "| docs | prefix-join s | incremental-probe s | incr candidates |",
+        "|---|---|---|---|",
+    ]
+    for n, t_pf, t_incr, n_hits in setjoin_rows:
+        lines.append(f"| {n:,} | {t_pf:.2f} | {t_incr:.2f} | {n_hits} |")
+    lines += [
+        "",
+        "Prefix filtering (operators/setjoin.py) is LOSSLESS; its cost",
+        "follows the df of each record's rarest prefix tokens — on this",
+        "closed-vocabulary corpus that is the adversarial case, and the",
+        "growth above is the honest price of exactness (the LSH path's",
+        "candidates stay band-bounded).  The incremental probe times the",
+        "full new-batch ingest path: signature build for 20% of the",
+        "corpus + band equi-join against the 80% index.",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
