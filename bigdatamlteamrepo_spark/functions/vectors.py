@@ -48,3 +48,18 @@ def norm_expr(a_sql: str) -> str:
         f"sqrt(list_sum(list_transform({a_sql}, "
         f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
     )
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance, sequential fold (bit-deterministic)."""
+    diffs = F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_sq_expr(a_sql: str, b_sql: str) -> str:
+    """DuckDB twin of :func:`l2_sq`."""
+    return (
+        f"list_sum(list_transform(range(1, len({a_sql}) + 1), "
+        f"i -> (CAST({a_sql}[i] AS DOUBLE) - CAST({b_sql}[i] AS DOUBLE)) "
+        f"* (CAST({a_sql}[i] AS DOUBLE) - CAST({b_sql}[i] AS DOUBLE))))"
+    )

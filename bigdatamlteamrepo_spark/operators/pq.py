@@ -1,0 +1,165 @@
+"""Product quantization (PQ) for embedding columns — the compression
+layer of billion-scale ANN (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011; the IVF-PQ layout FAISS uses).
+
+A d-dim float vector is split into ``m`` subvectors; each subvector is
+replaced by the id of its nearest codebook centroid.  With m=4 and
+k=16 centroids a 64-dim float32 embedding (256 B) becomes four 4-bit
+codes (2 B) — 128× smaller, which is what makes a 100 TB embedding
+corpus scannable: the ADC (asymmetric distance computation) pass ranks
+candidates reading ONLY the codes + one tiny codebook, and just the
+surviving top-k rows fetch their full vectors for exact re-ranking.
+
+Engine mapping (everything a pure expression — no UDF, no fitted
+model):
+
+  * codebooks are DATA-DERIVED anchors (the subvectors of the first
+    ``k`` corpus vectors), the same device ann_voronoi_topk uses, so
+    the DuckDB oracle reproduces them verbatim — no k-means object
+    stands between the engines (a production deployment would swap in
+    sampled k-means centroids; every downstream expression is
+    unchanged);
+  * encoding = explode (vector × subspace) → equi-join the ``k``
+    centroids per subspace → windowed argmin (L2², centroid-id
+    tie-break);
+  * ADC = per-subspace partial dot(q_sub, centroid[code]) folded with
+    per-subspace CONDITIONAL aggregates (exactly one non-null term per
+    group), then summed in fixed column order — order-independent under
+    shuffle, so scores are bit-deterministic;
+  * re-rank = exact cosine on the ADC top-k only.
+
+Shuffle profile at scale: codes table is m rows/vector (tiny); the ADC
+join broadcasts queries × codebook (k·m rows); one groupBy on
+(query_id, vec_id) whose width is m.  Nothing touches full vectors
+until the final top-k equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity, dot, l2_sq
+
+#: subspace count, dims per subspace (m · sub = embedding dim)
+PQ_M = 4
+PQ_SUB = 16
+#: centroids per subspace codebook
+PQ_K = 16
+
+
+def _subspaces(df: DataFrame, vec_col: str, id_out: str, sub_out: str, m: int, sub: int) -> DataFrame:
+    """Explode (id, vector) → m rows of (id, s, subvector-slice)."""
+    s = F.explode(F.array(*[F.lit(i) for i in range(m)])).alias("s")
+    out = df.select(F.col(df.columns[0]).alias(id_out), F.col(vec_col).alias("__v"), s)
+    return out.select(
+        id_out, "s", F.slice("__v", F.col("s") * sub + 1, sub).alias(sub_out)
+    )
+
+
+def pq_codebooks(emb: DataFrame, k: int = PQ_K, m: int = PQ_M, sub: int = PQ_SUB) -> DataFrame:
+    """(s, center_id, c_sub) — per-subspace codebook from the first k
+    corpus vectors (deterministic, oracle-reproducible)."""
+    anchors = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("center_id"), "embedding"
+    )
+    return _subspaces(anchors, "embedding", "center_id", "c_sub", m, sub)
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: DataFrame, m: int = PQ_M, sub: int = PQ_SUB
+) -> DataFrame:
+    """(vec_id, s, code) — nearest-centroid id per (vector, subspace).
+
+    L2² argmin with centroid-id tie-break via a windowed row_number —
+    the window partitions on (vec_id, s), so parallelism is
+    m × corpus size.
+    """
+    vs = _subspaces(
+        emb.select("vec_id", "embedding"), "embedding", "vec_id", "v_sub", m, sub
+    )
+    j = vs.join(F.broadcast(codebooks), "s").withColumn(
+        "d2", l2_sq(F.col("v_sub"), F.col("c_sub"))
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("d2"), F.asc("center_id"))
+    return (
+        j.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "s", F.col("center_id").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = PQ_M,
+    sub: int = PQ_SUB,
+    n_centroids: int = PQ_K,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k by ADC score with exact-cosine re-rank values.
+
+    Returns (query_id, neighbor_id, adc_score, cosine_sim, rank) where
+    rank orders by (adc_score DESC, neighbor_id) — the ranking a
+    code-only scan can produce — and cosine_sim is the exact value
+    fetched for just these k rows (the re-rank read).
+    """
+    books = pq_codebooks(emb, n_centroids, m, sub)
+    # codebook + codes are the ADC working set — materialize once
+    codes = pq_encode(emb, books, m, sub).localCheckpoint(eager=True)
+    qs = _subspaces(
+        queries.select("query_id", "q_emb"), "q_emb", "query_id", "q_sub", m, sub
+    )
+    # per-(query, vector, subspace) partial dot against the coded centroid
+    part = (
+        codes.join(F.broadcast(books), (codes.s == books.s) & (codes.code == books.center_id))
+        .drop(books.s)
+        .join(F.broadcast(qs), "s")
+        .select(
+            "query_id",
+            "vec_id",
+            "s",
+            dot(F.col("q_sub"), F.col("c_sub")).alias("pd"),
+            l2_sq(F.col("c_sub"), F.array(*[F.lit(0.0)] * sub)).alias("cn2"),
+        )
+    )
+    # one conditional agg per subspace: exactly one non-null input each,
+    # so the per-group sum order cannot vary — then a FIXED-order chain
+    # of m additions (bit-deterministic, mirrored in the oracle)
+    aggs = []
+    for i in range(m):
+        aggs.append(F.sum(F.when(F.col("s") == i, F.col("pd"))).alias(f"pd{i}"))
+        aggs.append(F.sum(F.when(F.col("s") == i, F.col("cn2"))).alias(f"cn{i}"))
+    g = part.groupBy("query_id", "vec_id").agg(*aggs)
+    adc_dot = F.col("pd0")
+    recon2 = F.col("cn0")
+    for i in range(1, m):
+        adc_dot = adc_dot + F.col(f"pd{i}")
+        recon2 = recon2 + F.col(f"cn{i}")
+    qnorm = queries.select(
+        "query_id",
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))).alias("qn"),
+        F.col("q_emb"),
+    )
+    scored = g.join(F.broadcast(qnorm), "query_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (adc_dot / (F.col("qn") * F.sqrt(recon2))).alias("adc_score"),
+        "q_emb",
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    top = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # exact re-rank read: fetch full vectors for the k survivors only
+    full = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    return top.join(full, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        "adc_score",
+        cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("cosine_sim"),
+        "rank",
+    )

@@ -488,3 +488,97 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude_self=True,
         fit_sample_fraction=0.5,
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization ADC top-k (operators/pq.py): codes-only ranking
+# + exact re-rank on the k survivors.  Codebooks are data-derived
+# anchors (vec_id < PQ_K), the same oracle-reproducibility device as
+# ann_voronoi_topk, so the full PQ pipeline — encode, ADC, re-rank —
+# is value-checked end-to-end against DuckDB.
+# --------------------------------------------------------------------------
+
+
+def _ann_pq_oracle() -> str:
+    from bigdatamlteamrepo_spark.functions.vectors import l2_sq_expr
+    from bigdatamlteamrepo_spark.operators.pq import PQ_K, PQ_M, PQ_SUB
+
+    subs = ", ".join(str(s) for s in range(PQ_M))
+    sl = f"[(s*{PQ_SUB}+1):(s*{PQ_SUB}+{PQ_SUB})]"
+    pd_terms = " + ".join(f"pd{i}" for i in range(PQ_M))
+    cn_terms = " + ".join(f"cn{i}" for i in range(PQ_M))
+    per_sub = ",\n         ".join(
+        f"SUM(CASE WHEN s = {i} THEN pd END) AS pd{i},\n         "
+        f"SUM(CASE WHEN s = {i} THEN cn2 END) AS cn{i}"
+        for i in range(PQ_M)
+    )
+    sqn = "list_sum(list_transform(c_sub, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    cos = (
+        f"({dot_expr('e.embedding', 't.q_emb')} / "
+        f"({norm_expr('e.embedding')} * {norm_expr('t.q_emb')}))"
+    )
+    return f"""
+WITH __subs AS (SELECT unnest([{subs}]) AS s),
+__cb AS (
+  SELECT s, vec_id AS center_id, embedding{sl} AS c_sub
+  FROM embeddings CROSS JOIN __subs WHERE vec_id < {PQ_K}
+),
+__vs AS (
+  SELECT vec_id, s, embedding{sl} AS v_sub
+  FROM embeddings CROSS JOIN __subs
+),
+__enc AS (
+  SELECT vec_id, s, center_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s
+           ORDER BY {l2_sq_expr('v_sub', 'c_sub')} ASC, center_id) AS r
+  FROM __vs JOIN __cb USING (s)
+),
+__codes AS (SELECT vec_id, s, center_id AS code FROM __enc WHERE r = 1),
+__qs AS (
+  SELECT vec_id AS query_id, s, embedding{sl} AS q_sub
+  FROM embeddings CROSS JOIN __subs WHERE vec_id < {_ANN_NQ}
+),
+__part AS (
+  SELECT q.query_id, c.vec_id, c.s,
+         {dot_expr('q.q_sub', 'b.c_sub')} AS pd,
+         {sqn} AS cn2
+  FROM __codes c
+  JOIN __cb b ON b.s = c.s AND b.center_id = c.code
+  JOIN __qs q ON q.s = c.s
+),
+__g AS (
+  SELECT query_id, vec_id,
+         {per_sub}
+  FROM __part GROUP BY query_id, vec_id
+),
+__qn AS (
+  SELECT vec_id AS query_id,
+         sqrt({dot_expr('embedding', 'embedding')}) AS qn,
+         embedding AS q_emb
+  FROM embeddings WHERE vec_id < {_ANN_NQ}
+),
+__top AS (
+  SELECT g.query_id, g.vec_id AS neighbor_id,
+         ({pd_terms}) / (qn * sqrt({cn_terms})) AS adc_score,
+         q.q_emb,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g.query_id
+           ORDER BY ({pd_terms}) / (qn * sqrt({cn_terms})) DESC, g.vec_id)
+           AS INT) AS rank
+  FROM __g g JOIN __qn q USING (query_id)
+  WHERE g.vec_id <> g.query_id
+  QUALIFY rank <= {_ANN_K}
+)
+SELECT t.query_id, t.neighbor_id, t.adc_score,
+       {cos} AS cosine_sim, t.rank
+FROM __top t JOIN embeddings e ON e.vec_id = t.neighbor_id
+"""
+
+
+@query("ann_pq_adc_topk", oracle=_ann_pq_oracle(), priority=90)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, _queries_set(spark, sf_dir, _ANN_NQ), k=_ANN_K, exclude_self=True
+    )

@@ -42,11 +42,11 @@ PRI_EXTRA = 90
 #: round — individual ``@query(priority=...)`` values stay stable.
 #: Exactly 50 names: 15 never-hash-green (the 12 sketch/containment/RRF/
 #: multiprobe/best-reps queries + the r02 red doc_pack_plan + the two
-#: r01 no_oracle rows that gained oracles in r02), 10 new this round
+#: r01 no_oracle rows that gained oracles in r02), 11 new this round
 #: (skew-split pack, scale-N shard deal, q11/q20, incremental dedup,
 #: prefix-filter dedup, corpus-duplication profile, per-source caps,
-#: funnel, retention cohorts), and 25 highest-value r01 greens for
-#: re-confirmation after two rounds of churn.
+#: funnel, retention cohorts, PQ-ADC ANN), and 24 highest-value r01
+#: greens for re-confirmation after two rounds of churn.
 ROTATE_IN: frozenset[str] = frozenset(
     {
         # --- sketch tier: oracle-paired since r02, never driver-checked
@@ -80,7 +80,8 @@ ROTATE_IN: frozenset[str] = frozenset(
         "per_source_doc_caps",
         "events_funnel_view_click_purchase",
         "events_retention_cohorts",
-        # --- r01 greens, re-confirmed this round (25)
+        "ann_pq_adc_topk",
+        # --- r01 greens, re-confirmed this round (24)
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier_volume",
@@ -94,7 +95,6 @@ ROTATE_IN: frozenset[str] = frozenset(
         "neardup_pairs_lsh",
         "neardup_cross_source",
         "ngram_jaccard_pairs",
-        "knn_cosine_topk",
         "embedding_label_stats",
         "embedding_neardup_pairs",
         "doc_winnowing_fingerprints",

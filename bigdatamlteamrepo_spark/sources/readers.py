@@ -91,3 +91,50 @@ def ingest_to_parquet(df: DataFrame, path: str, partition_by: list[str] | None =
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+# --------------------------------------------------------------------------
+# Columnar + raw formats beyond the reference's CSV/JSON surface.
+# ORC ships in Spark's default classpath (orc-core on the jars dir), so
+# it's a first-class interchange format; text/binaryFile cover raw-blob
+# ingest (one row per line / one row per file) for corpus onboarding.
+# Avro/Delta/Iceberg/Kafka need external packages not present in this
+# runtime — read_avro raises with that context rather than half-working.
+# --------------------------------------------------------------------------
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """ORC scan with a pinned schema (same no-inference rule as CSV)."""
+    return spark.read.format("orc").schema(schema).load(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite").format("orc")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """One row per line (column ``value: string``) — raw corpus intake."""
+    return spark.read.text(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """One row per file: (path, modificationTime, length, content) —
+    the ingest shape for opaque media blobs (sources/multimodal.py
+    consumes the ``content`` binary column)."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
+def read_avro(spark: SparkSession, path: str):
+    """Avro needs the external spark-avro package; absent here."""
+    raise NotImplementedError(
+        "Avro requires the spark-avro package on the classpath; this "
+        "runtime ships only avro-core (used internally by Spark). "
+        "Add org.apache.spark:spark-avro_2.13 and use "
+        "spark.read.format('avro')."
+    )

@@ -106,3 +106,51 @@ def test_ingest_to_parquet_partitioned(spark, tmp_path_factory):
     )
     back = spark.read.parquet(d)
     assert back.count() == 50
+
+
+def test_orc_roundtrip_with_schema(spark, tmp_path_factory, sf_dir):
+    from pyspark.sql import types as T
+
+    d = str(tmp_path_factory.mktemp("orc"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    readers.write_orc(docs, d, partition_by=["lang"])
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    back = readers.read_orc(spark, d, schema)
+    assert back.count() == 40
+    # partition pruning: a lang= filter reads only that directory
+    one = back.filter(F.col("lang") == "en")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() == docs.filter(F.col("lang") == "en").count()
+    assert "OrcScan" in plan or "FileScan orc" in plan
+
+
+def test_text_and_binary_file_readers(spark, tmp_path_factory):
+    import os as _os
+
+    d = str(tmp_path_factory.mktemp("raw"))
+    with open(_os.path.join(d, "a.txt"), "w") as f:
+        f.write("line one\nline two\n")
+    with open(_os.path.join(d, "b.bin"), "wb") as f:
+        f.write(b"\x00\x01\x02payload")
+    lines = readers.read_text_lines(spark, _os.path.join(d, "a.txt"))
+    assert [r.value for r in lines.orderBy("value").collect()] == [
+        "line one",
+        "line two",
+    ]
+    blobs = readers.read_binary_files(spark, d, glob="*.bin").collect()
+    assert len(blobs) == 1 and bytes(blobs[0].content) == b"\x00\x01\x02payload"
+
+
+def test_avro_gated(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        readers.read_avro(spark, "/nonexistent")
