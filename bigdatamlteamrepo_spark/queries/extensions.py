@@ -574,7 +574,7 @@ FROM __top t JOIN embeddings e ON e.vec_id = t.neighbor_id
 """
 
 
-@query("ann_pq_adc_topk", oracle=_ann_pq_oracle(), priority=90)
+@query("ann_pq_adc_topk", oracle=_ann_pq_oracle(), priority=90, bench=True)
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatamlteamrepo_spark.operators.pq import pq_adc_topk
 

@@ -706,3 +706,102 @@ def per_source_doc_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _CAP_PER_SOURCE)
         .select("source", "doc_id", "ttr", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Histogram-sketch quantiles: the MERGEABLE alternative to the exact
+# percentile above.  events_value_percentiles' exact quantile needs the
+# full value multiset per group (a sort at 100 TB); this two-pass
+# fixed-width histogram is pure algebra — min/max/count agg, then
+# 1024-bin counts (map-side combinable), cumulative window over 1024
+# rows/group, estimate = lower edge of the first bin whose cumulative
+# count crosses q·n.  The guarantee is rank-space: the estimate
+# brackets the order statistic at rank ⌈q·n⌉ to one bin width (pinned
+# in tests; value-space distance to the interpolated quantile is
+# unbounded in sparse tails — use the exact percentile query when the
+# tail value itself matters).
+# --------------------------------------------------------------------------
+
+_HQ_BINS = 1024
+_HQ_QS = (0.5, 0.9, 0.99)
+
+
+@query(
+    "events_value_hist_quantiles",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type, MIN(value) AS mn, MAX(value) AS mx,
+         COUNT(value) AS n
+  FROM events GROUP BY event_type
+),
+b AS (
+  SELECT e.event_type,
+         CAST(least(floor((e.value - s.mn) / ((s.mx - s.mn) / {_HQ_BINS})),
+                    {_HQ_BINS - 1}) AS INT) AS bin
+  FROM events e JOIN s USING (event_type)
+  WHERE e.value IS NOT NULL
+),
+h AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY event_type, bin),
+cum AS (
+  SELECT event_type, bin,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cc
+  FROM h
+),
+est AS (
+  SELECT c.event_type,
+         {", ".join(f"MIN(CASE WHEN c.cc >= {q} * s.n THEN c.bin END) AS b{int(q * 100)}" for q in _HQ_QS)}
+  FROM cum c JOIN s USING (event_type) GROUP BY c.event_type
+)
+SELECT s.event_type, s.n,
+       {", ".join(f"s.mn + e.b{int(q * 100)} * ((s.mx - s.mn) / {_HQ_BINS}) AS p{int(q * 100)}_est" for q in _HQ_QS)}
+FROM est e JOIN s USING (event_type)
+""",
+)
+def events_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("value").alias("n"),
+    )
+    w_col = (F.col("mx") - F.col("mn")) / F.lit(_HQ_BINS)
+    binned = (
+        ev.filter(F.col("value").isNotNull())
+        .join(F.broadcast(s), "event_type")
+        .select(
+            "event_type",
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / w_col),
+                F.lit(_HQ_BINS - 1),
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    h = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = h.withColumn("cc", F.sum("c").over(w))
+    est = (
+        cum.join(F.broadcast(s.select("event_type", "n")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("cc") >= F.lit(q) * F.col("n"), F.col("bin"))
+                ).alias(f"b{int(q * 100)}")
+                for q in _HQ_QS
+            ]
+        )
+    )
+    return est.join(F.broadcast(s), "event_type").select(
+        "event_type",
+        "n",
+        *[
+            (F.col("mn") + F.col(f"b{int(q * 100)}") * w_col).alias(
+                f"p{int(q * 100)}_est"
+            )
+            for q in _HQ_QS
+        ],
+    )

@@ -990,6 +990,7 @@ def neardup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_shared_shingle_stats",
+    bench=True,
     oracle=f"""
 WITH __t0 AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
 __sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM __t0 WHERE len(toks) >= 3),

@@ -138,3 +138,37 @@ def read_avro(spark: SparkSession, path: str):
         "Add org.apache.spark:spark-avro_2.13 and use "
         "spark.read.format('avro')."
     )
+
+
+# --------------------------------------------------------------------------
+# Robust ingest: malformed-record capture and schema evolution — the
+# two failure modes a long-lived 100 TB ingest pipeline hits weekly
+# (upstream emits a bad line; upstream adds a column).
+# --------------------------------------------------------------------------
+
+
+def read_json_with_corrupt_capture(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """PERMISSIVE JSON read: rows matching ``schema`` parse normally,
+    malformed lines land whole in ``corrupt_col`` (NULL elsewhere) so
+    the pipeline can route them to a quarantine sink instead of failing
+    the job or silently dropping data."""
+    full = T.StructType(list(schema.fields) + [T.StructField(corrupt_col, T.StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every file under
+    ``path`` (``mergeSchema``); files missing a column yield NULLs.
+    Footer-merge cost scales with file count, so keep it for evolving
+    landing zones — compacted tables should pin one schema."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -37,3 +37,41 @@ def test_approx_stats_bounds(spark, sf_dir):
         # quantiles are ordered
         q = a.value_quantiles
         assert q[0] <= q[1] <= q[2]
+
+
+def test_hist_quantiles_bracket_crossing_rank(spark, duck, sf_dir):
+    """The construction guarantee is in RANK space: the estimate is the
+    lower edge of the bin holding the order statistic at rank ⌈q·n⌉, so
+    it must bracket that exact order statistic to within one bin width
+    (value-space distance to the interpolated quantile is unbounded in
+    sparse tails, so that is NOT asserted)."""
+    import math
+
+    from bigdatamlteamrepo_spark.queries.pipeline import _HQ_BINS, _HQ_QS
+    from bigdatamlteamrepo_spark.queries import QUERIES
+
+    est = {
+        r.event_type: r.asDict()
+        for r in QUERIES["events_value_hist_quantiles"](spark, sf_dir).collect()
+    }
+    stats = duck.sql(
+        f"SELECT event_type, MIN(value) mn, MAX(value) mx, COUNT(value) n "
+        f"FROM '{sf_dir}/events.parquet' GROUP BY event_type"
+    ).df()
+    for _, row in stats.iterrows():
+        width = (row.mx - row.mn) / _HQ_BINS
+        for q in _HQ_QS:
+            k = math.ceil(q * row.n)
+            v_k = duck.sql(
+                f"SELECT value FROM '{sf_dir}/events.parquet' "
+                f"WHERE event_type = '{row.event_type}' AND value IS NOT NULL "
+                f"ORDER BY value LIMIT 1 OFFSET {k - 1}"
+            ).df().iloc[0, 0]
+            e = est[row.event_type][f"p{int(q*100)}_est"]
+            assert v_k - width * 1.001 <= e <= v_k + 1e-9, (
+                row.event_type,
+                q,
+                e,
+                v_k,
+                width,
+            )

@@ -154,3 +154,40 @@ def test_avro_gated(spark):
 
     with _pytest.raises(NotImplementedError):
         readers.read_avro(spark, "/nonexistent")
+
+
+def test_json_corrupt_record_capture(spark, tmp_path_factory):
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    d = str(tmp_path_factory.mktemp("badjson"))
+    with open(_os.path.join(d, "part.json"), "w") as f:
+        f.write('{"id": 1, "name": "ok"}\n')
+        f.write('{"id": 2, "name": "also ok"}\n')
+        f.write('{"id": 3, "name": BROKEN\n')
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    out = readers.read_json_with_corrupt_capture(spark, d, schema).cache()
+    good = out.filter(F.col("_corrupt_record").isNull())
+    bad = out.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert "BROKEN" in bad.first()._corrupt_record
+    assert bad.first().id is None
+
+
+def test_parquet_merge_schema_evolution(spark, tmp_path_factory):
+    import os as _os
+
+    d = str(tmp_path_factory.mktemp("evolve"))
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        _os.path.join(d, "batch=1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 0.5)], "id long, name string, score double"
+    ).write.parquet(_os.path.join(d, "batch=2"))
+    merged = readers.read_parquet_merged(spark, d)
+    assert set(merged.columns) >= {"id", "name", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 0.5
