@@ -837,7 +837,15 @@ _JAC_SQL = (
 
 
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s) — distinct 3-token shingle set per document."""
+    """(doc_id, s) — distinct 3-token shingle set per document.
+
+    Deliberately NO repartition before the tokenize → shingle chain:
+    measured at bench SF, widening a small single-split scan to 32
+    partitions costs more in token-array shuffle than the ~1 s of
+    serial expression work it parallelizes (2.5 s vs 1.4 s warm for
+    doc_shared_shingle_stats); at real scale the file layout provides
+    the splits and the shuffle would be pure overhead.
+    """
     return (
         _with_tokens(spark, sf_dir)
         .filter(F.size("toks") >= 3)
@@ -1007,9 +1015,13 @@ GROUP BY e.doc_id
 """,
 )
 def doc_shared_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sets = _shingle_sets(spark, sf_dir)
-    # one explode pass feeds both the frequency agg and the join probe
-    ex = sets.select("doc_id", F.explode("s").alias("g")).localCheckpoint(eager=True)
+    # checkpoint the COMPACT array frame and re-derive the explode per
+    # consumer: materializing the Generate output itself measured 22 s
+    # vs 1.1 s for the array frame + 0.2 s per re-explode at sf0.1 —
+    # checkpointing exploded rows pays row-at-a-time storage costs on
+    # n_shingles × n_docs rows for no reuse benefit
+    sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    ex = sets.select("doc_id", F.explode("s").alias("g"))
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
     shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long")
     n = F.count(F.lit(1))
