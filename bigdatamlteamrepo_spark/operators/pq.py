@@ -163,3 +163,136 @@ def pq_adc_topk(
         cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("cosine_sim"),
         "rank",
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_anchors: int = 8,
+    n_probe: int = 3,
+    rerank: int = 30,
+    m: int = PQ_M,
+    sub: int = PQ_SUB,
+    n_centroids: int = PQ_K,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF→PQ→exact-re-rank — the FAISS IVFPQ architecture as pure
+    DataFrame algebra.
+
+    Three pruning layers, each cutting the bytes the next one touches:
+
+      1. **IVF**: data-defined Voronoi cells (first ``n_anchors``
+         corpus vectors, cosine assignment, low-id tie-break — the
+         same oracle-reproducibility device as voronoi_topk); a query
+         reads only its ``n_probe`` nearest cells (~n_probe/n_anchors
+         of the corpus).
+      2. **PQ-ADC**: within probed cells, rank by quantized dot
+         products reading ONLY the m-byte codes + broadcast codebook;
+         keep the top ``rerank`` per query.
+      3. **Exact re-rank**: fetch full vectors for the ``rerank``
+         survivors only; final top-k by exact cosine.
+
+    At 100 TB: the codes+cell table (a few bytes/vector) is the only
+    thing scanned per query after the broadcast probes; full vectors
+    are touched for rerank × queries rows.  Returns (query_id,
+    neighbor_id, adc_score, cosine_sim, rank) with rank by exact
+    cosine.
+    """
+    anchors = emb.filter(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("a_emb")
+    )
+    asim = cosine_similarity(F.col("c_emb"), F.col("a_emb"))
+    corpus = (
+        emb.select(F.col("vec_id").alias("nid"), F.col("embedding").alias("c_emb"))
+        .crossJoin(F.broadcast(anchors))
+        .select("nid", "cell", asim.alias("a_sim"))
+    )
+    wc = Window.partitionBy("nid").orderBy(F.desc("a_sim"), F.asc("cell"))
+    assigned = (
+        corpus.withColumn("r", F.row_number().over(wc))
+        .filter(F.col("r") == 1)
+        .select(F.col("nid").alias("vec_id"), "cell")
+    )
+
+    books = pq_codebooks(emb, n_centroids, m, sub)
+    codes = (
+        pq_encode(emb, books, m, sub)
+        .join(assigned, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+    qsim = cosine_similarity(F.col("q_emb"), F.col("a_emb"))
+    qc = queries.crossJoin(F.broadcast(anchors)).select(
+        "query_id", "q_emb", "cell", qsim.alias("a_sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("a_sim"), F.asc("cell"))
+    probed = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    qs = _subspaces(
+        queries.select("query_id", "q_emb"), "q_emb", "query_id", "q_sub", m, sub
+    )
+    part = (
+        codes.join(F.broadcast(probed), "cell")
+        .join(
+            F.broadcast(books),
+            (codes.s == books.s) & (codes.code == books.center_id),
+        )
+        .drop(books.s)
+        # (query_id, s) both: the probe join already fixed the query —
+        # joining on s alone would cross every query's subvectors in
+        .join(F.broadcast(qs), ["query_id", "s"])
+        .select(
+            "query_id",
+            "vec_id",
+            "s",
+            dot(F.col("q_sub"), F.col("c_sub")).alias("pd"),
+            l2_sq(F.col("c_sub"), F.array(*[F.lit(0.0)] * sub)).alias("cn2"),
+        )
+    )
+    aggs = []
+    for i in range(m):
+        aggs.append(F.sum(F.when(F.col("s") == i, F.col("pd"))).alias(f"pd{i}"))
+        aggs.append(F.sum(F.when(F.col("s") == i, F.col("cn2"))).alias(f"cn{i}"))
+    g = part.groupBy("query_id", "vec_id").agg(*aggs)
+    adc_dot = F.col("pd0")
+    recon2 = F.col("cn0")
+    for i in range(1, m):
+        adc_dot = adc_dot + F.col(f"pd{i}")
+        recon2 = recon2 + F.col(f"cn{i}")
+    qnorm = queries.select(
+        "query_id", F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))).alias("qn"), "q_emb"
+    )
+    scored = g.join(F.broadcast(qnorm), "query_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (adc_dot / (F.col("qn") * F.sqrt(recon2))).alias("adc_score"),
+        "q_emb",
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    shortlist = scored.withColumn("ar", F.row_number().over(w_adc)).filter(
+        F.col("ar") <= rerank
+    )
+    full = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    w_fin = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(full, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_score",
+            cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_fin).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -582,3 +582,132 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         emb, _queries_set(spark, sf_dir, _ANN_NQ), k=_ANN_K, exclude_self=True
     )
+
+
+# --------------------------------------------------------------------------
+# IVF→PQ→exact-re-rank (operators/pq.py::ivfpq_topk): the FAISS IVFPQ
+# architecture end-to-end — Voronoi cell pruning, code-only ADC ranking
+# inside probed cells, exact cosine re-rank of the shortlist.  Both the
+# cells and the codebooks are data-derived (vec_id < N), so the entire
+# three-layer index is one deterministic SQL expression and the oracle
+# value-checks it end-to-end.
+# --------------------------------------------------------------------------
+
+_IVFPQ_RERANK = 30
+
+
+def _ann_ivfpq_oracle() -> str:
+    from bigdatamlteamrepo_spark.functions.vectors import l2_sq_expr
+    from bigdatamlteamrepo_spark.operators.pq import PQ_K, PQ_M, PQ_SUB
+
+    subs = ", ".join(str(s) for s in range(PQ_M))
+    sl = f"[(s*{PQ_SUB}+1):(s*{PQ_SUB}+{PQ_SUB})]"
+    pd_terms = " + ".join(f"pd{i}" for i in range(PQ_M))
+    cn_terms = " + ".join(f"cn{i}" for i in range(PQ_M))
+    per_sub = ",\n         ".join(
+        f"SUM(CASE WHEN s = {i} THEN pd END) AS pd{i},\n         "
+        f"SUM(CASE WHEN s = {i} THEN cn2 END) AS cn{i}"
+        for i in range(PQ_M)
+    )
+    sqn = "list_sum(list_transform(c_sub, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    acell = (
+        f"({dot_expr('e.embedding', 'a.a_emb')} / "
+        f"({norm_expr('e.embedding')} * {norm_expr('a.a_emb')}))"
+    )
+    cos = (
+        f"({dot_expr('e.embedding', 't.q_emb')} / "
+        f"({norm_expr('e.embedding')} * {norm_expr('t.q_emb')}))"
+    )
+    return f"""
+WITH __subs AS (SELECT unnest([{subs}]) AS s),
+__cb AS (
+  SELECT s, vec_id AS center_id, embedding{sl} AS c_sub
+  FROM embeddings CROSS JOIN __subs WHERE vec_id < {PQ_K}
+),
+__vs AS (
+  SELECT vec_id, s, embedding{sl} AS v_sub
+  FROM embeddings CROSS JOIN __subs
+),
+__enc AS (
+  SELECT vec_id, s, center_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s
+           ORDER BY {l2_sq_expr('v_sub', 'c_sub')} ASC, center_id) AS r
+  FROM __vs JOIN __cb USING (s)
+),
+__codes AS (SELECT vec_id, s, center_id AS code FROM __enc WHERE r = 1),
+__anchors AS (
+  SELECT vec_id AS cell, embedding AS a_emb FROM embeddings
+  WHERE vec_id < {_VOR_ANCHORS}
+),
+__asim AS (
+  SELECT e.vec_id, a.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY {acell} DESC, a.cell) AS r
+  FROM embeddings e CROSS JOIN __anchors a
+),
+__assigned AS (SELECT vec_id, cell FROM __asim WHERE r = 1),
+__pcodes AS (
+  SELECT c.vec_id, c.s, c.code, g.cell
+  FROM __codes c JOIN __assigned g USING (vec_id)
+),
+__qprobe AS (
+  SELECT vec_id AS query_id, cell FROM __asim
+  WHERE vec_id < {_ANN_NQ} AND r <= {_VOR_PROBE}
+),
+__qs AS (
+  SELECT vec_id AS query_id, s, embedding{sl} AS q_sub
+  FROM embeddings CROSS JOIN __subs WHERE vec_id < {_ANN_NQ}
+),
+__part AS (
+  SELECT p.query_id, c.vec_id, c.s,
+         {dot_expr('q.q_sub', 'b.c_sub')} AS pd,
+         {sqn} AS cn2
+  FROM __pcodes c
+  JOIN __qprobe p USING (cell)
+  JOIN __cb b ON b.s = c.s AND b.center_id = c.code
+  JOIN __qs q ON q.query_id = p.query_id AND q.s = c.s
+),
+__g AS (
+  SELECT query_id, vec_id,
+         {per_sub}
+  FROM __part GROUP BY query_id, vec_id
+),
+__qn AS (
+  SELECT vec_id AS query_id,
+         sqrt({dot_expr('embedding', 'embedding')}) AS qn,
+         embedding AS q_emb
+  FROM embeddings WHERE vec_id < {_ANN_NQ}
+),
+__short AS (
+  SELECT g.query_id, g.vec_id AS neighbor_id,
+         ({pd_terms}) / (qn * sqrt({cn_terms})) AS adc_score,
+         q.q_emb,
+         ROW_NUMBER() OVER (PARTITION BY g.query_id
+           ORDER BY ({pd_terms}) / (qn * sqrt({cn_terms})) DESC, g.vec_id) AS ar
+  FROM __g g JOIN __qn q USING (query_id)
+  WHERE g.vec_id <> g.query_id
+  QUALIFY ar <= {_IVFPQ_RERANK}
+)
+SELECT t.query_id, t.neighbor_id, t.adc_score,
+       {cos} AS cosine_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY t.query_id
+         ORDER BY {cos} DESC, t.neighbor_id) AS INT) AS rank
+FROM __short t JOIN embeddings e ON e.vec_id = t.neighbor_id
+QUALIFY rank <= {_ANN_K}
+"""
+
+
+@query("ann_ivfpq_topk", oracle=_ann_ivfpq_oracle(), priority=90)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdatamlteamrepo_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb,
+        _queries_set(spark, sf_dir, _ANN_NQ),
+        k=_ANN_K,
+        n_anchors=_VOR_ANCHORS,
+        n_probe=_VOR_PROBE,
+        rerank=_IVFPQ_RERANK,
+        exclude_self=True,
+    )

@@ -88,3 +88,41 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    sort_within_by: Sequence[str] | None = None,
+) -> int:
+    """Compact a small-files parquet landing zone into ~``target_mb``
+    files; returns the output file-count.
+
+    Streaming ingests and partitioned writes leave landing zones with
+    thousands of KB-scale files; at 100 TB the scan pays per-file open/
+    footer costs and the driver pays per-file listing — compaction into
+    ~128 MB files is the standard remedy (the ``OPTIMIZE`` half of
+    lakehouse maintenance; the Z-order write above is the other half).
+
+    File count = ceil(input bytes / target), measured from the source
+    footprint via Hadoop's FileSystem (works for any supported scheme,
+    not just local paths).  ``sort_within_by`` optionally sorts within
+    output files so row-group min/max stats prune scans on those
+    columns.  Compression usually shrinks output below target_mb —
+    sizing from INPUT bytes biases toward slightly smaller, splittable
+    files rather than oversized ones.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(hconf)
+    total_bytes = fs.getContentSummary(path).getLength()
+    n_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    out = df.repartition(int(n_files))
+    if sort_within_by:
+        out = out.sortWithinPartitions(*sort_within_by)
+    out.write.mode("overwrite").parquet(dst)
+    return int(n_files)

@@ -70,3 +70,25 @@ def test_zorder_preserves_rows_and_shrinks_extents(spark, tmp_path):
         (F.max("user_id") - F.min("user_id")).alias("s")
     ).collect()[0].s
     assert z_user < 0.8 * full_user
+
+
+def test_compact_parquet_small_files(spark, tmp_path_factory):
+    import glob
+    import os as _os
+
+    from bigdatamlteamrepo_spark.sources.layout import compact_parquet
+
+    src = str(tmp_path_factory.mktemp("landing"))
+    dst = str(tmp_path_factory.mktemp("compacted"))
+    # a landing zone of 40 tiny files
+    spark.range(0, 4000).selectExpr(
+        "id", "CAST(id % 7 AS INT) AS k", "repeat('x', 100) AS pad"
+    ).repartition(40).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(_os.path.join(src, "part-*"))) == 40
+    n = compact_parquet(spark, src, dst, target_mb=128, sort_within_by=["k"])
+    assert n == 1  # tiny input → one target-size file
+    files = glob.glob(_os.path.join(dst, "part-*"))
+    assert len(files) == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 4000
+    assert back.agg({"id": "sum"}).first()[0] == sum(range(4000))

@@ -143,3 +143,50 @@ def test_adc_retrieve_then_rerank_on_clustered_data(spark):
         )
         hits += len(reranked & truth)
     assert hits / 60 >= 0.9, f"retrieve+rerank recall {hits}/60"
+
+
+def test_ivfpq_clustered_recall_and_pruning(spark):
+    """IVF→PQ→re-rank on clustered vectors: with one data-derived
+    anchor per cluster and n_probe=1, a query touches only its own
+    cell, and the re-ranked top-10 matches the exact top-10 (all true
+    neighbors are intra-cluster by construction)."""
+    import numpy as np
+
+    from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity
+    from bigdatamlteamrepo_spark.operators.pq import ivfpq_topk
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 32)) * 3
+    rows = []
+    for i in range(300):
+        v = centers[i % 6] + rng.normal(scale=0.15, size=32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    qs = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ivfpq_topk(
+        emb, qs, k=10, n_anchors=6, n_probe=1, rerank=49, m=4, sub=8,
+        exclude_self=True,
+    ).toPandas()
+    # pruning: neighbors only from the query's own cluster
+    assert ((out["neighbor_id"] % 6) == (out["query_id"] % 6)).all()
+    exact = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("cos"),
+        )
+        .toPandas()
+    )
+    hits = 0
+    for qid, grp in out.groupby("query_id"):
+        truth = set(
+            exact[exact.query_id == qid]
+            .sort_values(["cos", "vec_id"], ascending=[False, True])
+            .head(10)["vec_id"]
+        )
+        hits += len(set(grp["neighbor_id"]) & truth)
+    assert hits / 60 >= 0.95, f"IVFPQ recall {hits}/60"
