@@ -103,3 +103,73 @@ def user_running_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming funnel state machine: per-user (view → click → purchase)
+# stage tracking — the streaming twin of the batch
+# events_funnel_view_click_purchase query.  State is three nullable
+# epoch-micros timestamps per user; each batch's rows are processed in
+# event-time order, so with per-user in-order arrival the final state
+# equals the batch chained-conditional-min computation (asserted in
+# tests).  O(1) state per user, sharded by the groupBy key.
+# --------------------------------------------------------------------------
+
+FUNNEL_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("stage", T.IntegerType()),
+        T.StructField("t1_us", T.LongType()),
+        T.StructField("t2_us", T.LongType()),
+        T.StructField("t3_us", T.LongType()),
+    ]
+)
+
+FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("t1", T.LongType()),
+        T.StructField("t2", T.LongType()),
+        T.StructField("t3", T.LongType()),
+    ]
+)
+
+
+def _funnel_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (user_id,) = key
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+    # pandas datetime64 is nanoseconds regardless of the parquet unit —
+    # convert to epoch MICROS to match Spark's unix_micros on the twin
+    ts_us = rows["ts"].astype("int64") // 1000
+    for ts, etype in zip(ts_us, rows["event_type"]):
+        ts = int(ts)
+        if etype == "view" and t1 is None:
+            t1 = ts
+        elif etype == "click" and t1 is not None and t2 is None and ts > t1:
+            t2 = ts
+        elif etype == "purchase" and t2 is not None and t3 is None and ts > t2:
+            t3 = ts
+    state.update((t1, t2, t3))
+    stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "stage": [stage],
+            "t1_us": [t1],
+            "t2_us": [t2],
+            "t3_us": [t3],
+        }
+    )
+
+
+def user_funnel_stages(events: DataFrame) -> DataFrame:
+    """Streaming per-user funnel stage (0-3) with first-transition
+    timestamps; ``update`` mode emits the current stage for users seen
+    in each micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        outputStructType=FUNNEL_OUTPUT,
+        stateStructType=FUNNEL_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -96,3 +96,71 @@ def test_pipeline_model_save_load_roundtrip(spark, tmp_path_factory):
     a = back.transform(data).select("doc_id", "prediction").collect()
     b = res.model.transform(data).select("doc_id", "prediction").collect()
     assert {(r.doc_id, r.prediction) for r in a} == {(r.doc_id, r.prediction) for r in b}
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir):
+    """Streaming funnel state machine ≡ the batch chained
+    conditional-min funnel, per user."""
+    from bigdatamlteamrepo_spark.streaming.stateful import user_funnel_stages
+
+    stream = W.read_events_stream(spark, sf_dir)
+    out = user_funnel_stages(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("funnel_stages")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.user_id: (r.stage, r.t1_us, r.t2_us, r.t3_us)
+        for r in spark.sql(
+            "SELECT user_id, s.stage AS stage, s.t1_us AS t1_us, "
+            "s.t2_us AS t2_us, s.t3_us AS t3_us FROM ("
+            "  SELECT user_id, max_by(struct(stage, t1_us, t2_us, t3_us), stage) AS s"
+            "  FROM funnel_stages GROUP BY user_id)"
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    us = lambda col: (F.unix_micros(F.col(col)))
+    batch = (
+        ev.select("user_id")
+        .distinct()
+        .join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("stage"),
+            us("t1").alias("t1_us"),
+            us("t2").alias("t2_us"),
+            us("t3").alias("t3_us"),
+        )
+    )
+    want = {r.user_id: (r.stage, r.t1_us, r.t2_us, r.t3_us) for r in batch.collect()}
+    assert got == want
