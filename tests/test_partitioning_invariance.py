@@ -1,0 +1,44 @@
+"""Partitioning-invariance: registered queries must produce identical
+values regardless of shuffle width — the property that makes local
+parity meaningful for a 1000-executor deployment.
+
+The suite session runs at shuffle_partitions=8; here a representative
+query per family (agg, window, dedup-join, sketch, ANN, packing) is
+re-run at a different width via a temporary conf override and compared
+row-for-row.  Queries built from F.sum(double) would fail this —
+everything registered uses decimal-stable or order-independent
+aggregation, which is exactly what this pins.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatamlteamrepo_spark.queries import QUERIES
+
+REPRESENTATIVES = [
+    "q1_pricing_summary",          # decimal-stable aggregation
+    "customer_spend_ranks",        # window ranking family
+    "ngram_jaccard_pairs",         # LSH dedup join + double ratio
+    "hll_orders_by_flag",          # sketch algebra
+    "ann_pq_adc_topk",             # PQ conditional-agg ADC + re-rank
+    "doc_pack_plan_bucketed",      # bucketed cumsum packing
+]
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()), key=repr
+    )
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_result_invariant_to_shuffle_width(spark, sf_dir, name):
+    base = _rows(QUERIES[name](spark, sf_dir))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        narrow = _rows(QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == narrow
