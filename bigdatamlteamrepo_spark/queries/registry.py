@@ -42,11 +42,12 @@ PRI_EXTRA = 90
 #: round — individual ``@query(priority=...)`` values stay stable.
 #: Exactly 50 names: 15 never-hash-green (the 12 sketch/containment/RRF/
 #: multiprobe/best-reps queries + the r02 red doc_pack_plan + the two
-#: r01 no_oracle rows that gained oracles in r02), 11 new this round
+#: r01 no_oracle rows that gained oracles in r02), 13 new this round
 #: (skew-split pack, scale-N shard deal, q11/q20, incremental dedup,
 #: prefix-filter dedup, corpus-duplication profile, per-source caps,
-#: funnel, retention cohorts, PQ-ADC ANN), and 24 highest-value r01
-#: greens for re-confirmation after two rounds of churn.
+#: funnel, retention cohorts, PQ-ADC ANN, IVFPQ ANN, histogram
+#: quantiles), and 22 highest-value r01 greens for re-confirmation
+#: after two rounds of churn.
 ROTATE_IN: frozenset[str] = frozenset(
     {
         # --- sketch tier: oracle-paired since r02, never driver-checked
@@ -81,7 +82,9 @@ ROTATE_IN: frozenset[str] = frozenset(
         "events_funnel_view_click_purchase",
         "events_retention_cohorts",
         "ann_pq_adc_topk",
-        # --- r01 greens, re-confirmed this round (24)
+        "ann_ivfpq_topk",
+        "events_value_hist_quantiles",
+        # --- r01 greens, re-confirmed this round (22)
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier_volume",
@@ -99,9 +102,7 @@ ROTATE_IN: frozenset[str] = frozenset(
         "embedding_neardup_pairs",
         "doc_winnowing_fingerprints",
         "doc_keyword_label_counts",
-        "doc_token_stats_by_lang",
         "doc_quality_scores",
-        "doc_bpe_token_counts",
         "events_hourly_by_type",
         "events_sliding_by_type",
         "events_props_stats",
