@@ -42,12 +42,13 @@ PRI_EXTRA = 90
 #: round — individual ``@query(priority=...)`` values stay stable.
 #: Exactly 50 names: 15 never-hash-green (the 12 sketch/containment/RRF/
 #: multiprobe/best-reps queries + the r02 red doc_pack_plan + the two
-#: r01 no_oracle rows that gained oracles in r02), 13 new this round
+#: r01 no_oracle rows that gained oracles in r02), 18 new this round
 #: (skew-split pack, scale-N shard deal, q11/q20, incremental dedup,
 #: prefix-filter dedup, corpus-duplication profile, per-source caps,
 #: funnel, retention cohorts, PQ-ADC ANN, IVFPQ ANN, histogram
-#: quantiles), and 22 highest-value r01 greens for re-confirmation
-#: after two rounds of churn.
+#: quantiles, bigram-LM perplexity, DSIR weights, BPE pair counts,
+#: stratified sample, triangle census), and 17 highest-value r01
+#: greens for re-confirmation after two rounds of churn.
 ROTATE_IN: frozenset[str] = frozenset(
     {
         # --- sketch tier: oracle-paired since r02, never driver-checked
@@ -84,28 +85,29 @@ ROTATE_IN: frozenset[str] = frozenset(
         "ann_pq_adc_topk",
         "ann_ivfpq_topk",
         "events_value_hist_quantiles",
-        # --- r01 greens, re-confirmed this round (22)
+        # --- statistical text-modeling + graph tier (new this round)
+        "doc_lm_perplexity",
+        "dsir_importance_weights",
+        "bpe_pair_counts",
+        "doc_stratified_sample",
+        "part_cooccurrence_triangles",
+        # --- r01 greens, re-confirmed this round (17)
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier_volume",
-        "q17_small_quantity_revenue",
         "q18_large_volume_orders",
-        "customer_order_stats",
         "top_orders_per_segment",
         "order_priority_status_crosstab",
         "dedup_exact_by_lang",
         "minhash_signatures",
         "neardup_pairs_lsh",
-        "neardup_cross_source",
         "ngram_jaccard_pairs",
-        "embedding_label_stats",
         "embedding_neardup_pairs",
         "doc_winnowing_fingerprints",
         "doc_keyword_label_counts",
         "doc_quality_scores",
         "events_hourly_by_type",
         "events_sliding_by_type",
-        "events_props_stats",
         "events_user_sessions",
     }
 )

@@ -1,0 +1,452 @@
+"""Statistical text-modeling tier: n-gram LM perplexity filtering,
+DSIR-style importance weighting, BPE merge-pair counting, and exact
+stratified sampling.
+
+The data-*selection* layer of a pretraining pipeline — after dedup and
+rule filters, corpora are scored against statistical models and
+subsampled:
+
+* **Bigram-LM perplexity** (CCNet, Wenzek et al. 2020): train an add-k
+  smoothed bigram model ON the corpus, score every document by mean
+  token log-probability, and bucket each language's documents into
+  perplexity terciles (CCNet's head/middle/tail split that downstream
+  pipelines sample from).
+* **DSIR importance weights** (Xie et al. 2023): hashed-bigram unigram
+  models for a target distribution vs the raw corpus; a document's
+  weight is its summed per-feature log-likelihood ratio.  The model is
+  a fixed-width bucket table (broadcast), so scoring is O(doc tokens)
+  regardless of corpus size.
+* **BPE pair counts**: the inner statistic of byte-pair-encoding
+  tokenizer training — corpus-frequency-weighted counts of adjacent
+  symbol pairs (characters + an end-of-word marker) over the *distinct
+  word* table, which Zipf collapses to a tiny fraction of the corpus.
+* **Stratified exact-n sample**: deterministic K-per-stratum selection
+  by portable-hash order, with a pre-filter cutoff so the per-stratum
+  sort never sees more than ~4K candidate rows no matter how large the
+  corpus is.
+
+Floating-point discipline (the house rule, cf. integer PageRank in
+``operators/pagerank.py`` and the decimal TPC-H sums in
+``queries/relational.py``): every per-row log-probability is computed
+by an identical row-local double expression in both engines, then
+**quantized to fixed-point micro units (×1e6, BIGINT)** before any
+aggregation — integer sums are associative, so the reduction order
+(partial aggs, shuffle order, DuckDB vs Spark) can never perturb the
+result.  Doubles only reappear in final row-local arithmetic.
+
+Reference parity: extends the reference's token-statistics work
+(model.py:50-98 word extraction / stopword filtering / frequency
+analysis) from per-document features to corpus-level statistical
+models, the same capability at pretraining-corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.functions.text import shingles, tokenize, tokenize_words
+from bigdatamlteamrepo_spark.queries.registry import query
+from bigdatamlteamrepo_spark.queries.shards import hash32
+from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
+
+#: add-k smoothing mass for the bigram LM (k per continuation type)
+LM_K = 0.5
+#: fixed-point scale for log-probabilities: 1 micro-nat resolution
+MICRO = 1_000_000
+#: DSIR hashed-feature width (buckets); the whole model is 2×B counters
+DSIR_BUCKETS = 256
+#: DSIR Laplace smoothing per bucket
+DSIR_SMOOTH = 1.0
+#: stratified sample size per stratum
+STRAT_K = 25
+#: oversampling safety factor for the stratified pre-filter cutoff
+STRAT_SAFETY = 4
+
+_WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+
+
+def _bigrams_sql(toks: str) -> str:
+    """DuckDB: space-joined adjacent token pairs of a token list."""
+    return (
+        f"list_transform(range(1, len({toks})), "
+        f"i -> {toks}[i] || ' ' || {toks}[i + 1])"
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM perplexity (CCNet head/middle/tail).
+# --------------------------------------------------------------------------
+
+_LM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, unnest({_bigrams_sql('toks')}) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+lm AS (
+  SELECT bigram, COUNT(*) AS c_xy FROM bg GROUP BY bigram
+),
+uni AS (
+  SELECT string_split(bigram, ' ')[1] AS x, CAST(SUM(c_xy) AS BIGINT) AS c_x
+  FROM lm GROUP BY 1
+),
+v AS (
+  SELECT COUNT(*) AS vsz FROM (SELECT DISTINCT unnest(toks) AS tok FROM t)
+),
+scored AS (
+  SELECT bg.doc_id, bg.lang,
+         CAST(round(ln((lm.c_xy + {LM_K}) / (uni.c_x + {LM_K} * v.vsz))
+                    * {MICRO}) AS BIGINT) AS lp_micro
+  FROM bg
+  JOIN lm USING (bigram)
+  JOIN uni ON string_split(bg.bigram, ' ')[1] = uni.x
+  CROSS JOIN v
+),
+agg AS (
+  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+         CAST(SUM(lp_micro) AS BIGINT) AS lp_sum_micro
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_bigrams, lp_sum_micro,
+       round(exp(-(CAST(lp_sum_micro AS DOUBLE) / {MICRO}) / n_bigrams), 6)
+         AS perplexity,
+       ntile(3) OVER (
+         PARTITION BY lang
+         ORDER BY CAST(lp_sum_micro AS DOUBLE) / n_bigrams DESC, doc_id
+       ) AS ppl_tercile
+FROM agg
+"""
+
+
+@query("doc_lm_perplexity", bench=True, oracle=_LM_ORACLE)
+def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter: an add-k bigram LM trained on the
+    corpus itself scores every document; per-language perplexity
+    terciles (1 = head / fluent, 3 = tail) are what a sampler consumes.
+
+    Scale shape: one bigram-count aggregation (shuffle key = bigram,
+    map-side partial agg collapses repeats), one equi-join of exploded
+    document bigrams against the LM table (both sides hash-partitioned
+    on ``bigram`` — AQE handles the Zipf head), one per-doc integer sum,
+    and a per-language ntile window over the *per-document* frame (one
+    row per doc, thousands of times smaller than the token data).  The
+    per-bigram log-prob is quantized to micro-nats (BIGINT) before the
+    per-doc sum, so partial-agg order can never change a hash bit.
+
+    The conditional ``p(y|x) = (c_xy + k) / (c_x + k·V)`` uses the
+    corpus vocabulary size V — one broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokenize("text").alias("toks"))
+    bg = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(shingles(F.col("toks"), 2)).alias("bigram"),
+        )
+    )
+    lm = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+    uni = (
+        lm.withColumn("x", F.split("bigram", " ")[0])
+        .groupBy("x")
+        .agg(F.sum("c_xy").cast("bigint").alias("c_x"))
+    )
+    vsz = t.select(F.explode("toks").alias("tok")).agg(
+        F.countDistinct("tok").alias("vsz")
+    )
+    lp = F.log(
+        (F.col("c_xy") + F.lit(LM_K))
+        / (F.col("c_x") + F.lit(LM_K) * F.col("vsz"))
+    )
+    scored = (
+        bg.join(lm, "bigram")
+        .withColumn("x", F.split("bigram", " ")[0])
+        .join(uni, "x")
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(lp * MICRO).cast("bigint").alias("lp_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp_micro").cast("bigint").alias("lp_sum_micro"),
+    )
+    mean_lp = F.col("lp_sum_micro").cast("double") / MICRO / F.col("n_bigrams")
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("lp_sum_micro").cast("double") / F.col("n_bigrams")).desc(),
+        "doc_id",
+    )
+    return agg.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "lp_sum_micro",
+        F.round(F.exp(-mean_lp), 6).alias("perplexity"),
+        F.ntile(3).over(w).alias("ppl_tercile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# DSIR hashed-ngram importance weights.
+# --------------------------------------------------------------------------
+
+_DSIR_HASH_SQL = (
+    "(('0x' || substr(md5(bigram), 1, 8))::BIGINT % " + str(DSIR_BUCKETS) + ")"
+)
+
+_DSIR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, unnest({_bigrams_sql('toks')}) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+f AS (
+  SELECT doc_id, lang, {_DSIR_HASH_SQL} AS bucket FROM bg
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         COUNT(*) AS c_r
+  FROM f GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t, CAST(SUM(c_r) AS BIGINT) AS n_r
+  FROM counts
+),
+model AS (
+  SELECT bucket,
+         CAST(round((ln((c_t + {DSIR_SMOOTH}) / (n_t + {DSIR_SMOOTH} * {DSIR_BUCKETS}))
+                   - ln((c_r + {DSIR_SMOOTH}) / (n_r + {DSIR_SMOOTH} * {DSIR_BUCKETS})))
+                    * {MICRO}) AS BIGINT) AS llr_micro
+  FROM counts CROSS JOIN tot
+)
+SELECT f.doc_id, f.lang, COUNT(*) AS n_feats,
+       CAST(SUM(m.llr_micro) AS BIGINT) AS llr_sum_micro,
+       round(CAST(SUM(m.llr_micro) AS DOUBLE) / {MICRO} / COUNT(*), 6)
+         AS avg_llr
+FROM f JOIN model m USING (bucket)
+GROUP BY f.doc_id, f.lang
+"""
+
+
+@query("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023):
+    hashed-bigram unigram models for the target distribution (proxy
+    here: ``lang = 'en'`` documents) and the raw corpus; a document's
+    importance weight is the sum over its features of
+    ``log p_target(b) − log p_raw(b)``.
+
+    The model is ONE pass (bucket-count aggregation over a fixed
+    {DSIR_BUCKETS}-bucket space — the map-side partial agg reduces each
+    task to ≤{DSIR_BUCKETS} rows) and the scorer is a broadcast join of
+    that {DSIR_BUCKETS}-row table onto exploded features — no shuffle
+    of the corpus at all beyond the per-doc integer sum.  Per-bucket
+    log-ratios are micro-nat BIGINTs, so the doc sum is order-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", tokenize("text").alias("toks"))
+    f = (
+        t.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(shingles(F.col("toks"), 2)).alias("bigram"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (hash32(F.col("bigram")) % DSIR_BUCKETS).alias("bucket"),
+        )
+    )
+    counts = f.groupBy("bucket").agg(
+        F.sum((F.col("lang") == "en").cast("int")).cast("bigint").alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"),
+    )
+    tot = counts.agg(
+        F.sum("c_t").cast("bigint").alias("n_t"),
+        F.sum("c_r").cast("bigint").alias("n_r"),
+    )
+    llr = F.log(
+        (F.col("c_t") + DSIR_SMOOTH) / (F.col("n_t") + DSIR_SMOOTH * DSIR_BUCKETS)
+    ) - F.log(
+        (F.col("c_r") + DSIR_SMOOTH) / (F.col("n_r") + DSIR_SMOOTH * DSIR_BUCKETS)
+    )
+    model = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket", F.round(llr * MICRO).cast("bigint").alias("llr_micro")
+    )
+    return (
+        f.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("llr_micro").cast("bigint").alias("llr_sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            "llr_sum_micro",
+            F.round(
+                F.col("llr_sum_micro").cast("double") / MICRO / F.col("n_feats"), 6
+            ).alias("avg_llr"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-pair counting (tokenizer training, round 1).
+# --------------------------------------------------------------------------
+
+_BPE_TOP = 50
+
+_BPE_ORACLE = f"""
+WITH w AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest({_WORDS_SQL}) AS word FROM documents)
+  GROUP BY word
+),
+p AS (
+  SELECT CASE WHEN i < len(word)
+              THEN substr(word, i, 1) || ' ' || substr(word, i + 1, 1)
+              ELSE substr(word, i, 1) || ' </w>'
+         END AS pair,
+         freq
+  FROM w, unnest(range(1, len(word) + 1)) AS u(i)
+),
+c AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count FROM p GROUP BY pair
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS BIGINT)
+         AS merge_rank,
+       pair, pair_count
+FROM c
+ORDER BY merge_rank
+LIMIT {_BPE_TOP}
+"""
+
+
+@query("bpe_pair_counts", oracle=_BPE_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner statistic of BPE tokenizer training: corpus-frequency-
+    weighted counts of adjacent symbol pairs, symbols being characters
+    plus an ``</w>`` end-of-word marker (Sennrich et al. 2016).  The
+    top pair is the first merge a BPE learner would perform.
+
+    Scale shape: the corpus collapses to the *distinct-word* frequency
+    table first (Zipf: vocabulary grows ~√corpus, so the explode over
+    character positions runs on a frame orders of magnitude smaller
+    than the token stream), then one pair-count aggregation and a
+    single top-{_BPE_TOP} sort of the tiny pair table.  Everything is
+    integer counts — exactly reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(tokenize_words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pos = F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i")
+    # substring is 1-based in both engines
+    pair = F.when(
+        F.col("i") < F.length("word"),
+        F.concat(
+            F.expr("substring(word, i, 1)"),
+            F.lit(" "),
+            F.expr("substring(word, i + 1, 1)"),
+        ),
+    ).otherwise(F.concat(F.expr("substring(word, i, 1)"), F.lit(" </w>")))
+    c = (
+        w.select("word", "freq", pos)
+        .select(pair.alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count"))
+    )
+    rw = Window.orderBy(F.col("pair_count").desc(), "pair")
+    return (
+        c.select(
+            F.row_number().over(rw).cast("bigint").alias("merge_rank"),
+            "pair",
+            "pair_count",
+        )
+        .filter(F.col("merge_rank") <= _BPE_TOP)
+        .orderBy("merge_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified exact-K sample with a scale-safe pre-filter.
+# --------------------------------------------------------------------------
+
+_STRAT_HASH_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+_STRAT_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang, {_STRAT_HASH_SQL} AS h32 FROM documents
+),
+n AS (SELECT lang, COUNT(*) AS n_docs FROM h GROUP BY lang),
+cut AS (
+  SELECT lang, n_docs,
+         CASE WHEN n_docs <= {STRAT_SAFETY * STRAT_K} THEN 4294967296
+              ELSE CAST(ceil(4294967296.0 * {STRAT_SAFETY * STRAT_K} / n_docs)
+                        AS BIGINT)
+         END AS h_cut
+  FROM n
+),
+cand AS (
+  SELECT h.doc_id, h.lang, h.h32
+  FROM h JOIN cut USING (lang) WHERE h.h32 < cut.h_cut
+)
+SELECT doc_id, lang, pos FROM (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h32, doc_id)
+              AS BIGINT) AS pos
+  FROM cand
+) WHERE pos <= {STRAT_K}
+"""
+
+
+@query("doc_stratified_sample", oracle=_STRAT_ORACLE)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-{STRAT_K}-per-stratum deterministic sample: documents are
+    ordered within each language by a portable 32-bit hash of doc_id (a
+    reproducible shuffle) and the first {STRAT_K} kept.
+
+    The naive plan sorts every stratum in full — with low-cardinality
+    strata that is a handful of tasks sorting the whole corpus.  The
+    pre-filter makes it scale-safe: a per-stratum count (tiny agg)
+    yields a hash cutoff admitting ~{STRAT_SAFETY}·K uniform-hash
+    candidates per stratum, so the window sorts O(K) rows per stratum
+    regardless of corpus size.  The cutoff is part of the definition
+    (mirrored in the oracle), so parity is exact by construction, and
+    strata smaller than {STRAT_SAFETY}·K keep everything (cutoff 2^32 —
+    no row lost)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = docs.withColumn("h32", hash32(F.col("doc_id")))
+    n = h.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    full = F.lit(4294967296)
+    cut = n.select(
+        "lang",
+        F.when(F.col("n_docs") <= STRAT_SAFETY * STRAT_K, full)
+        .otherwise(
+            F.ceil(F.lit(4294967296.0) * (STRAT_SAFETY * STRAT_K) / F.col("n_docs"))
+            .cast("bigint")
+        )
+        .alias("h_cut"),
+    )
+    cand = h.join(F.broadcast(cut), "lang").filter(F.col("h32") < F.col("h_cut"))
+    w = Window.partitionBy("lang").orderBy("h32", "doc_id")
+    return (
+        cand.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .filter(F.col("pos") <= STRAT_K)
+    )

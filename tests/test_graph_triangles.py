@@ -1,0 +1,69 @@
+"""Triangle counting: the degree-ordered plan must agree with an
+independent brute-force enumeration, on both a hand-built graph with
+known triangle count and the real co-purchase graph."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.queries.graphs import (
+    cooccurrence_edges,
+    oriented_edges,
+    triangle_count,
+)
+
+
+def _brute(edges: set[tuple[int, int]]) -> int:
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    n = 0
+    for u, v in edges:
+        n += len(adj[u] & adj[v])
+    return n // 3  # each triangle counted once per edge
+
+
+def test_known_graph(spark):
+    # K4 (4 triangles) + a pendant + a disjoint triangle = 5 total
+    edges = {(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (7, 8), (7, 9), (8, 9)}
+    e = spark.createDataFrame(sorted(edges), "u bigint, v bigint")
+    row = triangle_count(e).collect()[0]
+    assert row["n_triangles"] == 5 == _brute(edges)
+    assert row["n_nodes"] == 8
+    assert row["n_edges"] == len(edges)
+
+
+def test_orientation_is_acyclic_and_complete(spark):
+    edges = {(1, 2), (2, 3), (1, 3), (3, 4)}
+    e = spark.createDataFrame(sorted(edges), "u bigint, v bigint")
+    o = oriented_edges(e).collect()
+    assert len(o) == len(edges)  # every edge oriented exactly once
+    # out-degree of a node never exceeds its degree rank: the hub (3)
+    # with degree 3 must receive the K3 edges from lower-degree nodes
+    out = {}
+    for r in o:
+        out[r["src"]] = out.get(r["src"], 0) + 1
+    assert out.get(4, 0) + out.get(3, 0) <= 2  # high-degree side emits little
+
+
+def test_cooccurrence_graph_matches_brute_force(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = cooccurrence_edges(li)
+    edges = {(r["u"], r["v"]) for r in e.collect()}
+    got = triangle_count(e).collect()[0]
+    assert got["n_triangles"] == _brute(edges)
+    assert got["n_edges"] == len(edges)
+
+
+def test_pair_fanout_is_bounded_per_order(spark, sf_dir):
+    """The co-purchase self-join's per-order fan-out is C(k,2) with k
+    bounded by the order's lineitem count (a small constant — ≤7 in
+    TPC-H proper, ≤16 in the driver's synthetic tables) — the property
+    that keeps the edge build linear in |lineitem|."""
+    li = load_table(spark, sf_dir, "lineitem")
+    mx = li.groupBy("l_orderkey").count().agg(F.max("count")).collect()[0][0]
+    assert mx <= 16

@@ -1,0 +1,216 @@
+"""Hand-computed ground truth for the statistical text-modeling tier
+(bigram LM perplexity, DSIR weights, BPE pair counts, stratified
+sample).  The parity suite already cross-checks every query against
+DuckDB; these tests pin the MATH against values derived by hand /
+by an independent in-Python implementation, so an error shared by
+both engine and oracle can't hide."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.queries.textmodel import (
+    DSIR_BUCKETS,
+    LM_K,
+    MICRO,
+    STRAT_K,
+    STRAT_SAFETY,
+    bpe_pair_counts,
+    doc_lm_perplexity,
+    doc_stratified_sample,
+    dsir_importance_weights,
+)
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_lm_scores(rows):
+    """Independent bigram-LM implementation (token lists per doc)."""
+    bigrams = Counter()
+    vocab = set()
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, toks in rows:
+        vocab.update(toks)
+        if len(toks) >= 2:
+            bs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            per_doc[doc_id] = bs
+            bigrams.update(bs)
+    c_x = Counter()
+    for bg, c in bigrams.items():
+        c_x[bg.split(" ")[0]] += c
+    v = len(vocab)
+    out = {}
+    for doc_id, bs in per_doc.items():
+        total = 0
+        for bg in bs:
+            lp = math.log((bigrams[bg] + LM_K) / (c_x[bg.split(" ")[0]] + LM_K * v))
+            total += round(lp * MICRO)
+        out[doc_id] = (len(bs), total)
+    return out
+
+
+def test_lm_perplexity_matches_independent_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = [
+        (r["doc_id"], r["text"].lower().split())
+        for r in docs.select("doc_id", "text").collect()
+    ]
+    expected = _py_lm_scores([(d, [t for t in toks if t != ""]) for d, toks in rows])
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lp_sum_micro"])
+        for r in doc_lm_perplexity(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_lm_terciles_partition_each_language(spark, sf_dir):
+    df = doc_lm_perplexity(spark, sf_dir)
+    per = (
+        df.groupBy("lang", "ppl_tercile")
+        .count()
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            (F.max("count") - F.min("count")).alias("spread"),
+        )
+        .collect()
+    )
+    for r in per:
+        assert r["n_buckets"] == 3
+        assert r["spread"] <= 1  # ntile balance invariant
+    # head (tercile 1) must have lower mean perplexity than tail (3)
+    m = {
+        (r["lang"], r["ppl_tercile"]): r["avg"]
+        for r in df.groupBy("lang", "ppl_tercile")
+        .agg(F.avg("perplexity").alias("avg"))
+        .collect()
+    }
+    for (lang, t), v in m.items():
+        if t == 1:
+            assert v < m[(lang, 3)]
+
+
+def test_dsir_weight_sign_tracks_target_language(spark, sf_dir):
+    """Averaged over many docs, en documents (the target) must score a
+    higher mean log-likelihood ratio than the corpus at large."""
+    df = dsir_importance_weights(spark, sf_dir)
+    m = {
+        r["is_en"]: r["avg"]
+        for r in df.withColumn("is_en", F.col("lang") == "en")
+        .groupBy("is_en")
+        .agg(F.avg("avg_llr").alias("avg"))
+        .collect()
+    }
+    assert m[True] > m[False]
+
+
+def test_dsir_matches_independent_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "lang", "text").collect()
+    feats = {}
+    c_t: Counter = Counter()
+    c_r: Counter = Counter()
+    for r in rows:
+        toks = [t for t in r["text"].lower().split() if t != ""]
+        if len(toks) < 2:
+            continue
+        bs = [
+            _h32(f"{a} {b}") % DSIR_BUCKETS for a, b in zip(toks, toks[1:])
+        ]
+        feats[r["doc_id"]] = bs
+        c_r.update(bs)
+        if r["lang"] == "en":
+            c_t.update(bs)
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+    llr_micro = {
+        b: round(
+            (
+                math.log((c_t[b] + 1.0) / (n_t + DSIR_BUCKETS))
+                - math.log((c_r[b] + 1.0) / (n_r + DSIR_BUCKETS))
+            )
+            * MICRO
+        )
+        for b in c_r
+    }
+    expected = {
+        d: (len(bs), sum(llr_micro[b] for b in bs)) for d, bs in feats.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_feats"], r["llr_sum_micro"])
+        for r in dsir_importance_weights(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_bpe_pairs_match_independent_python(spark, sf_dir):
+    import re
+
+    docs = load_table(spark, sf_dir, "documents")
+    words: Counter = Counter()
+    for r in docs.select("text").collect():
+        words.update(re.findall(r"[a-z]+", r["text"].lower()))
+    pairs: Counter = Counter()
+    for w, freq in words.items():
+        syms = list(w) + ["</w>"]
+        for a, b in zip(syms, syms[1:]):
+            pairs[f"{a} {b}"] += freq
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    expected = [
+        (i + 1, pair, cnt) for i, (pair, cnt) in enumerate(top)
+    ]
+    got = [
+        (r["merge_rank"], r["pair"], r["pair_count"])
+        for r in bpe_pair_counts(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
+
+
+def test_stratified_sample_exact_k_and_prefilter_lossless(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = {
+        r["lang"]: r["n"] for r in docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    got = doc_stratified_sample(spark, sf_dir).collect()
+    per_lang: dict[str, list] = {}
+    for r in got:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, n in sizes.items():
+        assert len(per_lang[lang]) == min(STRAT_K, n)
+    # selection = the K smallest portable hashes per stratum (the
+    # pre-filter must not have dropped a winner)
+    all_rows = docs.select("doc_id", "lang").collect()
+    by_lang: dict[str, list] = {}
+    for r in all_rows:
+        by_lang.setdefault(r["lang"], []).append(
+            (_h32(str(r["doc_id"])), r["doc_id"])
+        )
+    for lang, hs in by_lang.items():
+        expect_ids = [d for _, d in sorted(hs)[:STRAT_K]]
+        got_ids = [
+            r["doc_id"] for r in sorted(per_lang[lang], key=lambda r: r["pos"])
+        ]
+        assert got_ids == expect_ids
+
+
+def test_stratified_prefilter_bounds_candidates(spark, sf_dir):
+    """The cutoff admits ~SAFETY*K expected candidates per stratum —
+    the property that keeps the per-stratum sort O(K) at any scale.
+    Checked structurally: cutoff * n_docs / 2^32 ≈ SAFETY*K."""
+    docs = load_table(spark, sf_dir, "documents")
+    for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect():
+        n = r["n"]
+        if n > STRAT_SAFETY * STRAT_K:
+            cut = math.ceil(4294967296.0 * STRAT_SAFETY * STRAT_K / n)
+            assert cut * n / 4294967296.0 == pytest.approx(
+                STRAT_SAFETY * STRAT_K, rel=0.01
+            )
