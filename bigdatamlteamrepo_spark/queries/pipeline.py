@@ -165,6 +165,128 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Gopher rule audit (Rae et al. 2021 Table A1): per-rule INDEPENDENT
+# failure counts per source — the per-rule report a filtering run emits
+# (vs doc_quality_filter's first-failing-reason routing).  Thresholds
+# follow the paper where the driver corpus exercises them (min words 50,
+# stop words ≥ 2, ≥80% alphabetic words) and are adapted where it
+# can't (mean-word-length window narrowed to [4.2, 5.0] around this
+# corpus's 3.7-5.3 range; max-word-length 12 replaces the symbol-ratio
+# rules — the synthetic corpus has no symbols to count).
+# --------------------------------------------------------------------------
+
+_GO_MIN_WORDS = 50
+_GO_MAX_WORDS = 100_000
+_GO_MWL_RANGE = (4.2, 5.0)
+_GO_MIN_ALPHA_FRAC = 0.8
+_GO_STOPWORDS = ("the", "a", "of", "to", "in", "and", "is")
+_GO_MIN_STOPWORDS = 2
+_GO_MAX_WORD_LEN = 12
+
+_GO_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _GO_STOPWORDS) + "]"
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT source, {_TOKENS_SQL} AS toks FROM documents
+),
+m AS (
+  SELECT source, len(toks) AS n,
+         CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+           / len(toks) AS mwl,
+         list_max(list_transform(toks, x -> len(x))) AS maxwl,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+              AS DOUBLE) / len(toks) AS alpha_frac,
+         len(list_filter(toks, x -> list_contains({_GO_STOP_SQL}, x)))
+           AS n_stop
+  FROM t WHERE len(toks) > 0
+),
+r AS (
+  SELECT source,
+         CASE WHEN n < {_GO_MIN_WORDS} OR n > {_GO_MAX_WORDS} THEN 1 ELSE 0 END AS f_words,
+         CASE WHEN mwl < {_GO_MWL_RANGE[0]} OR mwl > {_GO_MWL_RANGE[1]} THEN 1 ELSE 0 END AS f_mwl,
+         CASE WHEN alpha_frac < {_GO_MIN_ALPHA_FRAC} THEN 1 ELSE 0 END AS f_alpha,
+         CASE WHEN n_stop < {_GO_MIN_STOPWORDS} THEN 1 ELSE 0 END AS f_stop,
+         CASE WHEN maxwl > {_GO_MAX_WORD_LEN} THEN 1 ELSE 0 END AS f_longword
+  FROM m
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(f_words) AS BIGINT) AS fail_word_count,
+       CAST(SUM(f_mwl) AS BIGINT) AS fail_mean_word_len,
+       CAST(SUM(f_alpha) AS BIGINT) AS fail_alpha_frac,
+       CAST(SUM(f_stop) AS BIGINT) AS fail_stopwords,
+       CAST(SUM(f_longword) AS BIGINT) AS fail_long_word,
+       CAST(SUM(CASE WHEN f_words + f_mwl + f_alpha + f_stop + f_longword = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+FROM r GROUP BY source
+"""
+
+
+@query("doc_gopher_rules", oracle=_GOPHER_ORACLE)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher rule audit: independent pass/fail counts per
+    rule (word count, mean word length, alphabetic-word fraction,
+    stop-word floor, max word length) plus the all-rules pass count.
+    One scan of row-local array expressions + one grouped conditional
+    aggregation — no shuffle beyond the per-source rollup, and every
+    metric is an integer (or an exact-integer ratio), so the audit is
+    bit-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", tokenize("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    mwl = (
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n
+    )
+    maxwl = F.array_max(F.transform("toks", lambda x: F.length(x)))
+    alpha_frac = (
+        F.size(F.filter("toks", lambda x: x.rlike("[a-z]"))).cast("double") / n
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _GO_STOPWORDS])
+    n_stop = F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
+    f_words = ((n < _GO_MIN_WORDS) | (n > _GO_MAX_WORDS)).cast("int")
+    f_mwl = ((mwl < _GO_MWL_RANGE[0]) | (mwl > _GO_MWL_RANGE[1])).cast("int")
+    f_alpha = (alpha_frac < _GO_MIN_ALPHA_FRAC).cast("int")
+    f_stop = (n_stop < _GO_MIN_STOPWORDS).cast("int")
+    f_longword = (maxwl > _GO_MAX_WORD_LEN).cast("int")
+    r = t.select(
+        "source",
+        f_words.alias("f_words"),
+        f_mwl.alias("f_mwl"),
+        f_alpha.alias("f_alpha"),
+        f_stop.alias("f_stop"),
+        f_longword.alias("f_longword"),
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_words").cast("bigint").alias("fail_word_count"),
+        F.sum("f_mwl").cast("bigint").alias("fail_mean_word_len"),
+        F.sum("f_alpha").cast("bigint").alias("fail_alpha_frac"),
+        F.sum("f_stop").cast("bigint").alias("fail_stopwords"),
+        F.sum("f_longword").cast("bigint").alias("fail_long_word"),
+        F.sum(
+            (
+                (
+                    F.col("f_words")
+                    + F.col("f_mwl")
+                    + F.col("f_alpha")
+                    + F.col("f_stop")
+                    + F.col("f_longword")
+                )
+                == 0
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("pass_all"),
+    )
+
+
+# --------------------------------------------------------------------------
 # End-to-end near-dup dedup: verified-Jaccard pairs → connected
 # components → keep the min-doc_id representative per cluster; report
 # kept/removed per source.  The "what actually ships to training"
