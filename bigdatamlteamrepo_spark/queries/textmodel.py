@@ -162,10 +162,15 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_xy") + F.lit(LM_K))
         / (F.col("c_x") + F.lit(LM_K) * F.col("vsz"))
     )
-    scored = (
-        bg.join(lm, "bigram")
-        .withColumn("x", F.split("bigram", " ")[0])
+    # fold c_x into the LM table first (LM-sized join) so the exploded
+    # document stream shuffles against the model exactly once
+    lmx = (
+        lm.withColumn("x", F.split("bigram", " ")[0])
         .join(uni, "x")
+        .select("bigram", "c_xy", "c_x")
+    )
+    scored = (
+        bg.join(lmx, "bigram")
         .crossJoin(F.broadcast(vsz))
         .select(
             "doc_id",
