@@ -502,3 +502,72 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "activity_week")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) block audit: the driver-checkable face of the
+# layout tier (``sources/layout.py::write_zordered``).  Interleaving
+# the bits of two key columns and grouping by a z-prefix yields blocks
+# that are small hyper-rectangles in BOTH dimensions at once — the
+# property parquet row-group min/max stats exploit for multi-column
+# data skipping.  Pure bit arithmetic on integers: bit-identical in
+# both engines by construction.
+# --------------------------------------------------------------------------
+
+#: bits per dimension for the audit query (10 ⇒ 20-bit z-values)
+_ZQ_BITS = 10
+#: z-prefix shift: dropping 8 low z-bits leaves 4 free bits per
+#: dimension, so every block spans ≤ 2^4 codes in each dimension
+_ZQ_BLOCK_SHIFT = 8
+_ZQ_MOD = 1 << _ZQ_BITS
+
+
+def _zq_interleave_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_ZQ_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH c AS (
+  SELECT user_id % {_ZQ_MOD} AS x, event_id % {_ZQ_MOD} AS y FROM events
+),
+z AS (
+  SELECT x, y, ({_zq_interleave_sql('x', 'y')}) >> {_ZQ_BLOCK_SHIFT} AS block
+  FROM c
+)
+SELECT block, COUNT(*) AS n_events,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max
+FROM z GROUP BY block
+"""
+
+
+@query("events_zorder_blocks", oracle=_ZORDER_ORACLE)
+def events_zorder_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-Morton-block extents of (user_id, event_id) codes: every
+    block's span is ≤ 2^4 in BOTH dimensions simultaneously (asserted
+    in test_layout), which is why a z-clustered write prunes scans
+    filtered on either column.  One row-local interleave expression +
+    one grouped agg — the audit a lakehouse OPTIMIZE job runs to
+    verify clustering quality."""
+    from bigdatamlteamrepo_spark.sources.layout import zvalue
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % _ZQ_MOD).alias("x"),
+        (F.col("event_id") % _ZQ_MOD).alias("y"),
+    )
+    z = zvalue([F.col("x"), F.col("y")], bits=_ZQ_BITS)
+    return (
+        ev.withColumn("block", F.shiftright(z, _ZQ_BLOCK_SHIFT))
+        .groupBy("block")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )

@@ -92,3 +92,16 @@ def test_compact_parquet_small_files(spark, tmp_path_factory):
     back = spark.read.parquet(dst)
     assert back.count() == 4000
     assert back.agg({"id": "sum"}).first()[0] == sum(range(4000))
+
+
+def test_zorder_blocks_bound_both_dimensions(spark):
+    """Every Morton block spans ≤ 2^4 codes in each dimension — the
+    two-dimensional locality that makes z-clustered files prunable on
+    either column."""
+    from bigdatamlteamrepo_spark.queries.events import events_zorder_blocks
+
+    rows = events_zorder_blocks(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["x_max"] - r["x_min"] <= 15
+        assert r["y_max"] - r["y_min"] <= 15
