@@ -193,7 +193,7 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         "lp_sum_micro",
         F.round(F.exp(-mean_lp), 6).alias("perplexity"),
-        F.ntile(3).over(w).alias("ppl_tercile"),
+        F.ntile(3).over(w).cast("bigint").alias("ppl_tercile"),
     )
 
 

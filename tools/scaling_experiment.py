@@ -212,6 +212,12 @@ def main() -> None:
         dsir_importance_weights,
     )
 
+    # warm the tier (python-worker reuse, codegen) outside the timings,
+    # as for the dedup loop above
+    doc_lm_perplexity(spark, warm).count()
+    dsir_importance_weights(spark, warm).count()
+    bpe_pair_counts(spark, warm).count()
+
     lm_rows = []
     for n in SIZES:
         d = corpus_dir(spark, n)
