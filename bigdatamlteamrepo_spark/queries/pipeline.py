@@ -221,19 +221,13 @@ FROM r GROUP BY source
 """
 
 
-@query("doc_gopher_rules", oracle=_GOPHER_ORACLE)
-def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source Gopher rule audit: independent pass/fail counts per
-    rule (word count, mean word length, alphabetic-word fraction,
-    stop-word floor, max word length) plus the all-rules pass count.
-    One scan of row-local array expressions + one grouped conditional
-    aggregation — no shuffle beyond the per-source rollup, and every
-    metric is an integer (or an exact-integer ratio), so the audit is
-    bit-reproducible."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("source", tokenize("text").alias("toks")).filter(
-        F.size("toks") > 0
-    )
+def gopher_rule_flags(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """Per-document Gopher rule failure flags (0/1 ints) + token count
+    ``n`` — row-local array expressions only; reused by the audit query
+    and the corpus-selection capstone."""
+    t = docs.select(
+        *extra_cols, tokenize("text").alias("toks")
+    ).filter(F.size("toks") > 0)
     n = F.size("toks")
     mwl = (
         F.aggregate(
@@ -254,14 +248,28 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_alpha = (alpha_frac < _GO_MIN_ALPHA_FRAC).cast("int")
     f_stop = (n_stop < _GO_MIN_STOPWORDS).cast("int")
     f_longword = (maxwl > _GO_MAX_WORD_LEN).cast("int")
-    r = t.select(
-        "source",
+    return t.select(
+        *extra_cols,
+        n.alias("n"),
         f_words.alias("f_words"),
         f_mwl.alias("f_mwl"),
         f_alpha.alias("f_alpha"),
         f_stop.alias("f_stop"),
         f_longword.alias("f_longword"),
     )
+
+
+@query("doc_gopher_rules", oracle=_GOPHER_ORACLE)
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher rule audit: independent pass/fail counts per
+    rule (word count, mean word length, alphabetic-word fraction,
+    stop-word floor, max word length) plus the all-rules pass count.
+    One scan of row-local array expressions + one grouped conditional
+    aggregation — no shuffle beyond the per-source rollup, and every
+    metric is an integer (or an exact-integer ratio), so the audit is
+    bit-reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    r = gopher_rule_flags(docs, "source")
     return r.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("f_words").cast("bigint").alias("fail_word_count"),

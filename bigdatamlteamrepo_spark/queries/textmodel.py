@@ -455,3 +455,102 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pos") <= STRAT_K)
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-selection capstone: Gopher rules × LM terciles — "what ships".
+# --------------------------------------------------------------------------
+
+
+def _gopher_doc_sql() -> str:
+    """Per-document Gopher pass flag (DuckDB), mirroring
+    ``queries.pipeline.gopher_rule_flags``."""
+    from bigdatamlteamrepo_spark.queries.pipeline import (
+        _GO_MAX_WORD_LEN,
+        _GO_MAX_WORDS,
+        _GO_MIN_ALPHA_FRAC,
+        _GO_MIN_STOPWORDS,
+        _GO_MIN_WORDS,
+        _GO_MWL_RANGE,
+        _GO_STOP_SQL,
+    )
+
+    return f"""
+  SELECT doc_id, source, len(toks) AS n,
+         CASE WHEN len(toks) >= {_GO_MIN_WORDS} AND len(toks) <= {_GO_MAX_WORDS}
+               AND (CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                    / len(toks)) BETWEEN {_GO_MWL_RANGE[0]} AND {_GO_MWL_RANGE[1]}
+               AND CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                        AS DOUBLE) / len(toks) >= {_GO_MIN_ALPHA_FRAC}
+               AND len(list_filter(toks, x -> list_contains({_GO_STOP_SQL}, x)))
+                     >= {_GO_MIN_STOPWORDS}
+               AND list_max(list_transform(toks, x -> len(x))) <= {_GO_MAX_WORD_LEN}
+              THEN 1 ELSE 0 END AS pass_gopher
+  FROM (SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents)
+  WHERE len(toks) > 0
+"""
+
+
+def _selection_oracle() -> str:
+    return f"""
+WITH g AS ({_gopher_doc_sql()}),
+lmq AS (SELECT doc_id, ppl_tercile FROM ({_LM_ORACLE}))
+SELECT g.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(g.pass_gopher) AS BIGINT) AS n_gopher_pass,
+       CAST(SUM(CASE WHEN g.pass_gopher = 1
+                      AND COALESCE(lmq.ppl_tercile, 3) <= 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN g.pass_gopher = 1
+                      AND COALESCE(lmq.ppl_tercile, 3) <= 2
+                     THEN g.n ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM g LEFT JOIN lmq ON g.doc_id = lmq.doc_id
+GROUP BY g.source
+"""
+
+
+@query("training_corpus_selection", oracle=_selection_oracle())
+def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection capstone: a document ships to training iff it
+    passes every Gopher rule AND sits in its language's head or middle
+    perplexity tercile (CCNet drops the tail).  Per-source report of
+    candidates, rule survivors, shipped docs and shipped token mass —
+    the end-of-pipeline accounting a corpus build emits.
+
+    Plan: the Gopher flags are row-local expressions on one scan; the
+    LM tercile frame is per-document (corpus-shrunk); their join keys
+    on doc_id and the rollup on source.  Documents with <2 bigrams
+    have no LM row and are conservatively dropped (COALESCE to the
+    tail tercile) — mirrored exactly in the oracle."""
+    from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = gopher_rule_flags(docs, "doc_id", "source").withColumn(
+        "pass_gopher",
+        (
+            (
+                F.col("f_words")
+                + F.col("f_mwl")
+                + F.col("f_alpha")
+                + F.col("f_stop")
+                + F.col("f_longword")
+            )
+            == 0
+        ).cast("int"),
+    )
+    lm = doc_lm_perplexity(spark, sf_dir).select("doc_id", "ppl_tercile")
+    kept = (F.col("pass_gopher") == 1) & (
+        F.coalesce(F.col("ppl_tercile"), F.lit(3)) <= 2
+    )
+    return (
+        g.join(lm, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pass_gopher").cast("bigint").alias("n_gopher_pass"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )

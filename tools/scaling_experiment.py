@@ -311,9 +311,11 @@ def main() -> None:
         "construction.  DSIR's model is a constant 256-bucket table",
         "(broadcast scorer: the corpus is never shuffled against the",
         "model), and BPE's explode runs over the DISTINCT-word table,",
-        "which a closed vocabulary saturates — both should grow at or",
-        "below the corpus rate, and the measured ratios above bear that",
-        "out (4× docs per row).",
+        "which a closed vocabulary saturates.  Measured growth per 4× of",
+        "docs: BPE and DSIR stay well below the corpus rate (vocabulary /",
+        "bucket saturation), the LM tracks it roughly 1:1 — its work IS",
+        "corpus-sized (one bigram count + one model join), which is the",
+        "floor for a model trained on the corpus itself.",
         "",
     ]
     with open(os.path.join(os.path.dirname(os.path.dirname(
