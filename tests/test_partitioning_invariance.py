@@ -23,6 +23,9 @@ REPRESENTATIVES = [
     "hll_orders_by_flag",          # sketch algebra
     "ann_pq_adc_topk",             # PQ conditional-agg ADC + re-rank
     "doc_pack_plan_bucketed",      # bucketed cumsum packing
+    "doc_lm_perplexity",           # fixed-point LM accumulation + ntile
+    "dsir_importance_weights",     # broadcast-model integer LLR sums
+    "part_cooccurrence_triangles", # multi-join graph motif counting
 ]
 
 

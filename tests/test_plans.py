@@ -122,3 +122,33 @@ def test_pack_plan_window_is_partitioned(spark, sf_dir):
         .toString()
     )
     assert "hashpartitioning(source" in plan, plan[:2000]
+
+
+def test_textmodel_and_graph_plans_no_cartesian(spark, sf_dir):
+    """Statistical text-modeling + graph tier: no CartesianProduct
+    anywhere; the only nested-loop join allowed is the broadcast of a
+    ONE-ROW statistics frame (vocab size / model totals) onto the
+    stream — a scalar attach, not an all-pairs join."""
+    for name in (
+        "doc_lm_perplexity",
+        "dsir_importance_weights",
+        "bpe_pair_counts",
+        "doc_stratified_sample",
+        "doc_gopher_rules",
+        "training_corpus_selection",
+        "part_cooccurrence_triangles",
+        "events_zorder_blocks",
+    ):
+        from bigdatamlteamrepo_spark.queries.registry import QUERIES as Q
+
+        plan = (
+            Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        allowed = {
+            "doc_lm_perplexity": 1,        # vocab-size scalar
+            "dsir_importance_weights": 1,  # model-totals scalar
+            "training_corpus_selection": 1,  # LM subplan's vocab scalar
+        }.get(name, 0)
+        assert n_bnlj <= allowed, f"{name}: {n_bnlj} nested-loop joins"
