@@ -67,3 +67,26 @@ def test_pair_fanout_is_bounded_per_order(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     mx = li.groupBy("l_orderkey").count().agg(F.max("count")).collect()[0][0]
     assert mx <= 16
+
+
+def test_random_graphs_match_brute_force(spark):
+    """Seeded Erdős–Rényi graphs of varied density: the degree-ordered
+    count equals brute force on every one (catches orientation /
+    tie-break errors that a single fixed graph might miss)."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(5):
+        n = rng.randrange(8, 25)
+        p = rng.choice([0.15, 0.3, 0.5])
+        edges = {
+            (u, v)
+            for u in range(n)
+            for v in range(u + 1, n)
+            if rng.random() < p
+        }
+        if not edges:
+            continue
+        e = spark.createDataFrame(sorted(edges), "u bigint, v bigint")
+        got = triangle_count(e).collect()[0]["n_triangles"]
+        assert got == _brute(edges), f"trial {trial} n={n} p={p}"
