@@ -232,13 +232,19 @@ model AS (
                    - ln((c_r + {DSIR_SMOOTH}) / (n_r + {DSIR_SMOOTH} * {DSIR_BUCKETS})))
                     * {MICRO}) AS BIGINT) AS llr_micro
   FROM counts CROSS JOIN tot
+),
+agg AS (
+  SELECT f.doc_id, f.lang, COUNT(*) AS n_feats,
+         CAST(SUM(m.llr_micro) AS BIGINT) AS llr_sum_micro
+  FROM f JOIN model m USING (bucket)
+  GROUP BY f.doc_id, f.lang
 )
-SELECT f.doc_id, f.lang, COUNT(*) AS n_feats,
-       CAST(SUM(m.llr_micro) AS BIGINT) AS llr_sum_micro,
-       round(CAST(SUM(m.llr_micro) AS DOUBLE) / {MICRO} / COUNT(*), 6)
-         AS avg_llr
-FROM f JOIN model m USING (bucket)
-GROUP BY f.doc_id, f.lang
+SELECT doc_id, lang, n_feats, llr_sum_micro,
+       CAST(CASE WHEN llr_sum_micro >= 0
+                 THEN (2 * llr_sum_micro + n_feats) // (2 * n_feats)
+                 ELSE -((2 * (-llr_sum_micro) + n_feats) // (2 * n_feats))
+            END AS BIGINT) AS avg_llr_micro
+FROM agg
 """
 
 
@@ -287,6 +293,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = counts.crossJoin(F.broadcast(tot)).select(
         "bucket", F.round(llr * MICRO).cast("bigint").alias("llr_micro")
     )
+    # per-feature mean in micro-nats via EXACT integer arithmetic
+    # (half-away-from-zero): round(sum/n, 6-dec) of a rational lands on
+    # exact .5 ties often enough that double `round()` diverges between
+    # engines — integer division cannot
+    avg_micro = F.expr(
+        "CAST(CASE WHEN llr_sum_micro >= 0 "
+        "THEN (2 * llr_sum_micro + n_feats) DIV (2 * n_feats) "
+        "ELSE -((2 * (-llr_sum_micro) + n_feats) DIV (2 * n_feats)) "
+        "END AS BIGINT)"
+    )
     return (
         f.join(F.broadcast(model), "bucket")
         .groupBy("doc_id", "lang")
@@ -299,9 +315,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             "n_feats",
             "llr_sum_micro",
-            F.round(
-                F.col("llr_sum_micro").cast("double") / MICRO / F.col("n_feats"), 6
-            ).alias("avg_llr"),
+            avg_micro.alias("avg_llr_micro"),
         )
     )
 

@@ -106,7 +106,7 @@ def test_dsir_weight_sign_tracks_target_language(spark, sf_dir):
         r["is_en"]: r["avg"]
         for r in df.withColumn("is_en", F.col("lang") == "en")
         .groupBy("is_en")
-        .agg(F.avg("avg_llr").alias("avg"))
+        .agg(F.avg("avg_llr_micro").alias("avg"))
         .collect()
     }
     assert m[True] > m[False]
