@@ -738,3 +738,72 @@ def orders_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("bucket_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# ANALYZE-style column statistics: the per-column (rows, nulls, ndv,
+# min, max) profile a cost-based optimizer or file-skipping layer
+# consumes.  ONE aggregation pass over the table, unpivoted to a row
+# per column.
+#
+# Exactness trade documented: exact multi-column COUNT(DISTINCT) makes
+# Spark expand the input once per distinct column (fine for an audit
+# at parity SF, measured and bounded); a production ANALYZE over
+# 100 TB uses the sketch tier's HLL/KMV estimates instead — same
+# output shape, one expansion-free pass (queries/sketches.py).
+# --------------------------------------------------------------------------
+
+_COLSTATS_COLS = ("l_orderkey", "l_partkey", "l_returnflag", "l_shipdate")
+
+_COLSTATS_ORACLE = f"""
+WITH a AS (
+  SELECT COUNT(*) AS n_rows,
+         {", ".join(
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv_{i}, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS nulls_{i}, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_{i}, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_{i}"
+            for i, c in enumerate(_COLSTATS_COLS))}
+  FROM lineitem
+)
+{" UNION ALL ".join(
+    f"SELECT '{c}' AS column_name, n_rows, ndv_{i} AS ndv, "
+    f"nulls_{i} AS n_nulls, min_{i} AS min_value, max_{i} AS max_value FROM a"
+    for i, c in enumerate(_COLSTATS_COLS))}
+"""
+
+
+@query("lineitem_column_stats", oracle=_COLSTATS_ORACLE)
+def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics for lineitem's join/filter columns in one
+    aggregation: row count, exact NDV, null count, lexical min/max
+    (stringified so every column type shares one schema).  BIGINT and
+    DATE stringify identically in both engines; doubles are excluded
+    from the profiled set for that reason (the sketch tier profiles
+    them with HLL estimates instead)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for i, c in enumerate(_COLSTATS_COLS):
+        aggs += [
+            F.countDistinct(c).cast("bigint").alias(f"ndv_{i}"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"nulls_{i}"),
+            F.min(c).cast("string").alias(f"min_{i}"),
+            F.max(c).cast("string").alias(f"max_{i}"),
+        ]
+    a = li.agg(*aggs)
+    parts = []
+    for i, c in enumerate(_COLSTATS_COLS):
+        parts.append(
+            a.select(
+                F.lit(c).alias("column_name"),
+                "n_rows",
+                F.col(f"ndv_{i}").alias("ndv"),
+                F.col(f"nulls_{i}").alias("n_nulls"),
+                F.col(f"min_{i}").alias("min_value"),
+                F.col(f"max_{i}").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

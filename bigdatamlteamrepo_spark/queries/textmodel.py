@@ -568,3 +568,104 @@ def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Iterative BPE merge learning (full loop over bpe_pair_counts' stat).
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+
+
+def _apply_merge(symbols, a: str, b: str):
+    """Leftmost-first non-overlapping replacement of adjacent (a, b)
+    with the merged symbol — one sequential fold over the array (the
+    standard greedy BPE application), as a pure expression."""
+    a_sql = a.replace("'", "''")
+    b_sql = b.replace("'", "''")
+    return F.aggregate(
+        symbols,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a_sql))
+            & (x == F.lit(b_sql)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(a_sql + b_sql)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def learn_bpe_merges(
+    words: DataFrame, n_rounds: int = _BPE_ROUNDS
+) -> list[tuple[int, str, int]]:
+    """The full BPE training loop (Sennrich et al. 2016) over a
+    (word, freq) frame: per round, count adjacent symbol pairs
+    frequency-weighted (one agg over the distinct-word table), take the
+    top pair (count desc, pair asc — deterministic), and apply the
+    merge to every word via a sequential array fold.  Returns
+    [(rank, "a b", count)].
+
+    Driver involvement is one 1-row collect per round (the argmax) —
+    the per-round data work is a distributed agg + map, and the symbol
+    frame is localCheckpoint-ed each round to truncate lineage, the
+    same pattern as integer PageRank's iteration."""
+    syms = words.select(
+        "freq",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ),
+            F.array(F.lit("</w>")),
+        ).alias("symbols"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, n_rounds + 1):
+        pairs = (
+            syms.select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("symbols") - 1),
+                        lambda i: F.concat(
+                            F.element_at("symbols", i),
+                            F.lit(" "),
+                            F.element_at("symbols", i + 1),
+                        ),
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        top = pairs.orderBy(F.col("cnt").desc(), "pair").limit(1).collect()
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], top[0]["cnt"]
+        merges.append((r, pair, cnt))
+        a, b = pair.split(" ", 1)
+        syms = syms.select(
+            "freq", _apply_merge(F.col("symbols"), a, b).alias("symbols")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+@query("bpe_learn_merges")
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (iterative, driver-coordinated argmax per round — not
+    SQL-expressible as one statement): the first {_BPE_ROUNDS} BPE
+    merges learned from the corpus word frequencies.  Pinned against an
+    independent in-Python BPE learner in test_textmodel."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize_words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = learn_bpe_merges(words)
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, pair string, pair_count bigint"
+    )

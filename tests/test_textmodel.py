@@ -214,3 +214,50 @@ def test_stratified_prefilter_bounds_candidates(spark, sf_dir):
             assert cut * n / 4294967296.0 == pytest.approx(
                 STRAT_SAFETY * STRAT_K, rel=0.01
             )
+
+
+def _py_bpe(words: Counter, rounds: int):
+    """Independent BPE learner: greedy leftmost merge application."""
+    vocab = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    for r in range(1, rounds + 1):
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[f"{a} {b}"] += words[w]
+        if not pairs:
+            break
+        pair, cnt = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((r, pair, cnt))
+        a, b = pair.split(" ", 1)
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_learner_matches_independent_python(spark, sf_dir):
+    import re
+
+    from bigdatamlteamrepo_spark.queries.textmodel import bpe_learn_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    words: Counter = Counter()
+    for r in docs.select("text").collect():
+        words.update(re.findall(r"[a-z]+", r["text"].lower()))
+    expected = _py_bpe(words, 5)
+    got = [
+        (r["merge_rank"], r["pair"], r["pair_count"])
+        for r in bpe_learn_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
+    # round 1 must agree with the one-shot pair-count query's top row
+    top = bpe_pair_counts(spark, sf_dir).orderBy("merge_rank").first()
+    assert (1, top["pair"], top["pair_count"]) == got[0]
