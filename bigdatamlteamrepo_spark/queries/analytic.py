@@ -781,29 +781,7 @@ def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     DATE stringify identically in both engines; doubles are excluded
     from the profiled set for that reason (the sketch tier profiles
     them with HLL estimates instead)."""
+    from bigdatamlteamrepo_spark.operators.stats import column_stats
+
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for i, c in enumerate(_COLSTATS_COLS):
-        aggs += [
-            F.countDistinct(c).cast("bigint").alias(f"ndv_{i}"),
-            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"nulls_{i}"),
-            F.min(c).cast("string").alias(f"min_{i}"),
-            F.max(c).cast("string").alias(f"max_{i}"),
-        ]
-    a = li.agg(*aggs)
-    parts = []
-    for i, c in enumerate(_COLSTATS_COLS):
-        parts.append(
-            a.select(
-                F.lit(c).alias("column_name"),
-                "n_rows",
-                F.col(f"ndv_{i}").alias("ndv"),
-                F.col(f"nulls_{i}").alias("n_nulls"),
-                F.col(f"min_{i}").alias("min_value"),
-                F.col(f"max_{i}").alias("max_value"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    return column_stats(li, _COLSTATS_COLS)

@@ -90,3 +90,23 @@ def test_random_graphs_match_brute_force(spark):
         e = spark.createDataFrame(sorted(edges), "u bigint, v bigint")
         got = triangle_count(e).collect()[0]["n_triangles"]
         assert got == _brute(edges), f"trial {trial} n={n} p={p}"
+
+
+def test_degree_ordering_caps_out_degree(spark, sf_dir):
+    """After (degree, id) orientation, max out-degree is O(√E) — the
+    bound that tames the wedge build on power-law graphs (Suri &
+    Vassilvitskii).  Structural: a node's out-neighbors all have ≥ its
+    degree, so out-degree ≤ √(2·|E|)."""
+    import math
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = cooccurrence_edges(li)
+    n_edges = e.count()
+    out_max = (
+        oriented_edges(e)
+        .groupBy("src")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert out_max <= math.isqrt(2 * n_edges) + 1
