@@ -67,3 +67,23 @@ def test_session_stream_runs(spark, sf_dir):
     rows = streamed.collect()
     assert rows
     assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_streaming_gopher_audit_equals_batch(spark, sf_dir):
+    """The selection tier's stream≡batch twin: the SAME rule
+    expressions (queries.pipeline.gopher_rule_flags) drive the batch
+    doc_gopher_rules query and the streaming per-source audit — results
+    must be row-identical."""
+    from bigdatamlteamrepo_spark.queries.pipeline import doc_gopher_rules
+    from bigdatamlteamrepo_spark.streaming.audit import (
+        gopher_audit_stream,
+        read_documents_stream,
+    )
+    from bigdatamlteamrepo_spark.streaming.windows import run_stream_to_memory
+
+    agg = gopher_audit_stream(read_documents_stream(spark, sf_dir))
+    got = run_stream_to_memory(agg, "gopher_audit", mode="complete")
+    batch = doc_gopher_rules(spark, sf_dir)
+    assert sorted(map(tuple, got.collect()), key=repr) == sorted(
+        map(tuple, batch.collect()), key=repr
+    )
