@@ -119,3 +119,100 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dsum("v", 9) / F.count(F.lit(1))).alias("centroid_val"),
         F.count(F.lit(1)).alias("n_vecs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact covariance statistics — the whitening/PCA preprocessing pass of
+# the ANN tier, with integer-exact accumulation.
+#
+# Components are quantized to micro units (float32 inputs → exact in
+# double → exact BIGINT), so the sufficient statistics S_i = Σx_i and
+# P_ij = Σx_i·x_j are plain integer sums — associative, partitioning-
+# proof, hash-stable.  The covariance itself is re-derived row-locally
+# as a double from the exact integers (identical IEEE expression in
+# both engines; no rounding, so no rational-tie hazard).  MLlib's PCA
+# (ml/clustering.py, M8) consumes the same moments internally; this
+# query is the oracle-checkable face of that computation.
+# --------------------------------------------------------------------------
+
+#: leading dimensions profiled (36 (i,j) pairs; full-width in
+#: production is the same plan with d(d+1)/2 output rows)
+_COV_DIMS = 8
+
+
+def _cov_oracle() -> str:
+    qx = "CAST(round(CAST(embedding[{k}] AS DOUBLE) * 1000000) AS BIGINT)"
+    agg = ["COUNT(*) AS n_vecs"]
+    for i in range(_COV_DIMS):
+        agg.append(f"CAST(SUM({qx.format(k=i + 1)}) AS BIGINT) AS s_{i}")
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            agg.append(
+                f"CAST(SUM({qx.format(k=i + 1)} * {qx.format(k=j + 1)}) "
+                f"AS BIGINT) AS p_{i}_{j}"
+            )
+    rows = []
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            rows.append(
+                f"SELECT {i} AS dim_i, {j} AS dim_j, n_vecs, "
+                f"s_{i} AS s_i, s_{j} AS s_j, p_{i}_{j} AS p_sum, "
+                f"(CAST(p_{i}_{j} AS DOUBLE) "
+                f" - CAST(s_{i} AS DOUBLE) * CAST(s_{j} AS DOUBLE)"
+                f" / CAST(n_vecs AS DOUBLE)) / CAST(n_vecs AS DOUBLE) / 1e12"
+                f" AS cov FROM a"
+            )
+    return f"WITH a AS (SELECT {', '.join(agg)} FROM embeddings)\n" + (
+        "\nUNION ALL ".join(rows)
+    )
+
+
+@query("embedding_covariance_stats", oracle=_cov_oracle())
+def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance moments of the leading embedding
+    dimensions in ONE aggregation pass (n, Σx_i, Σx_i·x_j as exact
+    micro-unit BIGINTs, covariance re-derived row-locally).  The input
+    to a whitening rotation or on-the-fly PCA — and proof the engine
+    can run exact distributed linear-algebra statistics."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def xq(k: int):
+        return (
+            F.round(F.element_at("embedding", k + 1).cast("double") * 1000000)
+            .cast("bigint")
+        )
+
+    aggs = [F.count(F.lit(1)).alias("n_vecs")]
+    for i in range(_COV_DIMS):
+        aggs.append(F.sum(xq(i)).cast("bigint").alias(f"s_{i}"))
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            aggs.append(
+                F.sum(xq(i) * xq(j)).cast("bigint").alias(f"p_{i}_{j}")
+            )
+    a = emb.agg(*aggs)
+    parts = []
+    for i in range(_COV_DIMS):
+        for j in range(i, _COV_DIMS):
+            nd = F.col("n_vecs").cast("double")
+            cov = (
+                F.col(f"p_{i}_{j}").cast("double")
+                - F.col(f"s_{i}").cast("double")
+                * F.col(f"s_{j}").cast("double")
+                / nd
+            ) / nd / F.lit(1e12)
+            parts.append(
+                a.select(
+                    F.lit(i).alias("dim_i"),
+                    F.lit(j).alias("dim_j"),
+                    "n_vecs",
+                    F.col(f"s_{i}").alias("s_i"),
+                    F.col(f"s_{j}").alias("s_j"),
+                    F.col(f"p_{i}_{j}").alias("p_sum"),
+                    cov.alias("cov"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
