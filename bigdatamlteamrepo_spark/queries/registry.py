@@ -42,14 +42,14 @@ PRI_EXTRA = 90
 #: round — individual ``@query(priority=...)`` values stay stable.
 #: Exactly 50 names: 15 never-hash-green (the 12 sketch/containment/RRF/
 #: multiprobe/best-reps queries + the r02 red doc_pack_plan + the two
-#: r01 no_oracle rows that gained oracles in r02), 21 new this round
+#: r01 no_oracle rows that gained oracles in r02), 22 new this round
 #: (skew-split pack, scale-N shard deal, q11/q20, incremental dedup,
 #: prefix-filter dedup, corpus-duplication profile, per-source caps,
 #: funnel, retention cohorts, PQ-ADC ANN, IVFPQ ANN, histogram
 #: quantiles, bigram-LM perplexity, DSIR weights, BPE pair counts,
 #: stratified sample, triangle census, Gopher rule audit, z-order
-#: block audit, corpus-selection capstone), and 14 highest-value r01
-#: greens for re-confirmation after two rounds of churn.
+#: block audit, corpus-selection capstone, covariance moments), and 13
+#: highest-value r01 greens for re-confirmation after churn.
 ROTATE_IN: frozenset[str] = frozenset(
     {
         # --- sketch tier: oracle-paired since r02, never driver-checked
@@ -95,7 +95,8 @@ ROTATE_IN: frozenset[str] = frozenset(
         "doc_gopher_rules",
         "events_zorder_blocks",
         "training_corpus_selection",
-        # --- r01 greens, re-confirmed this round (14)
+        "embedding_covariance_stats",
+        # --- r01 greens, re-confirmed this round (13)
         "q1_pricing_summary",
         "q3_shipping_priority",
         "q5_local_supplier_volume",
@@ -104,7 +105,6 @@ ROTATE_IN: frozenset[str] = frozenset(
         "dedup_exact_by_lang",
         "minhash_signatures",
         "neardup_pairs_lsh",
-        "ngram_jaccard_pairs",
         "embedding_neardup_pairs",
         "doc_winnowing_fingerprints",
         "doc_keyword_label_counts",
