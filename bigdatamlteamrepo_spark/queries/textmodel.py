@@ -755,3 +755,53 @@ def doc_lm_perplexity_hotsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(-mean_lp), 6).alias("perplexity"),
         F.ntile(3).over(w).cast("bigint").alias("ppl_tercile"),
     )
+
+
+def bpe_encode_words(words: DataFrame, merges: list[str]) -> DataFrame:
+    """Apply learned merges (rank order) to the distinct-word table:
+    standard BPE encoding as a chain of sequential array folds — one
+    pure expression per merge, no UDFs.  Returns (word, freq, symbols)."""
+    syms = words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ),
+            F.array(F.lit("</w>")),
+        ).alias("symbols"),
+    )
+    col = F.col("symbols")
+    for pair in merges:
+        a, b = pair.split(" ", 1)
+        col = _apply_merge(col, a, b)
+    return syms.select("word", "freq", col.alias("symbols"))
+
+
+@query("bpe_encode_summary")
+def bpe_encode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (consumes the iteratively learned merges): corpus
+    compression from applying the learned BPE merges — frequency-
+    weighted symbol counts before/after.  The encode itself touches
+    only the DISTINCT-word table (Zipf-collapsed); re-joining subword
+    ids back onto the token stream is one broadcast of the vocab."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize_words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    merges = [m[1] for m in learn_bpe_merges(words)]
+    enc = bpe_encode_words(words, merges)
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum(F.col("freq") * (F.length("word") + 1))
+        .cast("bigint")
+        .alias("symbols_before"),
+        F.sum(F.col("freq") * F.size("symbols"))
+        .cast("bigint")
+        .alias("symbols_after"),
+        F.lit(len(merges)).cast("bigint").alias("n_merges"),
+    )

@@ -279,3 +279,46 @@ def test_lm_hotsplit_identical_and_broadcasts_head(spark, sf_dir):
     # hot-model join + semi + anti routing all broadcast
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_encode_matches_independent_python(spark, sf_dir):
+    """Applying the learned merges must reproduce the independent
+    Python encoder's symbol sequences word-for-word."""
+    import re
+
+    from bigdatamlteamrepo_spark.queries.textmodel import (
+        bpe_encode_summary,
+        bpe_encode_words,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words: Counter = Counter()
+    for r in docs.select("text").collect():
+        words.update(re.findall(r"[a-z]+", r["text"].lower()))
+    wdf = spark.createDataFrame(
+        sorted(words.items()), "word string, freq long"
+    )
+    merges = [m[1] for m in learn_bpe_merges(wdf)]
+    # independent python: re-run _py_bpe and capture final vocab state
+    vocab = {w: list(w) + ["</w>"] for w in words}
+    for pair in merges:
+        a, b = pair.split(" ", 1)
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(syms[i]); i += 1
+            vocab[w] = out
+    got = {
+        r["word"]: list(r["symbols"])
+        for r in bpe_encode_words(wdf, merges).collect()
+    }
+    assert got == vocab
+    row = bpe_encode_summary(spark, sf_dir).collect()[0]
+    assert row["symbols_after"] < row["symbols_before"]
+    assert row["symbols_after"] == sum(
+        words[w] * len(s) for w, s in vocab.items()
+    )
