@@ -45,3 +45,51 @@ def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def whitening_transform(
+    emb: DataFrame, dims: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """ZCA-whiten the leading ``dims`` components: covariance moments
+    from one exact aggregation pass (micro-quantized integer sums, cf.
+    ``queries/similarity.py::embedding_covariance_stats``), the d×d
+    eigendecomposition on the driver (bounded: d² scalars, never data),
+    and the rotation applied as a broadcast matrix of literals — pure
+    expressions, no UDF.  Output column ``white`` (array<double>) has
+    ~identity sample covariance; the standard preprocessing before
+    cosine/PQ ANN when dimensions are correlated."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    def xq(k: int):
+        return (
+            F.round(F.element_at(vec_col, k + 1).cast("double") * 1000000)
+            .cast("bigint")
+        )
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(dims):
+        aggs.append(F.sum(xq(i)).cast("bigint").alias(f"s_{i}"))
+    for i in range(dims):
+        for j in range(i, dims):
+            aggs.append(F.sum(xq(i) * xq(j)).cast("bigint").alias(f"p_{i}_{j}"))
+    row = emb.agg(*aggs).collect()[0]  # bounded: 1 + d + d(d+1)/2 scalars
+    n = row["n"]
+    mu = np.array([row[f"s_{i}"] / 1e6 / n for i in range(dims)])
+    cov = np.zeros((dims, dims))
+    for i in range(dims):
+        for j in range(i, dims):
+            c = row[f"p_{i}_{j}"] / 1e12 / n - mu[i] * mu[j]
+            cov[i, j] = cov[j, i] = c
+    w, v = np.linalg.eigh(cov)
+    zca = v @ np.diag(1.0 / np.sqrt(np.maximum(w, 1e-12))) @ v.T
+    comps = []
+    for i in range(dims):
+        term = None
+        for j in range(dims):
+            t = (
+                F.element_at(vec_col, j + 1).cast("double") - float(mu[j])
+            ) * float(zca[i, j])
+            term = t if term is None else term + t
+        comps.append(term)
+    return emb.withColumn("white", F.array(*comps))

@@ -322,3 +322,19 @@ def test_bpe_encode_matches_independent_python(spark, sf_dir):
     assert row["symbols_after"] == sum(
         words[w] * len(s) for w, s in vocab.items()
     )
+
+
+def test_whitening_yields_identity_covariance(spark, sf_dir):
+    """After ZCA whitening the leading dims, the sample covariance must
+    be ~identity (diagonal ≈1, off-diagonal ≈0)."""
+    import numpy as np
+
+    from bigdatamlteamrepo_spark.operators.stats import whitening_transform
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = whitening_transform(emb, dims=8)
+    X = np.array([r["white"] for r in out.select("white").collect()])
+    c = np.cov(X.T, bias=True)
+    assert np.allclose(np.diag(c), 1.0, atol=0.05)
+    off = c - np.diag(np.diag(c))
+    assert np.abs(off).max() < 0.05
