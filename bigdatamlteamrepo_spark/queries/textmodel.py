@@ -581,18 +581,16 @@ def _apply_merge(symbols, a: str, b: str):
     """Leftmost-first non-overlapping replacement of adjacent (a, b)
     with the merged symbol — one sequential fold over the array (the
     standard greedy BPE application), as a pure expression."""
-    a_sql = a.replace("'", "''")
-    b_sql = b.replace("'", "''")
     return F.aggregate(
         symbols,
         F.expr("CAST(array() AS ARRAY<STRING>)"),
         lambda acc, x: F.when(
             (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(a_sql))
-            & (x == F.lit(b_sql)),
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
             F.concat(
                 F.slice(acc, 1, F.size(acc) - 1),
-                F.array(F.lit(a_sql + b_sql)),
+                F.array(F.lit(a + b)),
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
