@@ -12,8 +12,11 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: fixed-point scale for moment quantization (micro units)
+_MOMENT_SCALE = 1_000_000
 
 
 def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
@@ -47,39 +50,76 @@ def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return out
 
 
+def moment_elem(vec_col: str, k: int) -> Column:
+    """Micro-quantized k-th component (0-based) of an array column as an
+    exact BIGINT — float32 inputs round-trip exactly through double."""
+    return (
+        F.round(F.element_at(vec_col, k + 1).cast("double") * _MOMENT_SCALE)
+        .cast("bigint")
+    )
+
+
+def moment_aggs(vec_col: str, dims: int) -> list[Column]:
+    """The covariance sufficient-statistic aggregates over the leading
+    ``dims`` components: ``n`` plus first moments ``s_i = Σx_i`` and
+    upper-triangle second moments ``p_i_j = Σx_i·x_j`` in micro units.
+
+    Shared by :func:`whitening_transform` and
+    ``queries.similarity.embedding_covariance_stats`` — one definition,
+    two consumers.
+
+    Accumulation is DECIMAL(38,0) (then cast back to BIGINT): per-row
+    products are ~1e12 in magnitude, so a plain BIGINT sum of
+    same-signed unit-scale components overflows around ~9e6 rows — far
+    below production corpus sizes.  DECIMAL(38,0) raises the bound to
+    ~1e26 rows and mirrors DuckDB, whose SUM(BIGINT) already widens to
+    HUGEINT before the oracle's final BIGINT cast.  Values (and the
+    output schema) are unchanged at any scale where both fit.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_vecs")]
+    for i in range(dims):
+        aggs.append(
+            F.sum(moment_elem(vec_col, i).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias(f"s_{i}")
+        )
+    for i in range(dims):
+        for j in range(i, dims):
+            aggs.append(
+                F.sum(
+                    (moment_elem(vec_col, i) * moment_elem(vec_col, j)).cast(
+                        "decimal(38,0)"
+                    )
+                )
+                .cast("bigint")
+                .alias(f"p_{i}_{j}")
+            )
+    return aggs
+
+
 def whitening_transform(
     emb: DataFrame, dims: int = 8, vec_col: str = "embedding"
 ) -> DataFrame:
     """ZCA-whiten the leading ``dims`` components: covariance moments
-    from one exact aggregation pass (micro-quantized integer sums, cf.
-    ``queries/similarity.py::embedding_covariance_stats``), the d×d
-    eigendecomposition on the driver (bounded: d² scalars, never data),
-    and the rotation applied as a broadcast matrix of literals — pure
-    expressions, no UDF.  Output column ``white`` (array<double>) has
-    ~identity sample covariance; the standard preprocessing before
-    cosine/PQ ANN when dimensions are correlated."""
+    from one exact aggregation pass (:func:`moment_aggs` — the same
+    sufficient statistics ``embedding_covariance_stats`` exposes as a
+    query), the d×d eigendecomposition on the driver (bounded: d²
+    scalars, never data), and the rotation applied as a broadcast
+    matrix of literals — pure expressions, no UDF.  Output column
+    ``white`` (array<double>) has ~identity sample covariance; the
+    standard preprocessing before cosine/PQ ANN when dimensions are
+    correlated."""
     import numpy as np
-    from pyspark.sql import functions as F
 
-    def xq(k: int):
-        return (
-            F.round(F.element_at(vec_col, k + 1).cast("double") * 1000000)
-            .cast("bigint")
-        )
-
-    aggs = [F.count(F.lit(1)).alias("n")]
-    for i in range(dims):
-        aggs.append(F.sum(xq(i)).cast("bigint").alias(f"s_{i}"))
-    for i in range(dims):
-        for j in range(i, dims):
-            aggs.append(F.sum(xq(i) * xq(j)).cast("bigint").alias(f"p_{i}_{j}"))
-    row = emb.agg(*aggs).collect()[0]  # bounded: 1 + d + d(d+1)/2 scalars
-    n = row["n"]
-    mu = np.array([row[f"s_{i}"] / 1e6 / n for i in range(dims)])
+    row = emb.agg(*moment_aggs(vec_col, dims)).collect()[0]  # 1 + d + d(d+1)/2 scalars
+    n = row["n_vecs"]
+    if n == 0:
+        raise ValueError("whitening_transform: input frame has no rows")
+    mu = np.array([row[f"s_{i}"] / _MOMENT_SCALE / n for i in range(dims)])
     cov = np.zeros((dims, dims))
     for i in range(dims):
         for j in range(i, dims):
-            c = row[f"p_{i}_{j}"] / 1e12 / n - mu[i] * mu[j]
+            c = row[f"p_{i}_{j}"] / _MOMENT_SCALE**2 / n - mu[i] * mu[j]
             cov[i, j] = cov[j, i] = c
     w, v = np.linalg.eigh(cov)
     zca = v @ np.diag(1.0 / np.sqrt(np.maximum(w, 1e-12))) @ v.T

@@ -785,3 +785,88 @@ def lineitem_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return column_stats(li, _COLSTATS_COLS)
+
+
+# --------------------------------------------------------------------------
+# Whole-catalog ANALYZE: column_stats generalized to every table the
+# engine serves — the statistics bootstrap a cost-based optimizer runs
+# once per table.  Profiled set = every integer / string / timestamp
+# column; doubles are excluded (cross-engine float-to-string formatting
+# is not contract-stable — the sketch tier profiles them) and so are
+# array / long-text payload columns (documents.text min/max would embed
+# whole documents in a stats row; embeddings.embedding is an array).
+# --------------------------------------------------------------------------
+
+_CATALOG_STATS_COLS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+    "supplier": ("s_suppkey", "s_name", "s_nationkey"),
+    "part": ("p_partkey", "p_name", "p_brand", "p_type", "p_size"),
+    "orders": (
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        "o_orderpriority",
+    ),
+    "lineitem": (
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ),
+    "events": ("event_id", "ts", "user_id", "event_type"),
+    "documents": ("doc_id", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "label"),
+}
+
+
+def _catalog_stats_oracle() -> str:
+    blocks = []
+    for t, cols in _CATALOG_STATS_COLS.items():
+        agg = ", ".join(
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv_{i}, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS nulls_{i}, "
+            f"CAST(MIN({c}) AS VARCHAR) AS min_{i}, "
+            f"CAST(MAX({c}) AS VARCHAR) AS max_{i}"
+            for i, c in enumerate(cols)
+        )
+        rows = " UNION ALL ".join(
+            f"SELECT '{t}' AS table_name, '{c}' AS column_name, n_rows, "
+            f"ndv_{i} AS ndv, nulls_{i} AS n_nulls, "
+            f"min_{i} AS min_value, max_{i} AS max_value FROM a_{t}"
+            for i, c in enumerate(cols)
+        )
+        blocks.append(
+            (f"a_{t} AS (SELECT COUNT(*) AS n_rows, {agg} FROM {t})", rows)
+        )
+    withs = ",\n".join(b[0] for b in blocks)
+    unions = "\nUNION ALL ".join(b[1] for b in blocks)
+    return f"WITH {withs}\n{unions}"
+
+
+@query("catalog_column_stats", oracle=_catalog_stats_oracle())
+def catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE over the whole catalog: one stats aggregation per table
+    (10 independent single-pass aggs — on a cluster they run
+    concurrently; no cross-table shuffle exists), unioned into the
+    (table, column) statistics frame a CBO or file-skipping layer
+    would persist.  44 rows total — driver-safe at any corpus scale
+    since each table contributes one metadata-sized agg."""
+    from bigdatamlteamrepo_spark.operators.stats import column_stats
+
+    parts = []
+    for t, cols in _CATALOG_STATS_COLS.items():
+        parts.append(
+            column_stats(load_table(spark, sf_dir, t), cols).select(
+                F.lit(t).alias("table_name"), "*"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -173,24 +173,19 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimensions in ONE aggregation pass (n, Σx_i, Σx_i·x_j as exact
     micro-unit BIGINTs, covariance re-derived row-locally).  The input
     to a whitening rotation or on-the-fly PCA — and proof the engine
-    can run exact distributed linear-algebra statistics."""
+    can run exact distributed linear-algebra statistics.
+
+    Moments accumulate in DECIMAL(38,0) (``operators/stats.py::
+    moment_aggs``, the shared definition with whitening_transform): a
+    plain BIGINT sum of the ~1e12-magnitude per-row products overflows
+    around ~9e6 same-signed rows, far below production corpus sizes;
+    DECIMAL raises the bound to ~1e26 rows and mirrors DuckDB, whose
+    SUM(BIGINT) already widens to HUGEINT before the oracle's final
+    BIGINT cast."""
+    from bigdatamlteamrepo_spark.operators.stats import moment_aggs
+
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def xq(k: int):
-        return (
-            F.round(F.element_at("embedding", k + 1).cast("double") * 1000000)
-            .cast("bigint")
-        )
-
-    aggs = [F.count(F.lit(1)).alias("n_vecs")]
-    for i in range(_COV_DIMS):
-        aggs.append(F.sum(xq(i)).cast("bigint").alias(f"s_{i}"))
-    for i in range(_COV_DIMS):
-        for j in range(i, _COV_DIMS):
-            aggs.append(
-                F.sum(xq(i) * xq(j)).cast("bigint").alias(f"p_{i}_{j}")
-            )
-    a = emb.agg(*aggs)
+    a = emb.agg(*moment_aggs("embedding", _COV_DIMS))
     parts = []
     for i in range(_COV_DIMS):
         for j in range(i, _COV_DIMS):

@@ -34,6 +34,19 @@ aggregation — integer sums are associative, so the reduction order
 (partial aggs, shuffle order, DuckDB vs Spark) can never perturb the
 result.  Doubles only reappear in final row-local arithmetic.
 
+Known residual hazard (documented, not closed): the quantization
+``round(ln(...)·1e6)`` happens AFTER a transcendental, so a cross-
+engine libm ULP difference (JVM ``Math.log`` vs DuckDB ``ln``) could in
+principle flip the round() at an exact .5-micro boundary.  The
+discipline above removes *reduction-order* nondeterminism entirely;
+*content-dependent* ties on log-derived values remain possible with
+measure-zero probability (unlike rationals of integers, which DO hit
+exact ties in practice — see ``dsir_importance_weights``'s integer
+half-away rounding for that case).  Observed parity: green at
+sf0.001/0.01/0.1 across all rounds; if a tie ever fires, the fix is a
+±1-micro tolerance on lp/llr columns in the parity harness, not a
+plan change.
+
 Reference parity: extends the reference's token-statistics work
 (model.py:50-98 word extraction / stopword filtering / frequency
 analysis) from per-document features to corpus-level statistical
@@ -445,7 +458,21 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size.  The cutoff is part of the definition
     (mirrored in the oracle), so parity is exact by construction, and
     strata smaller than {STRAT_SAFETY}·K keep everything (cutoff 2^32 —
-    no row lost)."""
+    no row lost).
+
+    Shortfall hazard (quantified): the pre-filter is probabilistic —
+    for a stratum with n > {STRAT_SAFETY}·K docs, the number of hashes
+    under the cutoff is Binomial(n, ~{STRAT_SAFETY}K/n) with mean
+    {STRAT_SAFETY}·K = {STRAT_SAFETY * STRAT_K}; returning fewer than
+    K = {STRAT_K} rows requires the count to fall below K, i.e. a
+    (1 − 1/{STRAT_SAFETY}) = 75% drop below the mean.  By a Chernoff
+    bound P < exp(−{STRAT_SAFETY}K·(3/4)²/2) ≈ exp(−28) ≈ 7e−13 per
+    stratum.  Because the oracle mirrors the cutoff, a shortfall would
+    NOT surface as a parity failure — it is pinned instead by
+    tests/test_textmodel.py::
+    test_stratified_sample_exact_k_and_prefilter_lossless, which
+    asserts every stratum yields exactly min(K, n_docs) rows AND that
+    they are precisely the K smallest hashes (no winner dropped)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     h = docs.withColumn("h32", hash32(F.col("doc_id")))
     n = h.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -524,7 +551,9 @@ GROUP BY g.source
 
 
 @query("training_corpus_selection", oracle=_selection_oracle())
-def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def training_corpus_selection(
+    spark: SparkSession, sf_dir: str, lm: DataFrame | None = None
+) -> DataFrame:
     """The selection capstone: a document ships to training iff it
     passes every Gopher rule AND sits in its language's head or middle
     perplexity tercile (CCNet drops the tail).  Per-source report of
@@ -535,7 +564,15 @@ def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     LM tercile frame is per-document (corpus-shrunk); their join keys
     on doc_id and the rollup on source.  Documents with <2 bigrams
     have no LM row and are conservatively dropped (COALESCE to the
-    tail tercile) — mirrored exactly in the oracle."""
+    tail tercile) — mirrored exactly in the oracle.
+
+    ``lm`` accepts a precomputed perplexity frame (doc_id, ppl_tercile
+    + anything else): when this capstone composes with a pipeline that
+    already ran ``doc_lm_perplexity`` — the common case, since the
+    tercile frame is per-document and cheap to persist — pass it in and
+    the second full corpus scan / tokenize / model build disappears.
+    Standalone callers (the registry path) leave it None and pay the
+    one rebuild."""
     from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
 
     docs = load_table(spark, sf_dir, "documents")
@@ -552,7 +589,9 @@ def training_corpus_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).cast("int"),
     )
-    lm = doc_lm_perplexity(spark, sf_dir).select("doc_id", "ppl_tercile")
+    if lm is None:
+        lm = doc_lm_perplexity(spark, sf_dir)
+    lm = lm.select("doc_id", "ppl_tercile")
     kept = (F.col("pass_gopher") == 1) & (
         F.coalesce(F.col("ppl_tercile"), F.lit(3)) <= 2
     )
