@@ -243,6 +243,7 @@ def fit_multiclass_bigram(
     max_iter: int = 50,
     seed: int = 42,
     split=(0.8, 0.2),
+    split_seed: int | None = None,
     categories=None,
     faithful_leaky_indexer: bool = False,
 ) -> BinaryResult:
@@ -253,6 +254,11 @@ def fit_multiclass_bigram(
     ``faithful_leaky_indexer=True`` reproduces the reference's label
     leak (StringIndexer fitted on the FULL frame, c5:58); default clean
     mode fits it on train only (SURVEY §7 fidelity-mode policy).
+
+    ``split_seed``: the reference uses DIFFERENT seeds for the split
+    and the MLP in c5 (``randomSplit(..., seed=100)`` at c5:67 vs MLP
+    ``seed=42`` at c5:52) — pass 100 to reproduce that exact config;
+    default None reuses ``seed`` for both.
     """
     from bigdatamlteamrepo_spark.ml.recipes import BIGRAM_CATEGORIES
 
@@ -275,7 +281,7 @@ def fit_multiclass_bigram(
         blockSize=128,
         seed=seed,
     )
-    train, test = data.randomSplit(list(split), seed=seed)
+    train, test = data.randomSplit(list(split), seed=split_seed if split_seed is not None else seed)
     train = train.cache()
     model = Pipeline(stages=[remover, ngram, tf, idf, indexer, mlp]).fit(train)
     preds = model.transform(test).cache()

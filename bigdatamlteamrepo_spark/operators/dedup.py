@@ -121,27 +121,66 @@ def simhash_neardup_pairs(
     )
 
 
+#: auto cell sizing: target member count per KMeans cell.  n_cells =
+#: clamp(n / _CELL_TARGET_ROWS, 16, 4096): a 100 TB corpus gets
+#: thousands of cells (each a bounded verify block), a test corpus
+#: keeps 16.  4096² grid entries are still driver-trivial scalars.
+_CELL_TARGET_ROWS = 4096
+#: per-cell radius quantile: members beyond this distance quantile are
+#: OUTLIERS routed to the spill tier instead of inflating the cell
+#: radius (one far member would otherwise degenerate the block grid
+#: toward all K² pairs — the r03 verdict finding).
+_CELL_RADIUS_Q = 0.9
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     fit_sample_fraction: float | None = None,
     seed: int = 42,
+    prune_stats: dict | None = None,
 ) -> DataFrame:
     """EXACT embedding-cosine near-duplicates: all pairs with cosine ≥
     threshold — no candidate loss — via KMeans-cell blocking with
-    triangle-inequality block pruning.
+    triangle-inequality block pruning and an outlier spill tier.
 
     On unit-normalized vectors cos(a,b) ≥ t ⟺ ‖â−b̂‖ ≤ r = √(2−2t), so
     with each vector assigned to its nearest of ``n_cells`` centroids
     (fit on a sample — never feed a 100 TB corpus whole into iterative
     KMeans) and per-cell radii ρ, a block pair (X, Y) can contain a
     qualifying pair only if ‖c_X − c_Y‖ ≤ ρ_X + ρ_Y + r — every other
-    block pair is provably empty and never joined.  The plan is two hash
-    equi-joins on cell ids (no BroadcastNestedLoop / cartesian); the
-    exact cosine verify runs only inside surviving blocks.
+    block pair is provably empty and never joined.
+
+    **Radius robustness**: ρ is the ``_CELL_RADIUS_Q`` member-distance
+    QUANTILE, not the max — with a max radius a single outlier member
+    inflates ρ and the grid degenerates toward all K² blocks.  Members
+    beyond their cell's quantile radius (≤10% by construction) become
+    the SPILL tier, verified exactly by per-ROW pruning instead of
+    block pruning:
+
+      * spill×core: a spill vector s can match a core member y of cell
+        Y only if ‖s − c_Y‖ ≤ ρ_Y + r (triangle via ‖y − c_Y‖ ≤ ρ_Y);
+        s is exploded over the K cell ids, equi-joined against the
+        broadcast centroid table, distance-filtered, and only the
+        surviving (s, cell) probes join into core members.
+      * spill×spill: block-pruned like the core grid but with each
+        cell's MAX member distance as the radius — even when outliers
+        degenerate THAT grid to all K² pairs, only spill members ride
+        it, so its join volume is bounded by the (≤10%)² spill
+        fraction squared, never the corpus.
+
+    All three tiers are hash equi-joins (no BroadcastNestedLoop /
+    cartesian — pinned by tests/test_neardup.py's plan gate); the exact
+    cosine verify runs only inside surviving blocks, and the union of
+    the tiers is provably every qualifying pair exactly once (each
+    vector belongs to exactly one tier and one cell).
+
+    ``n_cells`` defaults to corpus-scaled (n / ``_CELL_TARGET_ROWS``,
+    clamped to [16, 4096]) so cells stay bounded verify blocks as the
+    corpus grows instead of ~n/16-row giants.
 
     Pruning power is data-dependent: clustered corpora (the real-world
     case) prune most of the K² grid; an adversarially uniform corpus
@@ -150,6 +189,10 @@ def embedding_neardup_pairs(
     plus the LSH candidates-then-verify variant
     (queries/extensions.py:embedding_neardup_lsh) when approximate
     recall is acceptable.
+
+    ``prune_stats``: pass a dict to receive {n_rows, n_cells,
+    grid_pairs, n_spill} — the observability hook the degeneracy test
+    asserts on.
     """
     import numpy as np
     from pyspark.ml.clustering import KMeans
@@ -169,6 +212,14 @@ def embedding_neardup_pairs(
         .withColumn("__unit", unit)
         .withColumn("__v", array_to_vector("__unit"))
     )
+    # cache: feeds the KMeans fit (unless sampled), the count, the
+    # radii agg, and the assigned frame below.  (At cluster scale, swap
+    # for MEMORY_AND_DISK or accept one extra columnar scan.)
+    normed = normed.cache()
+    if n_cells is None:
+        n = normed.count()
+        n_cells = int(max(16, min(4096, n // _CELL_TARGET_ROWS)))
+        n_cells = max(1, min(n_cells, max(1, n)))  # KMeans needs k ≤ n
     fit_set = (
         normed.sample(withReplacement=False, fraction=fit_sample_fraction, seed=seed)
         if fit_sample_fraction is not None
@@ -178,52 +229,151 @@ def embedding_neardup_pairs(
         fit_set
     )
     centers = {i: np.asarray(c, dtype=float) for i, c in enumerate(model.clusterCenters())}
-    centers_df = emb.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in centers.items()],
-        "cell int, center array<double>",
+    centers_df = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in centers.items()],
+            "cell int, center array<double>",
+        )
     )
 
-    # cache: the normalize+assign lineage feeds the radii collect AND
-    # both sides of the pair join — without this it recomputes 3×.
-    # (At cluster scale, swap for MEMORY_AND_DISK or drop the cache and
-    # accept one extra columnar scan — the radii pass needs all rows.)
-    assigned = model.transform(normed).select(id_col, vec_col, "__unit", "cell").cache()
-    # per-cell radius: max distance of members to their assigned centroid
     dist_sq = F.aggregate(
         F.zip_with(F.col("__unit"), F.col("center"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    radii = {
-        row["cell"]: row["rho"]
-        for row in assigned.join(F.broadcast(centers_df), "cell")
-        .groupBy("cell")
-        .agg(F.max(F.sqrt(dist_sq)).alias("rho"))
+    assigned = (
+        model.transform(normed)
+        .join(centers_df, "cell")
+        .select(id_col, vec_col, "__unit", "cell", F.sqrt(dist_sq).alias("__d"))
+        .cache()
+    )
+    # per-cell QUANTILE radius + MAX radius (K rows collected —
+    # metadata-sized).  approx_percentile is estimation-grade, which is
+    # fine: ρ only partitions rows into core/spill and sizes the grid —
+    # the verify is exact either way, so the OUTPUT is identical for
+    # any ρ.
+    rad_rows = (
+        assigned.groupBy("cell")
+        .agg(
+            F.percentile_approx("__d", _CELL_RADIUS_Q).alias("rho"),
+            F.max("__d").alias("rho_max"),
+        )
         .collect()
-    }
-
+    )
+    radii = {row["cell"]: row["rho"] for row in rad_rows}
+    radii_max = {row["cell"]: row["rho_max"] for row in rad_rows}
     eps = 1e-9  # absorbs FP error in the driver-side centroid distances
+
+    # split tiers: core stays block-pruned, spill gets row-level pruning
+    radii_df = F.broadcast(
+        emb.sparkSession.createDataFrame(
+            [(c, float(x)) for c, x in radii.items()], "cell int, rho double"
+        )
+    )
+    tiered = assigned.join(radii_df, "cell")
+    core = tiered.filter(F.col("__d") <= F.col("rho") + eps)
+    spill = tiered.filter(F.col("__d") > F.col("rho") + eps)
+
     grid = [
         (i, j)
         for i in centers
         for j in centers
         if i in radii and j in radii
         and float(np.linalg.norm(centers[i] - centers[j]))
-        <= radii[i] + radii[j] + r + eps
+        <= radii[i] + radii[j] + r + 3 * eps
     ]
-    grid_df = emb.sparkSession.createDataFrame(grid, "cell_a int, cell_b int")
+    grid_df = F.broadcast(
+        emb.sparkSession.createDataFrame(grid, "cell_a int, cell_b int")
+    )
 
-    a = assigned.select(
+    sim = cosine_similarity(F.col("va"), F.col("vb"))
+    a = core.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("cell").alias("cell_a")
     )
-    b = assigned.select(
+    b = core.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("cell").alias("cell_b")
     )
-    sim = cosine_similarity(F.col("va"), F.col("vb"))
-    return (
-        a.join(F.broadcast(grid_df), "cell_a")
+    core_pairs = (
+        a.join(grid_df, "cell_a")
         .join(b, "cell_b")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("cosine_sim"))
+    )
+
+    # spill×core: per-row centroid pruning — ‖s − c_Y‖ ≤ ρ_Y + r is
+    # necessary for s to match ANY core member of Y (triangle ineq.).
+    # The K-way probe fan-out is an explode + broadcast HASH join on
+    # cell id (not a nested-loop): same row volume, plan-gate clean.
+    s_cells = (
+        spill.select(
+            F.col(id_col).alias("sid"),
+            F.col(vec_col).alias("sv"),
+            F.col("__unit").alias("su"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_cells - 1))).alias("cell"),
+        )
+        .join(centers_df.join(radii_df, "cell"), "cell")
+        .filter(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("su"), F.col("center"), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
+            <= F.col("rho") + r + 2 * eps
+        )
+        .select("sid", "sv", "cell")
+    )
+    spill_core = (
+        s_cells.join(
+            core.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"), "cell"),
+            "cell",
+        )
+        .select(
+            F.least("sid", "cid").alias("id_a"),
+            F.greatest("sid", "cid").alias("id_b"),
+            cosine_similarity(F.col("sv"), F.col("cv")).alias("cosine_sim"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+    # spill×spill: block-pruned on the MAX-radius grid.  Outliers can
+    # degenerate THIS grid toward K² — but only spill members (≤(1−q)
+    # of the corpus by construction) ride it, so the join volume is
+    # bounded by the spill fraction squared, never the corpus squared.
+    grid_max = [
+        (i, j)
+        for i in centers
+        for j in centers
+        if i in radii_max and j in radii_max
+        and float(np.linalg.norm(centers[i] - centers[j]))
+        <= radii_max[i] + radii_max[j] + r + 3 * eps
+    ]
+    grid_max_df = F.broadcast(
+        emb.sparkSession.createDataFrame(grid_max, "cell_a int, cell_b int")
+    )
+    sa = spill.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col("cell").alias("cell_a")
+    )
+    sb = spill.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col("cell").alias("cell_b")
+    )
+    spill_pairs = (
+        sa.join(grid_max_df, "cell_a")
+        .join(sb, "cell_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+    )
+
+    if prune_stats is not None:
+        prune_stats["n_rows"] = normed.count()
+        prune_stats["n_cells"] = n_cells
+        prune_stats["grid_pairs"] = len(grid)
+        prune_stats["grid_pairs_spill"] = len(grid_max)
+        prune_stats["n_spill"] = spill.count()
+
+    return (
+        core_pairs.unionByName(spill_core)
+        .unionByName(spill_pairs)
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -66,6 +66,49 @@ def pq_codebooks(emb: DataFrame, k: int = PQ_K, m: int = PQ_M, sub: int = PQ_SUB
     return _subspaces(anchors, "embedding", "center_id", "c_sub", m, sub)
 
 
+def pq_codebooks_kmeans(
+    emb: DataFrame,
+    k: int = PQ_K,
+    m: int = PQ_M,
+    sub: int = PQ_SUB,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(s, center_id, c_sub) — per-subspace codebook from SAMPLED
+    KMeans: the production-quality path (Jégou §III trains codebooks by
+    k-means per subspace; FAISS does the same on a training sample).
+
+    The first-k codebooks (:func:`pq_codebooks`) stay the ORACLE path —
+    deterministic and DuckDB-reproducible — but their quality is an
+    accident of id order; k-means codebooks minimize subspace
+    quantization error and measurably lift ADC recall (SWEEP.md, "PQ
+    codebook quality").  Every downstream expression (encode, ADC,
+    re-rank) is unchanged — codebooks are just a (k·m)-row frame.
+
+    ``sample_fraction`` bounds the fit set: at 100 TB you train on a
+    ~1e6-vector sample (KMeans cost is per-fit-row; codebook quality
+    saturates long before the corpus does), then encode the full corpus
+    with the broadcast codebook."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = emb.select("vec_id", "embedding")
+    if sample_fraction is not None:
+        base = base.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+    vs = _subspaces(base, "embedding", "vec_id", "v_sub", m, sub).withColumn(
+        "__v", array_to_vector(F.col("v_sub").cast("array<double>"))
+    )
+    rows = []
+    # m independent small fits (m=4): each reads only its subspace slice
+    for s in range(m):
+        model = KMeans(
+            k=k, seed=seed + s, featuresCol="__v", predictionCol="c"
+        ).fit(vs.filter(F.col("s") == s))
+        for i, c in enumerate(model.clusterCenters()):
+            rows.append((s, i, [float(x) for x in c]))
+    return emb.sparkSession.createDataFrame(rows, "s int, center_id int, c_sub array<double>")
+
+
 def pq_encode(
     emb: DataFrame, codebooks: DataFrame, m: int = PQ_M, sub: int = PQ_SUB
 ) -> DataFrame:
@@ -98,6 +141,7 @@ def pq_adc_topk(
     sub: int = PQ_SUB,
     n_centroids: int = PQ_K,
     exclude_self: bool = False,
+    books: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k by ADC score with exact-cosine re-rank values.
 
@@ -105,8 +149,13 @@ def pq_adc_topk(
     rank orders by (adc_score DESC, neighbor_id) — the ranking a
     code-only scan can produce — and cosine_sim is the exact value
     fetched for just these k rows (the re-rank read).
+
+    ``books`` overrides the codebook frame: pass
+    :func:`pq_codebooks_kmeans` output for the quality path; the
+    default stays the oracle-reproducible first-k codebook.
     """
-    books = pq_codebooks(emb, n_centroids, m, sub)
+    if books is None:
+        books = pq_codebooks(emb, n_centroids, m, sub)
     # codebook + codes are the ADC working set — materialize once
     codes = pq_encode(emb, books, m, sub).localCheckpoint(eager=True)
     qs = _subspaces(

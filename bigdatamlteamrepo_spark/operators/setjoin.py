@@ -57,18 +57,45 @@ def _prefix_len(n: Column, tau_num: int) -> Column:
     return n - ceil_tn.cast("int") + F.lit(1)
 
 
+class CandidateVolumeExceeded(RuntimeError):
+    """The prefix join's predicted candidate volume exceeds the guard
+    bound — the corpus is in the regime where an EXACT set-similarity
+    join is inherently super-linear (SCALING.md: measured 5→12→84 s at
+    5k/20k/80k docs on a closed vocabulary).  Use the LSH
+    candidates-then-verify path (queries/text_dedup.py
+    lsh_candidate_pairs / ngram_jaccard_pairs) when approximate recall
+    is acceptable, or raise ``max_candidates`` deliberately."""
+
+
+#: default candidate guard: refuse plans predicted to shuffle more
+#: than this many raw candidate rows (the honest Ω(n²) signal).
+_DEFAULT_MAX_CANDIDATES = 50_000_000
+
+
 def prefix_jaccard_join(
     sets: DataFrame,
     threshold: float,
     id_col: str = "id",
     set_col: str = "s",
+    max_candidates: int | None = _DEFAULT_MAX_CANDIDATES,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with Jaccard(set_a, set_b) ≥ threshold.
 
     ``sets``: one row per record, ``set_col`` an array of DISTINCT
     tokens.  Returns (id_a, id_b, jaccard).  Exact — identical result
     to the brute-force all-pairs join (prefix filtering is lossless).
-    """
+
+    **Candidate-volume guard**: before building the self-join, the
+    per-token prefix frequencies (a metadata-sized agg over the
+    already-materialized prefix frame) predict the raw candidate count
+    as Σ_t C(n_t, 2) — an upper bound on the join's output rows (each
+    pair is counted once per shared prefix token; size pruning only
+    shrinks it).  If the prediction exceeds ``max_candidates`` the
+    operator raises :class:`CandidateVolumeExceeded` pointing at the
+    LSH path instead of silently launching a quadratic shuffle — the
+    engine-enforced form of the Ω(n²) honesty documented in SCALING.md.
+    Pass ``max_candidates=None`` to disable (benchmarks, small known
+    corpora)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     tau_num = round(threshold * _TAU_DEN)
@@ -94,6 +121,29 @@ def prefix_jaccard_join(
         "size",
         F.explode(F.transform(F.slice("ord", 1, p), lambda x: x["t"])).alias("t"),
     )
+    if max_candidates is not None:
+        # materialize the prefix frame so the estimator pass and the
+        # join read it once; the estimate itself is one tiny agg
+        prefix = prefix.localCheckpoint(eager=True)
+        est_row = (
+            prefix.groupBy("t")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum(
+                    (F.col("n").cast("double") * (F.col("n") - 1) / 2)
+                ).alias("est")
+            )
+            .collect()[0]
+        )
+        est = int(est_row["est"] or 0)
+        if est > max_candidates:
+            raise CandidateVolumeExceeded(
+                f"prefix join predicts ~{est:,} candidate rows "
+                f"(> max_candidates={max_candidates:,}); this corpus is in "
+                "the super-linear regime for exact set-similarity joins — "
+                "use the LSH candidates-then-verify path "
+                "(queries/text_dedup.py) or raise max_candidates explicitly"
+            )
     a, b = prefix.alias("a"), prefix.alias("b")
     size_ok = F.least(F.col("a.size"), F.col("b.size")) * F.lit(_TAU_DEN) >= F.greatest(
         F.col("a.size"), F.col("b.size")

@@ -65,10 +65,12 @@ WHERE {_COS} >= {_NEARDUP_THRESHOLD}
 """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact threshold pairs; cell-blocked plan, brute-force oracle —
-    the triangle-inequality pruning is lossless so both agree."""
+    """Exact threshold pairs; cell-blocked plan with quantile radii +
+    outlier spill tier, brute-force oracle — the triangle-inequality
+    pruning is lossless so both agree.  n_cells auto-scales with the
+    corpus (16 at driver SFs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return _emb_pairs(emb, threshold=_NEARDUP_THRESHOLD, n_cells=16)
+    return _emb_pairs(emb, threshold=_NEARDUP_THRESHOLD)
 
 
 def _rp_lsh_ctes() -> str:

@@ -28,11 +28,18 @@ def _union_find(edges):
 
 def _check(spark, edges):
     df = spark.createDataFrame(edges, "src long, dst long")
+    want = _union_find(edges)
+    # default path: union-find finisher fires (edges ≤ SMALL_GRAPH_EDGES)
     got = {
         r.node: r.component for r in connected_components(df).collect()
     }
-    want = _union_find(edges)
     assert got == want
+    # forced star-contraction path (the 100 TB shape) must agree
+    got_star = {
+        r.node: r.component
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    assert got_star == want
 
 
 def test_long_chain(spark):
@@ -68,3 +75,19 @@ def test_two_phase_same_as_naive_on_lsh_graph(spark, sf_dir):
     a = sorted(map(str, neardup_cluster_representatives(spark, sf_dir).collect()))
     b = sorted(map(str, neardup_cluster_representatives(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_star_round_edge_count_is_invariant(spark):
+    """Why the fast path is an ENTRY decision: star rounds keep exactly
+    one pointer edge per non-root node, so the edge count never shrinks
+    below its starting value — a 5000-chain forced down the star path
+    still converges, with the count pinned at ~n throughout."""
+    edges = [(i, i + 1) for i in range(2000)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, small_graph_edges=0).collect()
+    }
+    want = _union_find(edges)
+    assert got == want
+    assert set(got.values()) == {0}

@@ -190,3 +190,55 @@ def test_ivfpq_clustered_recall_and_pruning(spark):
         )
         hits += len(set(grp["neighbor_id"]) & truth)
     assert hits / 60 >= 0.95, f"IVFPQ recall {hits}/60"
+
+
+def test_kmeans_codebooks_quality_path(spark):
+    """The sampled-KMeans codebook (quality path) must plug into the
+    unchanged ADC pipeline and preserve coarse neighborhoods on
+    clustered data exactly like the first-k oracle codebook does: the
+    retrieve-then-exact-rerank composition recovers the true top-10."""
+    import numpy as np
+
+    from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity
+    from bigdatamlteamrepo_spark.operators.pq import pq_codebooks_kmeans
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(6, 32)) * 3
+    rows = []
+    for i in range(300):
+        v = centers[i % 6] + rng.normal(scale=0.15, size=32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    qs = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    books = pq_codebooks_kmeans(emb, k=16, m=4, sub=8)
+    assert books.count() == 64  # k centroids × m subspaces
+    shortlist = pq_adc_topk(
+        emb, qs, k=50, m=4, sub=8, exclude_self=True, books=books
+    ).toPandas()
+    same_cluster = (shortlist["neighbor_id"] % 6) == (shortlist["query_id"] % 6)
+    assert same_cluster.mean() >= 0.95, same_cluster.mean()
+    exact = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("cos"),
+        )
+        .toPandas()
+    )
+    hits = 0
+    for qid, grp in shortlist.groupby("query_id"):
+        reranked = set(
+            grp.sort_values(["cosine_sim", "neighbor_id"], ascending=[False, True])
+            .head(10)["neighbor_id"]
+        )
+        truth = set(
+            exact[exact.query_id == qid]
+            .sort_values(["cos", "vec_id"], ascending=[False, True])
+            .head(10)["vec_id"]
+        )
+        hits += len(reranked & truth)
+    assert hits / 60 >= 0.9, f"kmeans-codebook retrieve+rerank recall {hits}/60"

@@ -67,3 +67,25 @@ def test_no_cartesian_in_plan(spark, shingle_sets):
     plan = prefix_jaccard_join(shingle_sets, 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_candidate_volume_guard_trips_on_adversarial_corpus(spark):
+    """An all-identical-sets corpus makes every prefix token df = n, so
+    the predicted candidate volume is ~C(n,2)·p — the guard must refuse
+    and point at the LSH path instead of launching the quadratic join."""
+    import pytest
+
+    from bigdatamlteamrepo_spark.operators.setjoin import (
+        CandidateVolumeExceeded,
+        prefix_jaccard_join,
+    )
+
+    toks = [f"t{j}" for j in range(10)]
+    sets = spark.createDataFrame(
+        [(i, toks) for i in range(200)], "id long, s array<string>"
+    )
+    with pytest.raises(CandidateVolumeExceeded, match="LSH"):
+        prefix_jaccard_join(sets, 0.8, max_candidates=1_000).count()
+    # same corpus with the guard lifted still returns the exact result
+    n_pairs = prefix_jaccard_join(sets, 0.8, max_candidates=None).count()
+    assert n_pairs == 200 * 199 // 2

@@ -164,3 +164,75 @@ def test_streaming_funnel_matches_batch(spark, sf_dir):
     )
     want = {r.user_id: (r.stage, r.t1_us, r.t2_us, r.t3_us) for r in batch.collect()}
     assert got == want
+
+
+def test_stateful_restart_with_different_shuffle_width(spark, sf_dir, tmp_path):
+    """VERDICT r3 item 9 — the 100× story must cover state
+    redistribution: a stateful query checkpointed at one shuffle width
+    is restarted with a DIFFERENT session shuffle width and more data.
+    Spark pins the state-store partition count in the checkpoint (the
+    new session conf must neither corrupt state nor re-key it), so the
+    resumed totals must equal the batch aggregation over ALL data."""
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    t1 = events.filter(F.col("event_id") % 2 == 0)
+    t2 = events.filter(F.col("event_id") % 2 == 1)
+    t1.coalesce(1).write.mode("append").parquet(str(src))
+
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
+
+    out = str(tmp_path / "out")
+
+    def run():
+        # memory sink cannot recover from a checkpoint; foreachBatch
+        # (the production pattern for update-mode custom sinks) can
+        stream = spark.readStream.schema(events.schema).parquet(str(src))
+        q = (
+            user_running_totals(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, epoch: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        run()
+        n_updates_run1 = spark.read.parquet(out).count()
+        # restart from the same checkpoint at a different width, with
+        # the second tranche now present
+        t2.coalesce(1).write.mode("append").parquet(str(src))
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)
+
+    updates = spark.read.parquet(out)
+    assert updates.count() > n_updates_run1, "second run emitted no updates"
+    # run-2 rows are the ones whose totals cover both tranches: take the
+    # final (max) totals per user over all emitted updates
+    got = {
+        r.user_id: (r.n_events, round(r.total_value, 6))
+        for r in updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    # every user's FINAL totals must cover both tranches — state from
+    # the width-3 run survived the width-13 restart intact
+    assert got == want

@@ -263,6 +263,84 @@ def test_bpe_learner_matches_independent_python(spark, sf_dir):
     assert (1, top["pair"], top["pair_count"]) == got[0]
 
 
+def _py_bpe_batched(words: Counter, n_merges: int, batch: int):
+    """Independent BATCHED BPE learner mirroring the engine's contract:
+    per round take the top symbol-AND-product-disjoint ``batch`` pairs
+    by (count desc, pair asc), apply them in one leftmost pass."""
+    vocab = {w: list(w) + ["</w>"] for w in words}
+    merges = []
+    while len(merges) < n_merges:
+        pairs: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[f"{a} {b}"] += words[w]
+        if not pairs:
+            break
+        ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[: 8 * batch]
+        used: set = set()
+        selected = []
+        for pair, cnt in ranked:
+            if len(selected) >= batch or len(merges) + len(selected) >= n_merges:
+                break
+            a, b = pair.split(" ", 1)
+            if a in used or b in used or (a + b) in used:
+                continue
+            used.update((a, b, a + b))
+            selected.append((a, b, cnt))
+        if not selected:
+            break
+        for a, b, cnt in selected:
+            merges.append((len(merges) + 1, f"{a} {b}", cnt))
+        rules = {(a, b): a + b for a, b, _ in selected}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) in rules:
+                    out.append(rules[(syms[i], syms[i + 1])])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_batched_bpe_matches_independent_python(spark, sf_dir):
+    import re
+
+    from bigdatamlteamrepo_spark.queries.textmodel import learn_bpe_merges_batched
+
+    docs = load_table(spark, sf_dir, "documents")
+    words: Counter = Counter()
+    for r in docs.select("text").collect():
+        words.update(re.findall(r"[a-z]+", r["text"].lower()))
+    wdf = spark.createDataFrame(sorted(words.items()), "word string, freq long")
+    stats: dict = {}
+    got = learn_bpe_merges_batched(wdf, n_merges=40, batch=8, stats=stats)
+    expected = _py_bpe_batched(words, 40, 8)
+    assert got == expected
+    # the whole point: driver round-trips are O(n_merges / batch)
+    assert stats["rounds"] <= 40 // 8 + 2
+
+
+def test_batched_bpe_with_batch_1_equals_sequential(spark, sf_dir):
+    import re
+
+    from bigdatamlteamrepo_spark.queries.textmodel import (
+        learn_bpe_merges,
+        learn_bpe_merges_batched,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words: Counter = Counter()
+    for r in docs.select("text").collect():
+        words.update(re.findall(r"[a-z]+", r["text"].lower()))
+    wdf = spark.createDataFrame(sorted(words.items()), "word string, freq long")
+    seq = learn_bpe_merges(wdf, n_rounds=5)
+    one = learn_bpe_merges_batched(wdf, n_merges=5, batch=1)
+    assert one == seq
+
+
 def test_lm_hotsplit_identical_and_broadcasts_head(spark, sf_dir):
     """The hot/cold-split plan must be row-identical to the single-join
     LM scorer, and its hot path must be broadcast joins (the Zipf head
