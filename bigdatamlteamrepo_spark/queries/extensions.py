@@ -73,6 +73,68 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _emb_pairs(emb, threshold=_NEARDUP_THRESHOLD)
 
 
+@query(
+    "embedding_semdedup_summary",
+    oracle=f"""
+WITH RECURSIVE
+__pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {_COS} >= {_NEARDUP_THRESHOLD}
+),
+__edges AS (
+  SELECT id_a AS src, id_b AS dst FROM __pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM __pairs
+),
+__reach AS (
+  SELECT src, dst FROM __edges
+  UNION
+  SELECT r.src, e.dst FROM __reach r JOIN __edges e ON r.dst = e.src
+),
+__rep AS (
+  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS rep FROM __reach GROUP BY src
+),
+__m AS (
+  SELECT emb.label, emb.vec_id, COALESCE(r.rep, emb.vec_id) AS rep
+  FROM embeddings emb LEFT JOIN __rep r ON r.vec_id = emb.vec_id
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN vec_id = rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN vec_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM __m GROUP BY label
+""",
+)
+def embedding_semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup capstone (SemDeDup, Abbas et al. 2023, made
+    EXACT): vectors connected by cosine ≥ threshold form a semantic
+    cluster; the min vec_id survives; per-label report of kept/removed.
+    Abbas et al. approximate the pair search with k-means cells and
+    within-cell pairs only — this engine's blocked pair operator
+    (operators/dedup.py) IS that cell structure made lossless (quantile
+    radii + spill tier), so the exact variant costs the same plan shape
+    and the recursive oracle can verify it end-to-end.  Composes the
+    same star-contraction components as the text dedup capstone —
+    dedup semantics identical across modalities."""
+    from bigdatamlteamrepo_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _emb_pairs(emb, threshold=_NEARDUP_THRESHOLD).select("id_a", "id_b")
+    labels = connected_components(pairs, src="id_a", dst="id_b")
+    merged = emb.select("vec_id", "label").join(
+        labels.select(F.col("node").alias("vec_id"), "component"),
+        "vec_id",
+        "left",
+    ).withColumn("rep", F.coalesce("component", "vec_id"))
+    return merged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("vec_id") == F.col("rep")).cast("long")).alias("n_kept"),
+        F.sum((F.col("vec_id") != F.col("rep")).cast("long")).alias("n_removed"),
+    )
+
+
 def _rp_lsh_ctes() -> str:
     """Oracle CTE chain ending in ``__cand(id_a, id_b)`` — the DuckDB
     twin of :func:`rp_band_candidate_pairs` with identical literal

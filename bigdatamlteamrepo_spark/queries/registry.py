@@ -34,82 +34,88 @@ PRI_CORE = 50
 #: covered by the local pytest parity suite)
 PRI_EXTRA = 90
 
-#: Driver-window rotation (round 3): the driver checks only the first 50
+#: Driver-window rotation (round 4): the driver checks only the first 50
 #: exported queries, so oracle-paired queries that have never received a
 #: green driver CORRECTNESS row are promoted here ahead of queries
 #: already proven green in a previous round's window (those keep full
 #: local parity coverage at sf0.001/0.01/0.1).  One set, swapped per
 #: round — individual ``@query(priority=...)`` values stay stable.
-#: Exactly 50 names: 15 never-hash-green (the 12 sketch/containment/RRF/
-#: multiprobe/best-reps queries + the r02 red doc_pack_plan + the two
-#: r01 no_oracle rows that gained oracles in r02), 22 new this round
-#: (skew-split pack, scale-N shard deal, q11/q20, incremental dedup,
-#: prefix-filter dedup, corpus-duplication profile, per-source caps,
-#: funnel, retention cohorts, PQ-ADC ANN, IVFPQ ANN, histogram
-#: quantiles, bigram-LM perplexity, DSIR weights, BPE pair counts,
-#: stratified sample, triangle census, Gopher rule audit, z-order
-#: block audit, corpus-selection capstone, covariance moments), and 13
-#: highest-value r01 greens for re-confirmation after churn.
+#: Exactly 50 names:
+#:   * 7 oracle-paired queries with no driver row yet — the 2 that
+#:     landed after the r03 window froze (lineitem_column_stats,
+#:     doc_lm_perplexity_hotsplit) + the 5 new this round
+#:     (catalog_column_stats, passage_dedup_summary, doc_tfidf_top_terms,
+#:     embedding_semdedup_summary, doc_weighted_sample);
+#:     (bpe_learn_merges_batched stays OUT of the window: rows-only
+#:     entries would surface as non-green-looking driver rows — the
+#:     r03 ann_ivf_topk lesson — and the iterative learner is pinned
+#:     by the independent-Python equality tests instead);
+#:   * 6 whose code paths materially changed this round and need a
+#:     re-green: embedding_neardup_pairs + embedding_covariance_stats +
+#:     neardup_pairs_prefix_filter (r03 greens over rewritten operators)
+#:     and the three connected-components consumers
+#:     (neardup_dedup_summary, neardup_cluster_representatives,
+#:     neardup_cross_source) over the new union-find fast path;
+#:   * 37 r02-only greens re-confirmed after two rounds of churn.  The
+#:     10 lowest-churn r02 greens (simple relational plans untouched
+#:     since r02: q6/q12/q13/q14/q16/q19/q22, orders_grouping_sets,
+#:     segment_stats_unpivot, order_custkeys_except_all) defer to the
+#:     r05 window; all keep full local parity coverage.
 ROTATE_IN: frozenset[str] = frozenset(
     {
-        # --- sketch tier: oracle-paired since r02, never driver-checked
-        "hll_orders_by_flag",
-        "hll_hourly_users",
-        "kmv_distinct_parts",
-        "kmv_orders_by_flag",
-        "cms_heavy_suppliers",
-        "bloom_semijoin_orders",
-        "pagerank_nation_trade",
-        "theta_customer_overlap",
-        # --- containment / retrieval / ANN variants, never checked
-        "doc_containment_pairs",
-        "hybrid_rrf_retrieval",
-        "ann_rp_lsh_multiprobe_topk",
-        "neardup_best_representatives",
-        # --- re-checks: r02 red row (oracle HUGEINT bug, now cast) and
-        #     the two r01 no_oracle rows whose oracles landed in r02
-        "doc_pack_plan",
-        "doc_language_id",
-        "simhash_neardup_pairs",
-        # --- new round-3 queries (skew-split pack, scale-N shard deal,
-        #     q11/q20 adapted TPC-H completion)
-        "doc_pack_plan_bucketed",
-        "doc_shard_assignment_n64",
-        "q11_important_stock",
-        "q20_dominant_supplier",
-        "neardup_incremental_lsh",
-        "neardup_pairs_prefix_filter",
-        "doc_shared_shingle_stats",
-        "per_source_doc_caps",
-        "events_funnel_view_click_purchase",
-        "events_retention_cohorts",
-        "ann_pq_adc_topk",
-        "ann_ivfpq_topk",
-        "events_value_hist_quantiles",
-        # --- statistical text-modeling + graph tier (new this round)
-        "doc_lm_perplexity",
-        "dsir_importance_weights",
-        "bpe_pair_counts",
-        "doc_stratified_sample",
-        "part_cooccurrence_triangles",
-        "doc_gopher_rules",
-        "events_zorder_blocks",
-        "training_corpus_selection",
-        "embedding_covariance_stats",
-        # --- r01 greens, re-confirmed this round (13)
-        "q1_pricing_summary",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "top_orders_per_segment",
-        "order_priority_status_crosstab",
-        "dedup_exact_by_lang",
-        "minhash_signatures",
-        "neardup_pairs_lsh",
+        # --- never driver-checked (7 oracle-paired) + q4 re-confirm
+        "lineitem_column_stats",
+        "doc_lm_perplexity_hotsplit",
+        "catalog_column_stats",
+        "passage_dedup_summary",
+        "doc_tfidf_top_terms",
+        "embedding_semdedup_summary",
+        "doc_weighted_sample",
+        "q4_order_priority_checking",
+        # --- re-greens over materially changed operators (6)
         "embedding_neardup_pairs",
-        "doc_winnowing_fingerprints",
-        "doc_keyword_label_counts",
-        "events_sliding_by_type",
-        "events_user_sessions",
+        "embedding_covariance_stats",
+        "neardup_pairs_prefix_filter",
+        "neardup_dedup_summary",
+        "neardup_cluster_representatives",
+        "neardup_cross_source",
+        # --- r02-only greens, re-confirmed this round (36)
+        "q2_min_acctbal_supplier_per_part",
+        "q7_nation_pair_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q15_top_supplier",
+        "q21_waiting_suppliers",
+        "events_view_click_attribution",
+        "winnowing_neardup_pairs",
+        "embedding_neardup_lsh",
+        "ann_rp_lsh_topk",
+        "ann_rp_lsh_banded_topk",
+        "ann_voronoi_topk",
+        "customer_running_totals",
+        "orders_priority_rollup",
+        "segment_price_variance",
+        "customer_spend_ranks",
+        "lineitem_flag_status_cube",
+        "order_custkeys_intersect_all",
+        "events_props_typed",
+        "events_value_median_by_type",
+        "events_last_order_asof",
+        "events_trailing_hour_stats",
+        "orders_value_deciles",
+        "doc_repetition_metrics",
+        "doc_quality_filter",
+        "doc_pii_scan",
+        "embedding_int8_quant_stats",
+        "doc_eval_contamination",
+        "vocab_coverage_by_lang",
+        "events_value_percentiles",
+        "doc_bm25_scores",
+        "source_token_budgets",
+        "doc_mixture_sample",
+        "doc_shard_assignment",
+        "doc_class_weights",
     }
 )
 

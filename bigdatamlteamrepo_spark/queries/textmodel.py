@@ -499,6 +499,67 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Weighted K-sample without replacement (Efraimidis–Spirakis 2006).
+# --------------------------------------------------------------------------
+
+#: global sample size for the registered weighted-sample query
+WSAMPLE_K = 100
+
+_WS_HASH_SQL = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+
+
+@query(
+    "doc_weighted_sample",
+    oracle=f"""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         CAST(round(ln((CAST({_WS_HASH_SQL} AS DOUBLE) + 1) / 4294967296.0)
+                    * {MICRO}) AS BIGINT) AS lnu_micro
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, lnu_micro,
+       CAST(lnu_micro AS DOUBLE) / CAST(n_chars AS DOUBLE) AS es_key
+FROM k
+ORDER BY es_key DESC, doc_id
+LIMIT {WSAMPLE_K}
+""",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-K weighted sample WITHOUT replacement, weights = document
+    length (n_chars): the Efraimidis–Spirakis one-pass algorithm —
+    each row draws u ∈ (0,1] and ranks by key u^(1/w); the global
+    top-K is a weighted sample without replacement.  Used to draw a
+    length-proportional corpus subsample in one distributed pass (no
+    per-source loops, no rejection sampling).
+
+    Determinism discipline: u comes from the portable 32-bit hash of
+    doc_id ((h+1)/2^32 ∈ (0,1], the reproducible-shuffle device of
+    doc_stratified_sample), and the ranking key is computed in log
+    form with ln(u) micro-quantized to a BIGINT first — the key is
+    then an IEEE-exact division of two integers, so the global top-K
+    cutoff is bit-identical across engines and partitionings (ties
+    break on doc_id).
+
+    Scale: ORDER BY … LIMIT K compiles to TakeOrdered — a per-partition
+    top-K fold + a K-row merge, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (hash32(F.col("doc_id")).cast("double") + 1) / F.lit(4294967296.0)
+    k = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.log(u) * MICRO).cast("bigint").alias("lnu_micro"),
+    )
+    return (
+        k.withColumn(
+            "es_key",
+            F.col("lnu_micro").cast("double") / F.col("n_chars").cast("double"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(WSAMPLE_K)
+    )
+
+
+# --------------------------------------------------------------------------
 # Corpus-selection capstone: Gopher rules × LM terciles — "what ships".
 # --------------------------------------------------------------------------
 

@@ -152,3 +152,23 @@ def test_textmodel_and_graph_plans_no_cartesian(spark, sf_dir):
             "training_corpus_selection": 1,  # LM subplan's vocab scalar
         }.get(name, 0)
         assert n_bnlj <= allowed, f"{name}: {n_bnlj} nested-loop joins"
+
+
+def test_passages_and_sampling_plans_no_cartesian(spark, sf_dir):
+    """r04 additions: passage dedup / tfidf top-terms / weighted sample
+    / catalog stats / semdedup — no CartesianProduct; nested-loop joins
+    only for one-row scalar attaches (doc-count scalar in tfidf)."""
+    from bigdatamlteamrepo_spark.queries.registry import QUERIES as Q
+
+    for name in (
+        "passage_dedup_summary",
+        "doc_tfidf_top_terms",
+        "doc_weighted_sample",
+        "catalog_column_stats",
+    ):
+        plan = (
+            Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        allowed = {"doc_tfidf_top_terms": 1}.get(name, 0)  # n_docs scalar
+        assert plan.count("BroadcastNestedLoopJoin") <= allowed, name

@@ -416,3 +416,18 @@ def test_whitening_yields_identity_covariance(spark, sf_dir):
     assert np.allclose(np.diag(c), 1.0, atol=0.05)
     off = c - np.diag(np.diag(c))
     assert np.abs(off).max() < 0.05
+
+
+def test_weighted_sample_is_length_biased_and_takeordered(spark, sf_dir):
+    """E-S sampling with w = n_chars must overrepresent long documents
+    (inclusion probability ∝ weight), and the global top-K must compile
+    to TakeOrdered, not a full sort."""
+    from bigdatamlteamrepo_spark.queries.textmodel import doc_weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    samp = doc_weighted_sample(spark, sf_dir)
+    sample_mean = samp.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:500]
