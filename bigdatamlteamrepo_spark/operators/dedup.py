@@ -216,10 +216,16 @@ def embedding_neardup_pairs(
     # radii agg, and the assigned frame below.  (At cluster scale, swap
     # for MEMORY_AND_DISK or accept one extra columnar scan.)
     normed = normed.cache()
+    n = normed.count()
+    if n == 0:
+        # empty corpus → empty pair set (KMeans refuses an empty fit)
+        id_t = emb.schema[id_col].dataType.simpleString()
+        return emb.sparkSession.createDataFrame(
+            [], f"id_a {id_t}, id_b {id_t}, cosine_sim double"
+        )
     if n_cells is None:
-        n = normed.count()
         n_cells = int(max(16, min(4096, n // _CELL_TARGET_ROWS)))
-        n_cells = max(1, min(n_cells, max(1, n)))  # KMeans needs k ≤ n
+    n_cells = max(1, min(n_cells, n))  # KMeans needs k ≤ n
     fit_set = (
         normed.sample(withReplacement=False, fraction=fit_sample_fraction, seed=seed)
         if fit_sample_fraction is not None

@@ -478,7 +478,24 @@ def ivf_topk(
         if fit_sample_fraction is not None
         else with_vec
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__v", predictionCol="cell")
+    # KMeans refuses an empty fit, and a sampled fit set can be empty
+    # even on a non-empty corpus: fall back to the full corpus, and on
+    # a genuinely empty corpus return the empty top-k frame
+    n_fit = fit_set.count()
+    if n_fit == 0:
+        n_fit = with_vec.count()
+        if n_fit == 0:
+            id_t = emb.schema[id_col].dataType.simpleString()
+            q_t = queries.schema["query_id"].dataType.simpleString()
+            return emb.sparkSession.createDataFrame(
+                [],
+                f"query_id {q_t}, neighbor_id {id_t}, "
+                "cosine_sim double, rank int",
+            )
+        fit_set = with_vec
+    km = KMeans(
+        k=min(n_cells, n_fit), seed=seed, featuresCol="__v", predictionCol="cell"
+    )
     model = km.fit(fit_set)
     corpus = model.transform(with_vec).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_emb"), "cell"

@@ -60,6 +60,7 @@ d AS (
 
 @query(
     "passage_dedup_summary",
+    bench=True,
     oracle=f"""
 WITH {_PASSAGES_CTE}
 SELECT p.source,
@@ -125,6 +126,7 @@ def passage_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "doc_tfidf_top_terms",
+    bench=True,
     oracle=f"""
 WITH t AS (
   SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents
