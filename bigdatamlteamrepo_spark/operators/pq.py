@@ -133,6 +133,36 @@ def pq_encode(
     )
 
 
+def _adc_scored(part: DataFrame, queries: DataFrame, m: int) -> DataFrame:
+    """(query_id, neighbor_id, adc_score, q_emb) from per-(query,
+    vector, subspace) partial dots: one conditional agg per subspace
+    (exactly one non-null input each, so per-group sum order cannot
+    vary), then a FIXED-order chain of m additions — bit-deterministic
+    under any shuffle, mirrored in the oracle.  Shared by the in-memory
+    and persisted-index ADC paths."""
+    aggs = []
+    for i in range(m):
+        aggs.append(F.sum(F.when(F.col("s") == i, F.col("pd"))).alias(f"pd{i}"))
+        aggs.append(F.sum(F.when(F.col("s") == i, F.col("cn2"))).alias(f"cn{i}"))
+    g = part.groupBy("query_id", "vec_id").agg(*aggs)
+    adc_dot = F.col("pd0")
+    recon2 = F.col("cn0")
+    for i in range(1, m):
+        adc_dot = adc_dot + F.col(f"pd{i}")
+        recon2 = recon2 + F.col(f"cn{i}")
+    qnorm = queries.select(
+        "query_id",
+        F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))).alias("qn"),
+        F.col("q_emb"),
+    )
+    return g.join(F.broadcast(qnorm), "query_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (adc_dot / (F.col("qn") * F.sqrt(recon2))).alias("adc_score"),
+        "q_emb",
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -174,30 +204,7 @@ def pq_adc_topk(
             l2_sq(F.col("c_sub"), F.array(*[F.lit(0.0)] * sub)).alias("cn2"),
         )
     )
-    # one conditional agg per subspace: exactly one non-null input each,
-    # so the per-group sum order cannot vary — then a FIXED-order chain
-    # of m additions (bit-deterministic, mirrored in the oracle)
-    aggs = []
-    for i in range(m):
-        aggs.append(F.sum(F.when(F.col("s") == i, F.col("pd"))).alias(f"pd{i}"))
-        aggs.append(F.sum(F.when(F.col("s") == i, F.col("cn2"))).alias(f"cn{i}"))
-    g = part.groupBy("query_id", "vec_id").agg(*aggs)
-    adc_dot = F.col("pd0")
-    recon2 = F.col("cn0")
-    for i in range(1, m):
-        adc_dot = adc_dot + F.col(f"pd{i}")
-        recon2 = recon2 + F.col(f"cn{i}")
-    qnorm = queries.select(
-        "query_id",
-        F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))).alias("qn"),
-        F.col("q_emb"),
-    )
-    scored = g.join(F.broadcast(qnorm), "query_id").select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (adc_dot / (F.col("qn") * F.sqrt(recon2))).alias("adc_score"),
-        "q_emb",
-    )
+    scored = _adc_scored(part, queries, m)
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(
@@ -304,25 +311,7 @@ def ivfpq_topk(
             l2_sq(F.col("c_sub"), F.array(*[F.lit(0.0)] * sub)).alias("cn2"),
         )
     )
-    aggs = []
-    for i in range(m):
-        aggs.append(F.sum(F.when(F.col("s") == i, F.col("pd"))).alias(f"pd{i}"))
-        aggs.append(F.sum(F.when(F.col("s") == i, F.col("cn2"))).alias(f"cn{i}"))
-    g = part.groupBy("query_id", "vec_id").agg(*aggs)
-    adc_dot = F.col("pd0")
-    recon2 = F.col("cn0")
-    for i in range(1, m):
-        adc_dot = adc_dot + F.col(f"pd{i}")
-        recon2 = recon2 + F.col(f"cn{i}")
-    qnorm = queries.select(
-        "query_id", F.sqrt(dot(F.col("q_emb"), F.col("q_emb"))).alias("qn"), "q_emb"
-    )
-    scored = g.join(F.broadcast(qnorm), "query_id").select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        (adc_dot / (F.col("qn") * F.sqrt(recon2))).alias("adc_score"),
-        "q_emb",
-    )
+    scored = _adc_scored(part, queries, m)
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     w_adc = Window.partitionBy("query_id").orderBy(
@@ -332,6 +321,177 @@ def ivfpq_topk(
         F.col("ar") <= rerank
     )
     full = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    w_fin = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(full, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_score",
+            cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_fin).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    index_dir: str,
+    n_cells: int = 16,
+    m: int = PQ_M,
+    sub: int = PQ_SUB,
+    n_centroids: int = PQ_K,
+    seed: int = 42,
+    fit_sample_fraction: float | None = None,
+    kmeans_codebooks: bool = True,
+) -> None:
+    """Persist a FAISS-style IVF-PQ index as a parquet layout:
+
+      * ``centroids/``  — (cell, center): the coarse quantizer, K rows;
+      * ``codebooks/``  — (s, center_id, c_sub): the PQ codebooks,
+        k·m rows (sampled-KMeans by default, first-k for
+        oracle-reproducible builds);
+      * ``codes/``      — (vec_id, s, code) PARTITIONED BY cell: the
+        m-byte-per-vector scan set;
+      * ``vectors/``    — (vec_id, embedding) PARTITIONED BY cell: the
+        re-rank read set.
+
+    Build-once/query-many: both KMeans fits run a single time (on a
+    sample at scale); every later query batch reads ONLY its probed
+    ``cell=<k>/`` directories of codes AND vectors — partition pruning
+    enforces that the ADC pass touches ~n_probe/n_cells of the code
+    bytes and the re-rank touches full vectors for shortlist rows only.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = emb.withColumn(
+        "__v", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    fit_set = (
+        with_vec.sample(False, fit_sample_fraction, seed=seed)
+        if fit_sample_fraction is not None
+        else with_vec
+    )
+    n_fit = fit_set.count()
+    if n_fit == 0:
+        n_fit = with_vec.count()
+        if n_fit == 0:
+            raise ValueError("build_ivfpq_index: corpus is empty")
+        fit_set = with_vec
+    model = KMeans(
+        k=min(n_cells, n_fit), seed=seed, featuresCol="__v", predictionCol="cell"
+    ).fit(fit_set)
+    emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(index_dir + "/centroids")
+
+    books = (
+        pq_codebooks_kmeans(
+            emb, n_centroids, m, sub, sample_fraction=fit_sample_fraction, seed=seed
+        )
+        if kmeans_codebooks
+        else pq_codebooks(emb, n_centroids, m, sub)
+    )
+    books.coalesce(1).write.mode("overwrite").parquet(index_dir + "/codebooks")
+
+    assigned = model.transform(with_vec).select("vec_id", "embedding", "cell")
+    (
+        pq_encode(emb, books, m, sub)
+        .join(assigned.select("vec_id", "cell"), "vec_id")
+        .repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(index_dir + "/codes")
+    )
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(index_dir + "/vectors")
+    )
+
+
+def ivfpq_index_topk(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    rerank: int = 30,
+    m: int = PQ_M,
+    sub: int = PQ_SUB,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k against a persisted IVF-PQ index (:func:`build_ivfpq_index`).
+
+    Probed cell ids are computed against the tiny centroid table and
+    collected driver-side (metadata-sized: ≤ n_probe × |queries| ints),
+    then pushed into BOTH the codes scan and the vectors scan as static
+    partition filters — only probed ``cell=`` directories are listed
+    and read.  ADC ranking reads codes + the broadcast codebook only;
+    full vectors are fetched for the ``rerank`` shortlist, and the
+    final top-k orders by exact cosine.
+    """
+    centroids = spark.read.parquet(index_dir + "/centroids")
+    books = spark.read.parquet(index_dir + "/codebooks")
+    qc = queries.crossJoin(F.broadcast(centroids)).select(
+        "query_id",
+        "q_emb",
+        "cell",
+        cosine_similarity(
+            F.col("q_emb").cast("array<double>"), F.col("center")
+        ).alias("c_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+    probed = (
+        qc.withColumn("p", F.row_number().over(wq))
+        .filter(F.col("p") <= n_probe)
+        .select("query_id", "cell")
+        .localCheckpoint(eager=True)  # reused for codes join + cell list
+    )
+    cells = sorted({r.cell for r in probed.select("cell").distinct().collect()})
+
+    codes = spark.read.parquet(index_dir + "/codes").filter(
+        F.col("cell").isin(cells)
+    )
+    qs = _subspaces(
+        queries.select("query_id", "q_emb"), "q_emb", "query_id", "q_sub", m, sub
+    )
+    part = (
+        codes.join(F.broadcast(probed), "cell")
+        .join(
+            F.broadcast(books),
+            (codes.s == books.s) & (codes.code == books.center_id),
+        )
+        .drop(books.s)
+        .join(F.broadcast(qs), ["query_id", "s"])
+        .select(
+            "query_id",
+            "vec_id",
+            "s",
+            dot(F.col("q_sub"), F.col("c_sub")).alias("pd"),
+            l2_sq(F.col("c_sub"), F.array(*[F.lit(0.0)] * sub)).alias("cn2"),
+        )
+    )
+    scored = _adc_scored(part, queries, m)
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    shortlist = scored.withColumn("ar", F.row_number().over(w_adc)).filter(
+        F.col("ar") <= rerank
+    )
+    full = (
+        spark.read.parquet(index_dir + "/vectors")
+        .filter(F.col("cell").isin(cells))
+        .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    )
     w_fin = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )

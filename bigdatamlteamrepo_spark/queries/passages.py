@@ -87,7 +87,13 @@ def passage_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frequency table on the same key (both sides hash-partitioned,
     one shuffle each) and rolls up per source.  Only hashes shuffle —
     never passage text."""
-    docs = load_table(spark, sf_dir, "documents")
+    return passage_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+def passage_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Core of :func:`passage_dedup_summary` over any (doc_id, source,
+    text) frame — separated so property tests can drive it with
+    generated corpora."""
     t = docs.select("doc_id", "source", tokenize("text").alias("toks"))
     p = t.select(
         "doc_id",
@@ -172,7 +178,13 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``term`` (AQE broadcast at driver SFs, hash join with the Zipf head
     handled when the vocab outgrows the threshold); the top-3 window
     partitions by doc over per-doc-term rows."""
-    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Core of :func:`doc_tfidf_top_terms` over any (doc_id, text)
+    frame — separated so property tests can drive it with generated
+    corpora."""
     t = docs.select("doc_id", tokenize("text").alias("toks"))
     td = t.filter(F.size("toks") > 0).select(
         "doc_id", F.explode("toks").alias("term")
@@ -206,5 +218,5 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_micro"), "term")
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 3)
+        .filter(F.col("rnk") <= top_k)
     )

@@ -26,6 +26,10 @@ REPRESENTATIVES = [
     "doc_lm_perplexity",           # fixed-point LM accumulation + ntile
     "dsir_importance_weights",     # broadcast-model integer LLR sums
     "part_cooccurrence_triangles", # multi-join graph motif counting
+    "passage_dedup_summary",       # md5 passage-key df join-back
+    "doc_tfidf_top_terms",         # integer tf*idf_micro ranking cutoff
+    "doc_weighted_sample",         # E-S integer-exact key + TakeOrdered
+    "catalog_column_stats",        # multi-table one-pass ANALYZE
 ]
 
 

