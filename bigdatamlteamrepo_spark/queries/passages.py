@@ -90,12 +90,14 @@ def passage_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return passage_dedup_stats(load_table(spark, sf_dir, "documents"))
 
 
-def passage_dedup_stats(docs: DataFrame) -> DataFrame:
-    """Core of :func:`passage_dedup_summary` over any (doc_id, source,
-    text) frame — separated so property tests can drive it with
-    generated corpora."""
+def passage_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, pkey) — md5 keys of the non-overlapping
+    {PASSAGE_W}-token passages of every document.  One expression-only
+    pass (tokenize → chunk → hash); works identically on a batch frame
+    or a streaming source, which is what the incremental streaming
+    probe (streaming/passages.py) relies on."""
     t = docs.select("doc_id", "source", tokenize("text").alias("toks"))
-    p = t.select(
+    return t.select(
         "doc_id",
         "source",
         F.explode(
@@ -118,6 +120,13 @@ def passage_dedup_stats(docs: DataFrame) -> DataFrame:
             ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
         ).alias("pkey"),
     )
+
+
+def passage_dedup_stats(docs: DataFrame) -> DataFrame:
+    """Core of :func:`passage_dedup_summary` over any (doc_id, source,
+    text) frame — separated so property tests can drive it with
+    generated corpora."""
+    p = passage_keys(docs)
     d = p.groupBy("pkey").agg(F.countDistinct("doc_id").alias("ndocs"))
     j = p.join(d, "pkey")
     is_dup = F.col("ndocs") >= 2
