@@ -870,3 +870,153 @@ def catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# Robust outlier detection: median absolute deviation (MAD), the
+# heavy-tail-safe alternative to z-scores (events_value_anomalies).
+# Exact per-group medians interpolate (a+b)/2 on identical doubles in
+# both engines, so the full two-pass plan is oracle-checked.
+# --------------------------------------------------------------------------
+
+#: standard consistency constant (MAD → σ under normality) and cutoff
+_MAD_SIGMA = 1.4826
+_MAD_CUT = 3.0
+
+
+@query(
+    "events_value_mad_outliers",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS ad, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(d.med, 6) AS median_value,
+       round(mad.mad, 6) AS mad_value,
+       CAST(SUM(CASE WHEN d.ad > {_MAD_CUT} * {_MAD_SIGMA} * mad.mad
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type, d.med, mad.mad
+""",
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust outlier census: |x − median| > 3·1.4826·MAD —
+    the estimator whose breakdown point (50%) survives the heavy-tailed
+    value distributions that wreck mean/stddev anomaly rules.
+
+    Plan: two exact-median aggregations (per-GROUP sort-based agg —
+    parallel across types; a global-median variant would use the
+    percentile pre-filter trick of doc_stratified_sample) with the
+    deviation stream re-joined on the small per-type frames (broadcast
+    at any scale: one row per event type).  The outlier threshold uses
+    the UNROUNDED mad in both engines — identical IEEE inputs →
+    identical flags; only the reported median/mad columns round."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("ad"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("ad") > _MAD_CUT * _MAD_SIGMA * F.col("mad")).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad_value"),
+            "n_outliers",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: the classic recency/frequency/monetary quintile
+# cut over the orders history — per-customer scores and a coarse
+# segment label, deterministic under ties (custkey tie-break in every
+# ntile ordering, decimal-stable monetary sums).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order_ts,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+         CAST(NTILE(5) OVER (ORDER BY last_order_ts DESC, custkey) AS BIGINT) AS r_q,
+         CAST(NTILE(5) OVER (ORDER BY n_orders DESC, custkey) AS BIGINT) AS f_q,
+         CAST(NTILE(5) OVER (ORDER BY monetary DESC, custkey) AS BIGINT) AS m_q
+  FROM base
+)
+SELECT custkey, n_orders, round(monetary, 2) AS monetary, r_q, f_q, m_q,
+       CASE WHEN r_q <= 2 AND f_q <= 2 THEN 'champion'
+            WHEN r_q <= 2 THEN 'recent'
+            WHEN f_q <= 2 THEN 'loyal_lapsing'
+            ELSE 'hibernating' END AS segment
+FROM scored
+""",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/frequency/monetary quintile segmentation per customer —
+    the standard marketing-analytics cut as three ntile windows over
+    the per-customer rollup (one row per customer: thousands of times
+    smaller than the orders table, so the global ntile sorts are
+    driver-SF trivia and stay bounded at any corpus scale; a
+    billion-customer variant swaps ntile for the count-derived cutoff
+    device of doc_stratified_sample).  Monetary sums are
+    decimal-stable; every ntile ordering tie-breaks on custkey, so
+    quintile boundaries are partitioning- and engine-deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order_ts"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    w_r = Window.orderBy(F.desc("last_order_ts"), "custkey")
+    w_f = Window.orderBy(F.desc("n_orders"), "custkey")
+    w_m = Window.orderBy(F.desc("monetary"), "custkey")
+    scored = (
+        base.withColumn("r_q", F.ntile(5).over(w_r).cast("bigint"))
+        .withColumn("f_q", F.ntile(5).over(w_f).cast("bigint"))
+        .withColumn("m_q", F.ntile(5).over(w_m).cast("bigint"))
+    )
+    seg = (
+        F.when((F.col("r_q") <= 2) & (F.col("f_q") <= 2), "champion")
+        .when(F.col("r_q") <= 2, "recent")
+        .when(F.col("f_q") <= 2, "loyal_lapsing")
+        .otherwise("hibernating")
+    )
+    return scored.select(
+        "custkey",
+        "n_orders",
+        F.round("monetary", 2).alias("monetary"),
+        "r_q",
+        "f_q",
+        "m_q",
+        seg.alias("segment"),
+    )

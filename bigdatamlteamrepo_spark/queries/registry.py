@@ -56,7 +56,8 @@ PRI_EXTRA = 90
 #:     and the three connected-components consumers
 #:     (neardup_dedup_summary, neardup_cluster_representatives,
 #:     neardup_cross_source) over the new union-find fast path;
-#:   * 37 r02-only greens re-confirmed after two rounds of churn.  The
+#:   * 36 r02-only greens re-confirmed after two rounds of churn (2
+#:     slots later yielded to the late-round additions below).  The
 #:     10 lowest-churn r02 greens (simple relational plans untouched
 #:     since r02: q6/q12/q13/q14/q16/q19/q22, orders_grouping_sets,
 #:     segment_stats_unpivot, order_custkeys_except_all) defer to the
@@ -79,7 +80,7 @@ ROTATE_IN: frozenset[str] = frozenset(
         "neardup_dedup_summary",
         "neardup_cluster_representatives",
         "neardup_cross_source",
-        # --- r02-only greens, re-confirmed this round (36)
+        # --- r02-only greens, re-confirmed this round (35)
         "q2_min_acctbal_supplier_per_part",
         "q7_nation_pair_volume",
         "q8_market_share",
@@ -113,9 +114,13 @@ ROTATE_IN: frozenset[str] = frozenset(
         "events_value_percentiles",
         "doc_bm25_scores",
         "source_token_budgets",
-        "doc_mixture_sample",
-        "doc_shard_assignment",
         "doc_class_weights",
+        # --- late round-4 additions (never checked; took the slots of
+        #     doc_mixture_sample / doc_shard_assignment, whose r03-green
+        #     family siblings doc_pack_plan(_bucketed) /
+        #     doc_shard_assignment_n64 already cover the tier)
+        "events_value_mad_outliers",
+        "customer_rfm_segments",
     }
 )
 
