@@ -1056,3 +1056,171 @@ def bpe_encode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("symbols_after"),
         F.lit(len(merges)).cast("bigint").alias("n_merges"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus statistics: Zipf rank-frequency fit and term burstiness.
+# --------------------------------------------------------------------------
+
+#: burstiness: number of top-frequency terms profiled
+_BURST_K = 20
+
+
+@query(
+    "vocab_zipf_fit",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+v AS (
+  SELECT lang, term, COUNT(*) AS freq FROM t GROUP BY lang, term
+),
+r AS (
+  SELECT lang,
+         CAST(round(ln(CAST(ROW_NUMBER() OVER (
+             PARTITION BY lang ORDER BY freq DESC, term) AS DOUBLE))
+             * {MICRO}) AS BIGINT) AS x,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * {MICRO}) AS BIGINT) AS y
+  FROM v
+),
+s AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM r GROUP BY lang
+)
+SELECT lang, n_terms, sx, sy, sxy, sxx,
+       round((CAST(n_terms AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_terms AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope
+FROM s
+""",
+)
+def vocab_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf exponent: least-squares slope of ln(freq) vs
+    ln(rank) over the vocabulary (a natural corpus hits ≈ −1; strong
+    deviation flags synthetic, templated, or spam-heavy sources — a
+    cheap corpus-health gauge).
+
+    Determinism: ln(rank) and ln(freq) are micro-quantized per term
+    (the house fixed-point rule), so the regression sufficient
+    statistics are exact integer sums (rank ties broken by term —
+    identical ordering in both engines) and the slope is derived
+    row-locally from those exact integers.  Scale: the vocab frame is
+    Zipf-collapsed; one groupBy + one per-lang window over vocab-sized
+    rows + one tiny agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", F.explode(tokenize("text")).alias("term"))
+    v = t.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.desc("freq"), "term")
+    r = v.select(
+        "lang",
+        F.round(F.log(F.row_number().over(w).cast("double")) * MICRO)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * MICRO)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("sxx"),
+    )
+    nd = F.col("n_terms").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return s.select(
+        "lang", "n_terms", "sx", "sy", "sxy", "sxx",
+        F.round(slope, 6).alias("zipf_slope"),
+    )
+
+
+@query(
+    "doc_term_burstiness",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, unnest({_TOKENS_SQL}) AS term FROM documents
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM t GROUP BY doc_id, term
+),
+top AS (
+  SELECT term, CAST(SUM(c) AS BIGINT) AS total_count
+  FROM tc GROUP BY term
+  ORDER BY total_count DESC, term LIMIT {_BURST_K}
+),
+s AS (
+  SELECT tc.term, top.total_count,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_with,
+         CAST(SUM(tc.c * tc.c) AS BIGINT) AS sum_c2
+  FROM tc JOIN top USING (term)
+  GROUP BY tc.term, top.total_count
+)
+SELECT s.term, s.total_count, s.n_docs_with, s.sum_c2,
+       CAST((
+         (n.n_docs * s.sum_c2 - s.total_count * s.total_count) * {MICRO}
+         + (n.n_docs * s.total_count) // 2
+       ) // (n.n_docs * s.total_count) AS BIGINT) AS vmr_micro
+FROM s CROSS JOIN n
+""",
+)
+def doc_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio of per-document counts for the top
+    {_BURST_K} corpus terms — the classical burstiness statistic
+    (VMR = 1 under Poisson scatter; ≫ 1 means the term clumps in few
+    documents, the signature of boilerplate and topical spikes).
+
+    Zero-count documents are part of the population (n = all docs):
+    VMR = (n·Σc² − (Σc)²) / (n·Σc) from integer sufficient statistics
+    only — Σc over non-occurrences adds nothing, so the zeros never
+    materialize.  The ratio is a rational of integers, which is
+    exactly the case where round() ties bite (the DSIR lesson), so it
+    is emitted as half-away-from-zero integer micro units via integer
+    division — tie-proof in both engines.  The ×1e6 numerator stays
+    within int64 up to ~9e12·n_docs count mass; the production-scale
+    variant accumulates the numerator in DECIMAL(38,0) first (cf.
+    operators/stats.py::moment_aggs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    tc = t.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    top = (
+        tc.groupBy("term")
+        .agg(F.sum("c").cast("bigint").alias("total_count"))
+        .orderBy(F.desc("total_count"), "term")
+        .limit(_BURST_K)
+    )
+    s = (
+        tc.join(F.broadcast(top), "term")
+        .groupBy("term", "total_count")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_with"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+        )
+    )
+    vmr = F.expr(
+        f"CAST(((n_docs * sum_c2 - total_count * total_count) * {MICRO}"
+        " + (n_docs * total_count) div 2)"
+        " div (n_docs * total_count) AS BIGINT)"
+    )
+    return s.crossJoin(F.broadcast(n_docs)).select(
+        "term", "total_count", "n_docs_with", "sum_c2", vmr.alias("vmr_micro")
+    )
