@@ -1,0 +1,138 @@
+"""End-to-end training-corpus build: the composed pipeline a user of
+this engine actually runs — every stage is an operator the registry
+already value-checks individually; this module wires them into one
+materializing run with per-stage accounting.
+
+    raw documents
+      → Gopher quality gate          (queries/pipeline.gopher_rule_flags)
+      → exact dedup (keep-min)       (md5 text key, per lang)
+      → near-dup dedup (keep-rep)    (LSH candidates → Jaccard verify →
+                                      connected components → min id)
+      → LM perplexity selection      (queries/textmodel.doc_lm_perplexity,
+                                      tercile ≤ 2 — CCNet head/middle)
+      → deterministic shard write    (sources/shard_writer)
+
+Stage order is deliberate: the cheap row-local gate first (codegen
+scan), exact dedup second (one hash groupBy removes the easy mass
+before the LSH machinery runs), fuzzy dedup third, the model-based
+selection last (the LM trains on the deduped corpus — training it on
+raw duplicated text would bias the perplexity head toward boilerplate,
+the CCNet caveat).  Every decision frame is per-document and
+key-collapsed; no stage widens the data beyond the token explodes its
+operator already documents.
+
+At 100 TB each arrow is the same plan the registered query proves at
+driver SFs; the only additions here are left-semi joins gluing stage
+survivors together (hash joins on doc_id) and one final
+repartition-by-shard write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 8,
+    lm: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full build; write shards to ``out_dir``; return
+    ``{"report": per-source stage accounting, "manifest": shard
+    manifest, "selected": the shipped documents frame}``.
+
+    ``lm`` accepts a precomputed perplexity frame (doc_id,
+    ppl_tercile); by default the bigram LM is trained on the
+    POST-DEDUP corpus (see module docstring).
+    """
+    from bigdatamlteamrepo_spark.operators.graph import connected_components
+    from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
+    from bigdatamlteamrepo_spark.queries.text_dedup import ngram_jaccard_pairs
+    from bigdatamlteamrepo_spark.queries.textmodel import doc_lm_perplexity
+    from bigdatamlteamrepo_spark.sources.shard_writer import write_training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # ---- stage 1: Gopher quality gate (row-local flags, one scan)
+    flags = gopher_rule_flags(docs, "doc_id")
+    gopher_pass = flags.filter(
+        (
+            F.col("f_words")
+            + F.col("f_mwl")
+            + F.col("f_alpha")
+            + F.col("f_stop")
+            + F.col("f_longword")
+        )
+        == 0
+    ).select("doc_id")
+    s1 = docs.join(gopher_pass, "doc_id", "left_semi")
+
+    # ---- stage 2: exact dedup — keep the min doc_id per (lang, md5)
+    exact_keep = (
+        s1.groupBy("lang", F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s2 = s1.join(exact_keep, "doc_id", "left_semi").localCheckpoint(eager=True)
+
+    # ---- stage 3: near-dup dedup — keep each cluster's min id.
+    # Pairs come from the registered LSH→verify plan over the full
+    # corpus (dedup decisions are corpus-level facts); survivors of
+    # earlier stages are then filtered by the keep rule.
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    reps = labels.filter(F.col("node") == F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    clustered = labels.select(F.col("node").alias("doc_id"))
+    # survive iff not in any near-dup cluster, or the cluster's rep
+    s3 = s2.join(clustered, "doc_id", "left_anti").unionByName(
+        s2.join(reps, "doc_id", "left_semi")
+    ).localCheckpoint(eager=True)
+
+    # ---- stage 4: LM perplexity selection (head/middle terciles).
+    # Train on the deduped survivors by default: build the LM frame
+    # from s3's text unless a precomputed one is passed in.
+    if lm is None:
+        import tempfile
+
+        # doc_lm_perplexity is corpus-closed (reads sf_dir); project the
+        # survivor corpus through a temp table layout so the SAME
+        # registered plan scores it
+        tmp = tempfile.mkdtemp(prefix="corpus-lm-")
+        s3.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        lm = doc_lm_perplexity(spark, tmp)
+    keep_lm = lm.filter(F.col("ppl_tercile") <= 2).select("doc_id")
+    selected = s3.join(keep_lm, "doc_id", "left_semi").localCheckpoint(
+        eager=True
+    )
+
+    # ---- stage 5: deterministic shard write + manifest
+    manifest = write_training_shards(selected, out_dir, n_shards=n_shards)
+
+    # ---- per-source stage accounting
+    def stage_counts(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    report = (
+        stage_counts(docs, "n_input")
+        .join(stage_counts(s1, "n_gopher"), "source", "left")
+        .join(stage_counts(s2, "n_exact"), "source", "left")
+        .join(stage_counts(s3, "n_neardup"), "source", "left")
+        .join(stage_counts(selected, "n_selected"), "source", "left")
+        .join(
+            selected.groupBy("source").agg(
+                F.sum("n_chars").cast("bigint").alias("chars_shipped")
+            ),
+            "source",
+            "left",
+        )
+        .na.fill(0)
+        .orderBy("source")
+    )
+    return {"report": report, "manifest": manifest, "selected": selected}
