@@ -30,6 +30,8 @@ REPRESENTATIVES = [
     "doc_tfidf_top_terms",         # integer tf*idf_micro ranking cutoff
     "doc_weighted_sample",         # E-S integer-exact key + TakeOrdered
     "catalog_column_stats",        # multi-table one-pass ANALYZE
+    "vocab_zipf_fit",              # integer regression sums
+    "doc_term_burstiness",         # integer VMR, half-away division
 ]
 
 

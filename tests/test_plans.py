@@ -165,10 +165,12 @@ def test_passages_and_sampling_plans_no_cartesian(spark, sf_dir):
         "doc_tfidf_top_terms",
         "doc_weighted_sample",
         "catalog_column_stats",
+        "vocab_zipf_fit",
+        "doc_term_burstiness",
     ):
         plan = (
             Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         )
         assert "CartesianProduct" not in plan, name
-        allowed = {"doc_tfidf_top_terms": 1}.get(name, 0)  # n_docs scalar
+        allowed = {"doc_tfidf_top_terms": 1, "doc_term_burstiness": 1}.get(name, 0)  # n_docs scalar
         assert plan.count("BroadcastNestedLoopJoin") <= allowed, name
