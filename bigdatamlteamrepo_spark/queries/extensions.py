@@ -117,7 +117,16 @@ def embedding_semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     radii + spill tier), so the exact variant costs the same plan shape
     and the recursive oracle can verify it end-to-end.  Composes the
     same star-contraction components as the text dedup capstone —
-    dedup semantics identical across modalities."""
+    dedup semantics identical across modalities.
+
+    Wall-clock honesty: the synthetic driver corpus is near-UNIFORM on
+    the sphere, the adversarial case where no lossless blocking can
+    prune (operators/dedup.py docstring) — at sf0.1 this query is an
+    honest ~n²/2-comparison verify (~41 s local), which is why it is
+    window-registered for correctness but not a bench headliner; on
+    clustered real-world embeddings the same plan prunes most of the
+    grid, and the approximate path (embedding_neardup_lsh) is the
+    recall-tunable alternative either way."""
     from bigdatamlteamrepo_spark.operators.graph import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
