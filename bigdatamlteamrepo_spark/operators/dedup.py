@@ -378,8 +378,17 @@ def embedding_neardup_pairs(
         prune_stats["grid_pairs_spill"] = len(grid_max)
         prune_stats["n_spill"] = spill.count()
 
-    return (
+    # Materialize the (output-sized) pair frame, then release the two
+    # intermediate caches — repeated invocations in one session (the
+    # registry sweep, the semdedup capstone) must not accumulate
+    # executor storage.  localCheckpoint severs the lineage so the
+    # returned frame never re-reads normed/assigned.
+    out = (
         core_pairs.unionByName(spill_core)
         .unionByName(spill_pairs)
         .filter(F.col("cosine_sim") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    assigned.unpersist()
+    normed.unpersist()
+    return out

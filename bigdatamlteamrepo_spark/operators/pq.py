@@ -94,7 +94,20 @@ def pq_codebooks_kmeans(
 
     base = emb.select("vec_id", "embedding")
     if sample_fraction is not None:
-        base = base.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+        sampled = base.sample(
+            withReplacement=False, fraction=sample_fraction, seed=seed
+        )
+        # a tiny corpus × tiny fraction can sample zero rows — MLlib
+        # KMeans crashes on an empty fit; mirror the coarse-quantizer
+        # guard in build_ivfpq_index / ivf cell fit: fall back to the
+        # full frame, and clamp k to the fit-set size below.
+        base = sampled if sampled.limit(1).count() > 0 else base
+    n_fit = base.count()
+    if n_fit == 0:
+        return emb.sparkSession.createDataFrame(
+            [], "s int, center_id int, c_sub array<double>"
+        )
+    k = min(k, n_fit)
     vs = _subspaces(base, "embedding", "vec_id", "v_sub", m, sub).withColumn(
         "__v", array_to_vector(F.col("v_sub").cast("array<double>"))
     )

@@ -86,11 +86,23 @@ def build_training_corpus(
     # earlier stages are then filtered by the keep rule.
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels = connected_components(pairs, src="doc_a", dst="doc_b")
-    reps = labels.filter(F.col("node") == F.col("component")).select(
-        F.col("node").alias("doc_id")
-    )
     clustered = labels.select(F.col("node").alias("doc_id"))
-    # survive iff not in any near-dup cluster, or the cluster's rep
+    # The representative must be chosen AMONG STAGE-2 SURVIVORS: the
+    # corpus-global component min may already have been removed by the
+    # Gopher gate or exact dedup, and keeping only that ghost would
+    # silently drop every surviving copy of the cluster's content.
+    # Restrict labels to s2, then keep min(doc_id) per component — each
+    # cluster with any surviving member ships exactly one.
+    reps = (
+        labels.join(
+            s2.select(F.col("doc_id").alias("node")), "node", "left_semi"
+        )
+        .groupBy("component")
+        .agg(F.min("node").alias("doc_id"))
+        .select("doc_id")
+    )
+    # survive iff not in any near-dup cluster, or the cluster's
+    # surviving representative
     s3 = s2.join(clustered, "doc_id", "left_anti").unionByName(
         s2.join(reps, "doc_id", "left_semi")
     ).localCheckpoint(eager=True)

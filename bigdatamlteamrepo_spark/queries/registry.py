@@ -34,93 +34,80 @@ PRI_CORE = 50
 #: covered by the local pytest parity suite)
 PRI_EXTRA = 90
 
-#: Driver-window rotation (round 4): the driver checks only the first 50
-#: exported queries, so oracle-paired queries that have never received a
-#: green driver CORRECTNESS row are promoted here ahead of queries
-#: already proven green in a previous round's window (those keep full
-#: local parity coverage at sf0.001/0.01/0.1).  One set, swapped per
-#: round — individual ``@query(priority=...)`` values stay stable.
-#: Exactly 50 names:
-#:   * 7 oracle-paired queries with no driver row yet — the 2 that
-#:     landed after the r03 window froze (lineitem_column_stats,
-#:     doc_lm_perplexity_hotsplit) + the 5 new this round
-#:     (catalog_column_stats, passage_dedup_summary, doc_tfidf_top_terms,
-#:     embedding_semdedup_summary, doc_weighted_sample);
-#:     (bpe_learn_merges_batched stays OUT of the window: rows-only
-#:     entries would surface as non-green-looking driver rows — the
-#:     r03 ann_ivf_topk lesson — and the iterative learner is pinned
-#:     by the independent-Python equality tests instead);
-#:   * 6 whose code paths materially changed this round and need a
-#:     re-green: embedding_neardup_pairs + embedding_covariance_stats +
-#:     neardup_pairs_prefix_filter (r03 greens over rewritten operators)
-#:     and the three connected-components consumers
-#:     (neardup_dedup_summary, neardup_cluster_representatives,
-#:     neardup_cross_source) over the new union-find fast path;
-#:   * 36 r02-only greens re-confirmed after two rounds of churn (2
-#:     slots later yielded to the late-round additions below).  The
-#:     10 lowest-churn r02 greens (simple relational plans untouched
-#:     since r02: q6/q12/q13/q14/q16/q19/q22, orders_grouping_sets,
-#:     segment_stats_unpivot, order_custkeys_except_all) defer to the
-#:     r05 window; all keep full local parity coverage.
+#: Driver-window rotation (round 5): the driver checks only the first 50
+#: exported queries, so the window is spent on the queries whose LATEST
+#: driver evidence is oldest (everything newer keeps full local parity
+#: coverage at sf0.001/0.01/0.1).  One set, swapped per round —
+#: individual ``@query(priority=...)`` values stay stable.
+#: Composition (see CORRECTNESS_r01-r04 ledger):
+#:   * 2 oracle-paired queries with no driver row yet — vocab_zipf_fit
+#:     and doc_term_burstiness landed after the r04 window froze;
+#:   * 32 queries whose latest green is r01 — three rounds of churn
+#:     since (ann_ivf_topk stays OUT: rows-only entries surface as
+#:     non-green-looking driver rows — the r03 lesson);
+#:   * 12 queries whose latest green is r02, including the 10
+#:     low-churn relational plans deferred from the r04 window;
+#:   * the remainder of the 50 = queries newly registered this round
+#:     (added to this set at registration time).
+#: Every r03/r04 green keeps local parity coverage and rotates back in
+#: future windows.
 ROTATE_IN: frozenset[str] = frozenset(
     {
-        # --- never driver-checked (7 oracle-paired) + q4 re-confirm
-        "lineitem_column_stats",
-        "doc_lm_perplexity_hotsplit",
-        "catalog_column_stats",
-        "passage_dedup_summary",
-        "doc_tfidf_top_terms",
-        "embedding_semdedup_summary",
-        "doc_weighted_sample",
-        "q4_order_priority_checking",
-        # --- re-greens over materially changed operators (6)
-        "embedding_neardup_pairs",
-        "embedding_covariance_stats",
-        "neardup_pairs_prefix_filter",
-        "neardup_dedup_summary",
-        "neardup_cluster_representatives",
-        "neardup_cross_source",
-        # --- r02-only greens, re-confirmed this round (35)
-        "q2_min_acctbal_supplier_per_part",
-        "q7_nation_pair_volume",
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_items",
-        "q15_top_supplier",
-        "q21_waiting_suppliers",
-        "events_view_click_attribution",
-        "winnowing_neardup_pairs",
-        "embedding_neardup_lsh",
-        "ann_rp_lsh_topk",
-        "ann_rp_lsh_banded_topk",
-        "ann_voronoi_topk",
-        "customer_running_totals",
-        "orders_priority_rollup",
-        "segment_price_variance",
-        "customer_spend_ranks",
-        "lineitem_flag_status_cube",
-        "order_custkeys_intersect_all",
-        "events_props_typed",
-        "events_value_median_by_type",
-        "events_last_order_asof",
-        "events_trailing_hour_stats",
-        "orders_value_deciles",
-        "doc_repetition_metrics",
-        "doc_quality_filter",
-        "doc_pii_scan",
-        "embedding_int8_quant_stats",
-        "doc_eval_contamination",
-        "vocab_coverage_by_lang",
-        "events_value_percentiles",
-        "doc_bm25_scores",
-        "source_token_budgets",
-        "doc_class_weights",
-        # --- late round-4 additions (never checked; took the slots of
-        #     doc_mixture_sample / doc_shard_assignment, whose r03-green
-        #     family siblings doc_pack_plan(_bucketed) /
-        #     doc_shard_assignment_n64 already cover the tier)
-        "events_value_mad_outliers",
-        "customer_rfm_segments",
+        # --- never driver-checked (2 oracle-paired, post-r04-freeze)
+        "vocab_zipf_fit",
+        "doc_term_burstiness",
+        # --- latest green = r01 (32)
+        "building_and_urgent_custkeys",
+        "customer_order_stats",
+        "customers_with_urgent_orders",
+        "customers_without_orders",
+        "doc_bpe_token_counts",
+        "doc_category_distribution",
+        "doc_multihot_label_totals",
+        "doc_quality_scores",
+        "doc_token_entropy",
+        "doc_token_stats_by_lang",
+        "embedding_label_centroids",
+        "embedding_label_stats",
+        "events_hour_of_day_profile",
+        "events_hourly_by_type",
+        "events_hourly_ffill",
+        "events_props_stats",
+        "events_type_share",
+        "events_user_gap_stats",
+        "events_value_anomalies",
+        "events_value_histogram",
+        "knn_cosine_topk",
+        "lineitem_flag_distincts",
+        "machinery_minus_high_priority",
+        "nation_region_customer_counts",
+        "nation_supplier_full_outer",
+        "ngram_jaccard_pairs",
+        "order_priority_status_value_pivot",
+        "orders_monthly_volume",
+        "part_brand_type_stats",
+        "part_name_analysis",
+        "q17_small_quantity_revenue",
+        "q18_large_volume_orders",
+        # --- latest green = r02 (12)
+        "doc_mixture_sample",
+        "doc_shard_assignment",
+        "order_custkeys_except_all",
+        "orders_grouping_sets",
+        "q12_late_shipment_priority",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q16_parts_supplier_counts",
+        "q19_disjunctive_revenue",
+        "q22_sales_opportunity",
+        "q6_forecast_revenue",
+        "segment_stats_unpivot",
+        # --- new this round (registered below as they land; keep the
+        #     set at exactly 50)
+        "passage_neardup_pairs",
+        "doc_ngram_novelty",
+        "source_overlap_matrix",
+        "diversity_sample_lsh",
     }
 )
 

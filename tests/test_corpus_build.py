@@ -60,3 +60,61 @@ def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
     }
     shipped_ids = {r["doc_id"] for r in disk.select("doc_id").collect()}
     assert shipped_ids <= orig_ids
+
+
+def test_neardup_representative_chosen_among_survivors(spark, tmp_path):
+    """A near-dup cluster whose corpus-global min doc_id FAILS the
+    Gopher gate must still ship exactly one surviving member — the
+    representative is chosen among stage-2 survivors, not from the raw
+    corpus (regression: the old rep = component min could be a ghost,
+    silently dropping every copy of the cluster's content)."""
+    # cluster source "dup": doc 0 fails Gopher (13+ char word), docs
+    # 1 and 2 pass and are near-dups of 0 and each other (>= 0.5
+    # shingle Jaccard via the shared repeated base text)
+    base = [
+        "the", "quick", "brown", "horse", "jumps", "water",
+        "table", "and", "chairs", "light",
+    ] * 6
+    d0 = " ".join(base + ["pneumonoultramicroscopicsilico"])
+    d1 = " ".join(base)
+    d2 = " ".join(base + ["extra"])
+
+    # filler source "fill": unique Gopher-passing docs with disjoint
+    # vocab (no 3-token shingle is shared across docs)
+    def filler(i: int) -> str:
+        toks = ["the", "and"]
+        for j in range(58):
+            n = i * 58 + j
+            w = ""
+            for _ in range(5):
+                w += chr(ord("a") + n % 26)
+                n //= 26
+            toks.append(w)
+        return " ".join(toks)
+
+    rows = [
+        (0, d0, "en", "dup", len(d0)),
+        (1, d1, "en", "dup", len(d1)),
+        (2, d2, "en", "dup", len(d2)),
+    ] + [(10 + i, filler(i), "en", "fill", len(filler(i))) for i in range(9)]
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{corpus}/documents.parquet")
+
+    res = build_training_corpus(
+        spark, corpus, str(tmp_path / "shards"), n_shards=2
+    )
+    rep = {r["source"]: r for r in res["report"].collect()}
+    # doc 0 gophered out; docs 1,2 survive stages 1-2; the near-dup
+    # stage must keep exactly one of them (min survivor = doc 1)
+    assert rep["dup"]["n_gopher"] == 2, rep["dup"]
+    assert rep["dup"]["n_exact"] == 2, rep["dup"]
+    assert rep["dup"]["n_neardup"] == 1, rep["dup"]
+    survivors = {
+        r["doc_id"]
+        for r in res["selected"].filter(F.col("source") == "dup")
+        .select("doc_id")
+        .collect()
+    }
+    assert survivors <= {1}, survivors

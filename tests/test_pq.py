@@ -275,8 +275,17 @@ def test_persisted_ivfpq_index_recall_and_partition_pruning(spark, tmp_path):
         spark, idx, qs, k=10, n_probe=1, rerank=50, m=4, sub=8, exclude_self=True
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # probed cells pushed into the scans as partition filters
-    assert plan.count("PartitionFilters: [cell#") >= 2 or "cell IN" in plan or plan.count("PartitionFilters") >= 2, plan[:800]
+    # probed cells pushed into the scans as partition filters: require
+    # NON-EMPTY PartitionFilters mentioning the cell column on >=2 scans
+    # (every FileSourceScanExec prints an empty 'PartitionFilters: []'
+    # line, so a bare count would be vacuously true)
+    pruned = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln
+        and "cell" in ln.split("PartitionFilters", 1)[1]
+    ]
+    assert len(pruned) >= 2, plan[:800]
 
     got = out.toPandas()
     exact = (
