@@ -1,0 +1,509 @@
+"""Corpus-curation tier: passage-granularity NEAR-dup detection,
+first-occurrence n-gram novelty, cross-source n-gram containment, and
+LSH-bucket diversity sampling.
+
+These are the remaining curation decisions a training-data pipeline
+makes after the document-level dedup tier (queries/text_dedup.py) and
+the exact-passage tier (queries/passages.py):
+
+* **passage_neardup_pairs** — document pairs sharing a near-duplicate
+  passage, exact or fuzzy (quote/partial-overlap detection with
+  doc-pair attribution).  Doc-level MinHash misses a 20-token quote
+  inside two otherwise-different documents; the exact passage tier
+  (passage_dedup_summary) reports per-source duplication but not WHICH
+  doc pairs share content.  This is the standard candidates-then-verify
+  LSH plan applied at passage granularity: per-passage MinHash (8
+  hashes / 4 bands over the passage's 3-token shingles) → band
+  equi-join → exact shingle-Jaccard verify → doc-pair rollup.  Exact
+  passage matches collide in every band, so they are found with
+  probability 1.  Boilerplate caveat: a passage exactly repeated in D
+  docs contributes D²/2 pairs — at 100 TB run exact passage dedup
+  FIRST (pipelines.py stage ordering) or cap band-bucket width the way
+  the doc-level tier's TUNING.md documents.
+
+* **doc_ngram_novelty** — per-document fraction of distinct 8-grams
+  never seen in any LOWER-doc_id document ("attribute to first
+  occurrence", the memorization-risk score RefinedWeb/Dolma style
+  pipelines compute before sampling).  min(doc_id) per gram is
+  order-free, so the score is deterministic under any partitioning.
+
+* **source_overlap_matrix** — ordered-pair 8-gram containment
+  |grams(a) ∩ grams(b)| / |grams(a)| between sources: the
+  cross-dataset contamination audit run before mixing corpora (the
+  asymmetric version of neardup_cross_source's pair counts).
+
+* **diversity_sample_lsh** — one representative per RP-LSH sign-bucket
+  of the embedding space: the cheap diversity downsample (SemDeDup's
+  "keep one per semantic region" without the clustering fit).  Buckets
+  are 8 sign bits of fixed pseudo-random hyperplanes — fully
+  deterministic, index-free, and oracle-reproducible.
+
+Scale shapes: every operator here is explode → hash-keyed groupBy
+(map-side combine) → equi-join; nothing is quadratic in the corpus.
+The passage LSH band join is governed by the s-curve exactly like the
+document-level plan; the novelty/overlap gram tables are bounded by
+DISTINCT grams (Zipf-collapsed); the diversity bucket agg is one
+shuffle on a ≤2^planes-cardinality key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.functions.text import (
+    UH_MOD,
+    band_keys,
+    shingles,
+    tokenize,
+    uh_constants,
+)
+from bigdatamlteamrepo_spark.queries.registry import query
+from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
+
+#: passage width in tokens (matches queries/passages.py so the exact
+#: and fuzzy passage tiers audit the same unit)
+_PW = 20
+#: MinHash config for passage signatures: passages carry only
+#: ``_PW - 2`` 3-token shingles, so fewer hashes than the doc-level
+#: 24/6 scheme suffice; 8 hashes / 4 bands of 2 puts the s-curve
+#: midpoint 1-(1-j²)⁴ ≈ 0.5 at j ≈ 0.4 — below the 0.5 verify
+#: threshold, so candidate recall at j ≥ 0.5 is ≥ 0.77 per band pair
+#: and ≥ 0.9 overall on the driver corpus (pinned in tests).
+_P_HASHES = 8
+_P_BANDS = 4
+#: exact shingle-Jaccard verify threshold (same as the doc-level tier)
+_P_JACCARD = 0.5
+
+#: 8-gram granularity for novelty/containment (matches the
+#: decontamination tier, queries/pipeline.py)
+_NG = 8
+
+#: RP-LSH diversity-sample config: 8 sign bits → ≤256 buckets; same
+#: hyperplane family/seed as the ANN tier (operators/similarity.py)
+_DIV_PLANES = 8
+_DIV_DIM = 64
+_DIV_SEED = 42
+
+
+# --------------------------------------------------------------------------
+# passage_neardup_pairs
+# --------------------------------------------------------------------------
+
+def _passage_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, pi, s) — per non-overlapping ``_PW``-token passage:
+    its 1-based index and distinct 3-token shingle set.
+    One expression-only pass; the ``size >= _PW`` filter guards the
+    ascending ``sequence`` contract (sequence(1, 0) is DESCENDING)."""
+    t = docs.select("doc_id", tokenize("text").alias("toks"))
+    p = (
+        t.filter(F.size("toks") >= _PW)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.floor(F.size("toks") / _PW).cast("int")
+                )
+            ).alias("pi"),
+        )
+        .select(
+            "doc_id",
+            "pi",
+            F.slice("toks", (F.col("pi") - 1) * _PW + 1, F.lit(_PW)).alias(
+                "ptoks"
+            ),
+        )
+    )
+    return p.select(
+        "doc_id",
+        "pi",
+        F.array_distinct(shingles(F.col("ptoks"), 3)).alias("s"),
+    )
+
+
+def passage_neardup_doc_pairs(docs: DataFrame) -> DataFrame:
+    """Core of :func:`passage_neardup_pairs` over any (doc_id, text)
+    frame — separated so property tests can drive generated corpora.
+
+    Plan: ONE tokenize+chunk+shingle pass is checkpointed and feeds
+    both the signature aggregation and the verify join (the
+    ngram_jaccard_pairs discipline).  Signatures are a grouped MIN with
+    map-side partial aggregation — only (passage, 8 longs) rows reach
+    the shuffle; the band self-join is the linear-shuffle candidate
+    step; the verify is an exact set-Jaccard on the two passages'
+    shingle sets; the rollup bounds the output at doc-pair granularity.
+    """
+    psets = _passage_sets(docs).localCheckpoint(eager=True)
+
+    ex = psets.select("doc_id", "pi", F.explode("s").alias("sh"))
+    hx = F.md5("sh")
+    words = ex.select(
+        "doc_id",
+        "pi",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("w1"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("w2"),
+    )
+    consts = uh_constants(_P_HASHES)
+    sig = words.groupBy("doc_id", "pi").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("w1") + F.lit(b) * F.col("w2") + F.lit(c))
+                % F.lit(UH_MOD)
+            ).alias(f"m{i}")
+            for i, (a, b, c) in enumerate(consts)
+        ]
+    )
+    mh = F.array(*[F.col(f"m{i}") for i in range(_P_HASHES)])
+    bands = sig.select(
+        "doc_id",
+        "pi",
+        F.explode(band_keys(mh, _P_HASHES, _P_BANDS)).alias("band"),
+    ).localCheckpoint(eager=True)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.pi").alias("pi_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.pi").alias("pi_b"),
+        )
+        .distinct()
+    )
+
+    sa = psets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pi").alias("pi_a"),
+        F.col("s").alias("s_a"),
+    )
+    sb = psets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pi").alias("pi_b"),
+        F.col("s").alias("s_b"),
+    )
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
+    union = F.size("s_a") + F.size("s_b") - inter
+    ver = (
+        cand.join(sa, ["doc_a", "pi_a"])
+        .join(sb, ["doc_b", "pi_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jac"),
+        )
+        .filter(F.col("jac") >= _P_JACCARD)
+    )
+    return ver.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_passage_pairs"),
+        F.max("jac").alias("max_jaccard"),
+    )
+
+
+def _passage_lsh_ctes() -> str:
+    """Oracle CTE chain ending in ``__pver(doc_a, doc_b, jac)`` — the
+    DuckDB twin of :func:`passage_neardup_doc_pairs` hash-for-hash
+    (same md5 words, universal-hash constants, band-key strings)."""
+    consts = uh_constants(_P_HASHES)
+    r = _P_HASHES // _P_BANDS
+    sigs = ",\n         ".join(
+        f"list_min(list_transform(ws, w -> ({a} * w.w1 + {b} * w.w2 + {c})"
+        f" % {UH_MOD})) AS mh_{i}"
+        for i, (a, b, c) in enumerate(consts)
+    )
+    band_sel = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, pi, md5('{b}#' || "
+        + " || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
+        + ") AS band FROM __psig"
+        for b in range(_P_BANDS)
+    )
+    return f"""__pt AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+__pp AS (
+  SELECT doc_id, i AS pi,
+         toks[(i - 1) * {_PW} + 1 : i * {_PW}] AS ptoks
+  FROM __pt, unnest(range(1, len(toks) // {_PW} + 1)) AS u(i)
+),
+__ps AS (
+  SELECT doc_id, pi,
+         list_distinct(list_transform(range(1, {_PW - 1}),
+           j -> ptoks[j] || ' ' || ptoks[j+1] || ' ' || ptoks[j+2])) AS s
+  FROM __pp
+),
+__pw AS (
+  SELECT doc_id, pi, list_transform(s, x -> struct_pack(
+           w1 := ('0x' || substr(md5(x), 1, 8))::BIGINT,
+           w2 := ('0x' || substr(md5(x), 9, 8))::BIGINT)) AS ws
+  FROM __ps
+),
+__psig AS (
+  SELECT doc_id, pi,
+         {sigs}
+  FROM __pw
+),
+__pbands AS (
+  {band_sel}
+),
+__pcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, a.pi AS pi_a,
+                  b.doc_id AS doc_b, b.pi AS pi_b
+  FROM __pbands a JOIN __pbands b
+    ON a.band = b.band AND a.doc_id < b.doc_id
+),
+__pver AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+  FROM __pcand c
+  JOIN __ps a ON a.doc_id = c.doc_a AND a.pi = c.pi_a
+  JOIN __ps b ON b.doc_id = c.doc_b AND b.pi = c.pi_b
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+        >= {_P_JACCARD}
+)"""
+
+
+@query(
+    "passage_neardup_pairs",
+    oracle=f"""
+WITH {_passage_lsh_ctes()}
+SELECT doc_a, doc_b,
+       CAST(COUNT(*) AS BIGINT) AS n_passage_pairs,
+       MAX(jac) AS max_jaccard
+FROM __pver
+GROUP BY doc_a, doc_b
+""",
+)
+def passage_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing ≥1 NEAR-duplicate (but not exactly equal)
+    {_PW}-token passage, with the count of near-dup passage pairs and
+    the max exact shingle-Jaccard — partial-overlap / quote detection
+    between documents that are not document-level near-dups."""
+    return passage_neardup_doc_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# doc_ngram_novelty / source_overlap_matrix — shared 8-gram stream
+# --------------------------------------------------------------------------
+
+def _doc_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, g) — md5 of each DISTINCT {_NG}-token shingle
+    per document.  Only 16-byte-hex hashes leave the row stage; gram
+    text never shuffles."""
+    t = docs.select("doc_id", "source", tokenize("text").alias("toks"))
+    return t.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.array_distinct(shingles(F.col("toks"), _NG)),
+                lambda s: F.md5(s),
+            )
+        ).alias("g"),
+    )
+
+
+_GRAMS_CTE = f"""__gt AS (SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents),
+__g AS (
+  SELECT doc_id, source, g
+  FROM (
+    SELECT doc_id, source,
+           list_distinct(list_transform(
+             range(1, greatest(len(toks) - {_NG - 1}, 0) + 1),
+             i -> md5(array_to_string(toks[i : i + {_NG - 1}], ' ')))) AS gs
+    FROM __gt
+  ), unnest(gs) AS u(g)
+)"""
+
+
+@query(
+    "doc_ngram_novelty",
+    oracle=f"""
+WITH {_GRAMS_CTE},
+__f AS (SELECT g, MIN(doc_id) AS first_doc FROM __g GROUP BY g)
+SELECT gr.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN f.first_doc < gr.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_seen_before,
+       1.0 - CAST(SUM(CASE WHEN f.first_doc < gr.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*) AS novelty
+FROM __g gr JOIN __f f USING (g)
+GROUP BY gr.doc_id
+""",
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document {_NG}-gram novelty: the fraction of the doc's
+    distinct {_NG}-grams whose FIRST corpus occurrence (min doc_id) is
+    the doc itself — the memorization-risk / contribution score
+    first-occurrence dedup pipelines attribute before sampling.
+
+    Plan: distinct grams per doc (row-local), one groupBy on the gram
+    hash for the first-occurrence table (map-side combine,
+    Zipf-collapsed), one equi-join back on the same key, one per-doc
+    agg.  min(doc_id) makes "seen before" order-free — deterministic
+    under any partitioning."""
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+def ngram_novelty(docs: DataFrame) -> DataFrame:
+    """Core of :func:`doc_ngram_novelty` over any (doc_id, source,
+    text) frame — separated so property tests can drive generated
+    corpora."""
+    g = _doc_grams(docs).select("doc_id", "g")
+    first = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    seen = F.sum((F.col("first_doc") < F.col("doc_id")).cast("int"))
+    return (
+        g.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            seen.cast("bigint").alias("n_seen_before"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_seen_before",
+            (
+                F.lit(1.0)
+                - F.col("n_seen_before").cast("double") / F.col("n_ngrams")
+            ).alias("novelty"),
+        )
+    )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+WITH {_GRAMS_CTE},
+__sg AS (SELECT DISTINCT source, g FROM __g),
+__tot AS (SELECT source, COUNT(*) AS n_grams FROM __sg GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       CAST(ANY_VALUE(t.n_grams) AS BIGINT) AS n_a,
+       CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.n_grams) AS containment
+FROM __sg a
+JOIN __sg b ON a.g = b.g AND a.source <> b.source
+JOIN __tot t ON t.source = a.source
+GROUP BY a.source, b.source
+""",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-pair {_NG}-gram containment between sources:
+    |grams(a) ∩ grams(b)| / |grams(a)| — the cross-dataset
+    contamination matrix audited before mixing corpora (asymmetric:
+    a small source quoted by a big one shows high containment from the
+    small side only).
+
+    Plan: distinct (source, gram-hash) rows, one self-equi-join on the
+    gram hash (per-gram fan-out bounded by n_sources², never corpus
+    size), per-source totals broadcast back.  Only hashes shuffle."""
+    return overlap_matrix(load_table(spark, sf_dir, "documents"))
+
+
+def overlap_matrix(docs: DataFrame) -> DataFrame:
+    """Core of :func:`source_overlap_matrix` over any (doc_id, source,
+    text) frame — separated so property tests can drive generated
+    corpora."""
+    sg = (
+        _doc_grams(docs)
+        .select("source", "g")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tot = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.select(F.col("source").alias("source_a"), "g")
+    b = sg.select(F.col("source").alias("source_b"), "g")
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    return shared.join(
+        F.broadcast(tot.select(F.col("source").alias("source_a"), "n_grams")),
+        "source_a",
+    ).select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        F.col("n_grams").cast("bigint").alias("n_a"),
+        (F.col("n_shared").cast("double") / F.col("n_grams")).alias(
+            "containment"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# diversity_sample_lsh
+# --------------------------------------------------------------------------
+
+def _div_planes_sql() -> str:
+    from bigdatamlteamrepo_spark.operators.similarity import hyperplane_values
+
+    rows = []
+    for p in range(_DIV_PLANES):
+        vals = hyperplane_values(_DIV_DIM, p, _DIV_SEED)
+        lit = "[" + ", ".join(repr(v) for v in vals) + "]"
+        rows.append(f"({p}, {lit}::DOUBLE[])")
+    return ",\n    ".join(rows)
+
+
+@query(
+    "diversity_sample_lsh",
+    oracle=f"""
+WITH __planes(plane_id, p) AS (VALUES
+    {_div_planes_sql()}),
+__bits AS (
+  SELECT e.vec_id, pl.plane_id,
+         CASE WHEN list_sum(list_transform(range(1, {_DIV_DIM} + 1),
+                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i])) >= 0
+              THEN '1' ELSE '0' END AS bit
+  FROM embeddings e CROSS JOIN __planes pl
+),
+__sig AS (
+  SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
+  FROM __bits GROUP BY vec_id
+)
+SELECT bucket,
+       CAST(MIN(vec_id) AS BIGINT) AS rep_vec_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM __sig GROUP BY bucket
+""",
+)
+def diversity_sample_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One representative embedding per RP-LSH sign-bucket: the
+    index-free diversity downsample (keep one doc per semantic region;
+    {_DIV_PLANES} sign bits → ≤{2 ** _DIV_PLANES} regions).  The same
+    hyperplane family/seed as the ANN tier, so the bucket structure is
+    consistent with the near-dup and top-k operators.
+
+    Plan: the signature is a row-local expression (fixed-order fold
+    dots against literal hyperplanes — no fit, no index, no shuffle to
+    build); the only shuffle is one groupBy on the ≤2^planes-
+    cardinality bucket key with map-side partial min/count.  At 100 TB
+    the bucket count is a knob: planes scale the region granularity
+    (each +1 plane doubles regions) with zero additional passes."""
+    from bigdatamlteamrepo_spark.functions.vectors import dot
+    from bigdatamlteamrepo_spark.operators.similarity import _hyperplane
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = [
+        F.when(
+            dot(F.col("embedding"), _hyperplane(_DIV_DIM, p, _DIV_SEED)) >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in range(_DIV_PLANES)
+    ]
+    return (
+        emb.select("vec_id", F.concat(*bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.min("vec_id").cast("bigint").alias("rep_vec_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+    )

@@ -1,0 +1,264 @@
+"""Curation tier (queries/curation.py): passage-level near-dup
+semantics, n-gram novelty / source containment vs independent Python
+twins, diversity-sample bucket reconstruction, and plan gates."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.queries import QUERIES
+from bigdatamlteamrepo_spark.queries.curation import (
+    _DIV_DIM,
+    _DIV_PLANES,
+    _DIV_SEED,
+    _NG,
+    _PW,
+    ngram_novelty,
+    overlap_matrix,
+    passage_neardup_doc_pairs,
+)
+
+
+def _docs_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+# --------------------------------------------------------------------------
+# passage_neardup_pairs semantics
+# --------------------------------------------------------------------------
+
+
+def _words(seed: int, n: int) -> list[str]:
+    """n deterministic distinct 5-letter words."""
+    out = []
+    for j in range(n):
+        v = seed * 1000 + j
+        w = ""
+        for _ in range(5):
+            w += chr(ord("a") + v % 26)
+            v //= 26
+        out.append(w)
+    return out
+
+
+def test_passage_neardup_exact_fuzzy_and_negative(spark):
+    base = _words(1, _PW)  # a 20-token passage
+    edited = list(base)
+    edited[-1] = "zzzzz"  # one substitution → jaccard 15/21 ≈ 0.714
+    filler_a = _words(2, _PW)
+    filler_b = _words(3, _PW)
+    filler_c = _words(4, _PW)
+    rows = [
+        # docs 100/101 share the EXACT passage (plus distinct filler)
+        (100, " ".join(base + filler_a), "en", "s0", 0),
+        (101, " ".join(base + filler_b), "en", "s0", 0),
+        # docs 102/103 share the passage with one token edited
+        (102, " ".join(filler_a + base), "en", "s0", 0),
+        (103, " ".join(filler_c + edited), "en", "s0", 0),
+        # doc 104 shares nothing
+        (104, " ".join(_words(5, 2 * _PW)), "en", "s0", 0),
+    ]
+    got = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in passage_neardup_doc_pairs(_docs_frame(spark, rows)).collect()
+    }
+    # exact match found with jaccard exactly 1.0
+    assert (100, 101) in got
+    assert got[(100, 101)]["max_jaccard"] == 1.0
+    # docs 100/102 also share base exactly (different window offsets)
+    assert (100, 102) in got
+    # fuzzy match found below 1.0 but above the 0.5 verify threshold
+    assert (102, 103) in got
+    fuzzy = got[(102, 103)]["max_jaccard"]
+    assert 0.5 <= fuzzy < 1.0, fuzzy
+    # the unrelated doc appears in no pair
+    assert not any(104 in k for k in got), got.keys()
+
+
+def test_passage_neardup_exact_recall_is_total(spark):
+    """Exact-duplicate passages collide in EVERY band: every doc pair
+    sharing an identical window must be reported (probability-1 claim
+    in the docstring)."""
+    shared = _words(7, _PW)
+    rows = [
+        (i, " ".join(shared + _words(10 + i, _PW)), "en", "s0", 0)
+        for i in range(6)
+    ]
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in passage_neardup_doc_pairs(_docs_frame(spark, rows)).collect()
+    }
+    want = {(i, j) for i in range(6) for j in range(i + 1, 6)}
+    assert want <= got, want - got
+
+
+def test_passage_neardup_ignores_sub_window_tail(spark):
+    """Tokens beyond the last full _PW window never form a passage: two
+    docs sharing only a 10-token tail must not pair."""
+    tail = _words(8, 10)
+    rows = [
+        (0, " ".join(_words(20, _PW) + tail), "en", "s0", 0),
+        (1, " ".join(_words(21, _PW) + tail), "en", "s0", 0),
+    ]
+    assert passage_neardup_doc_pairs(_docs_frame(spark, rows)).count() == 0
+
+
+# --------------------------------------------------------------------------
+# n-gram novelty / source overlap vs independent Python twins
+# --------------------------------------------------------------------------
+
+
+def _twin_grams(text: str) -> set[str]:
+    toks = text.lower().split()
+    return {
+        " ".join(toks[i : i + _NG]) for i in range(len(toks) - _NG + 1)
+    }
+
+
+def _random_corpus(seed: int):
+    rng = random.Random(seed)
+    vocab = _words(9, 12)
+    rows = []
+    for d in range(20):
+        n = rng.randrange(4, 30)
+        text = " ".join(rng.choice(vocab) for _ in range(n))
+        rows.append((d, text, "en", f"s{d % 3}", len(text)))
+    return rows
+
+
+def test_ngram_novelty_matches_python_twin(spark):
+    for seed in (1, 2, 3):
+        rows = _random_corpus(seed)
+        first: dict[str, int] = {}
+        grams = {}
+        for doc_id, text, *_ in rows:
+            gs = _twin_grams(text)
+            grams[doc_id] = gs
+            for g in gs:
+                first[g] = min(first.get(g, doc_id), doc_id)
+        want = {
+            doc_id: (
+                len(gs),
+                sum(1 for g in gs if first[g] < doc_id),
+            )
+            for doc_id, gs in grams.items()
+            if gs
+        }
+        got = {
+            r["doc_id"]: (r["n_ngrams"], r["n_seen_before"])
+            for r in ngram_novelty(_docs_frame(spark, rows)).collect()
+        }
+        assert got == want, seed
+        # novelty column is consistent with the counts
+        for r in ngram_novelty(_docs_frame(spark, rows)).collect():
+            assert r["novelty"] == 1.0 - r["n_seen_before"] / r["n_ngrams"]
+
+
+def test_overlap_matrix_matches_python_twin(spark):
+    for seed in (4, 5):
+        rows = _random_corpus(seed)
+        by_src: dict[str, set[str]] = {}
+        for _, text, _, src, _ in rows:
+            by_src.setdefault(src, set()).update(_twin_grams(text))
+        want = {}
+        for a, ga in by_src.items():
+            for b, gb in by_src.items():
+                if a != b and ga & gb:
+                    want[(a, b)] = (len(ga & gb), len(ga))
+        got = {
+            (r["source_a"], r["source_b"]): (r["n_shared"], r["n_a"])
+            for r in overlap_matrix(_docs_frame(spark, rows)).collect()
+        }
+        assert got == want, seed
+
+
+def test_overlap_matrix_is_asymmetric(spark):
+    """A small source fully quoted by a big one: containment must be
+    high from the small side, low from the big side."""
+    small = " ".join(_words(30, _NG))  # exactly one 8-gram
+    big_extra = " ".join(_words(31, 40))
+    rows = [
+        (0, small, "en", "small", 0),
+        (1, small + " " + big_extra, "en", "big", 0),
+    ]
+    got = {
+        (r["source_a"], r["source_b"]): r["containment"]
+        for r in overlap_matrix(_docs_frame(spark, rows)).collect()
+    }
+    assert got[("small", "big")] == 1.0
+    assert got[("big", "small")] < 0.2
+
+
+# --------------------------------------------------------------------------
+# diversity_sample_lsh bucket reconstruction
+# --------------------------------------------------------------------------
+
+
+def test_diversity_sample_buckets_reconstruct(spark, sf_dir):
+    from bigdatamlteamrepo_spark.operators.similarity import hyperplane_values
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    planes = [
+        hyperplane_values(_DIV_DIM, p, _DIV_SEED) for p in range(_DIV_PLANES)
+    ]
+    buckets: dict[str, list[int]] = {}
+    for vid, v in vecs.items():
+        bits = ""
+        for pl in planes:
+            acc = 0.0  # sequential fold, mirroring the engine's dot()
+            for x, y in zip(v, pl):
+                acc += x * y
+            bits += "1" if acc >= 0 else "0"
+        buckets.setdefault(bits, []).append(vid)
+    want = {
+        b: (min(ids), len(ids)) for b, ids in buckets.items()
+    }
+    got = {
+        r["bucket"]: (r["rep_vec_id"], r["n_members"])
+        for r in QUERIES["diversity_sample_lsh"](spark, sf_dir).collect()
+    }
+    assert got == want
+    # the sample is a partition: member counts sum to the corpus size
+    assert sum(n for _, n in got.values()) == len(vecs)
+
+
+# --------------------------------------------------------------------------
+# plan gates
+# --------------------------------------------------------------------------
+
+
+def test_curation_plans_no_cartesian(spark, sf_dir):
+    for name in (
+        "passage_neardup_pairs",
+        "doc_ngram_novelty",
+        "source_overlap_matrix",
+        "diversity_sample_lsh",
+    ):
+        plan = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_diversity_sample_is_single_shuffle(spark, sf_dir):
+    """The signature is row-local: exactly one exchange (the bucket
+    groupBy) in the whole plan."""
+    plan = (
+        QUERIES["diversity_sample_lsh"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2, plan[:600]  # partial+final agg pair

@@ -32,6 +32,8 @@ REPRESENTATIVES = [
     "catalog_column_stats",        # multi-table one-pass ANALYZE
     "vocab_zipf_fit",              # integer regression sums
     "doc_term_burstiness",         # integer VMR, half-away division
+    "passage_neardup_pairs",       # passage-LSH band join + verify rollup
+    "doc_ngram_novelty",           # first-occurrence min attribution
 ]
 
 
