@@ -8,6 +8,10 @@ materializing run with per-stage accounting.
       → exact dedup (keep-min)       (md5 text key, per lang)
       → near-dup dedup (keep-rep)    (LSH candidates → Jaccard verify →
                                       connected components → min id)
+      → eval decontamination         (optional: drop survivors sharing
+                                      any exact 8-gram with ``eval_docs``
+                                      — broadcast gram join, the
+                                      doc_eval_contamination plan)
       → LM perplexity selection      (queries/textmodel.doc_lm_perplexity,
                                       tercile ≤ 2 — CCNet head/middle)
       → deterministic shard write    (sources/shard_writer)
@@ -41,6 +45,7 @@ def build_training_corpus(
     out_dir: str,
     n_shards: int = 8,
     lm: DataFrame | None = None,
+    eval_docs: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full build; write shards to ``out_dir``; return
     ``{"report": per-source stage accounting, "manifest": shard
@@ -49,6 +54,11 @@ def build_training_corpus(
     ``lm`` accepts a precomputed perplexity frame (doc_id,
     ppl_tercile); by default the bigram LM is trained on the
     POST-DEDUP corpus (see module docstring).
+
+    ``eval_docs``: an optional (text) frame of held-out benchmark
+    documents; survivors sharing ANY exact 8-token gram with it are
+    removed (decontamination) before the LM stage, so the selection
+    model never trains on leaked eval content either.
     """
     from bigdatamlteamrepo_spark.operators.graph import connected_components
     from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
@@ -107,6 +117,33 @@ def build_training_corpus(
         s2.join(reps, "doc_id", "left_semi")
     ).localCheckpoint(eager=True)
 
+    # ---- stage 3.5 (optional): eval decontamination — drop survivors
+    # sharing any exact 8-gram with the held-out eval set.  The eval
+    # gram table is benchmark-sized and broadcast; the corpus side is
+    # one explode + broadcast-hash-semi-join (the
+    # queries/pipeline.doc_eval_contamination plan).
+    if eval_docs is not None:
+        from bigdatamlteamrepo_spark.functions.text import shingles, tokenize
+        from bigdatamlteamrepo_spark.queries.pipeline import _DECON_W
+
+        ev_grams = (
+            eval_docs.select(
+                F.explode(shingles(tokenize("text"), _DECON_W)).alias("gram")
+            )
+            .distinct()
+        )
+        contaminated = (
+            s3.select("doc_id", F.explode(shingles(tokenize("text"), _DECON_W)).alias("gram"))
+            .join(F.broadcast(ev_grams), "gram")
+            .select("doc_id")
+            .distinct()
+        )
+        s35 = s3.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+    else:
+        s35 = s3
+
     # ---- stage 4: LM perplexity selection (head/middle terciles).
     # Train on the deduped survivors by default: build the LM frame
     # from s3's text unless a precomputed one is passed in.
@@ -117,10 +154,10 @@ def build_training_corpus(
         # survivor corpus through a temp table layout so the SAME
         # registered plan scores it
         tmp = tempfile.mkdtemp(prefix="corpus-lm-")
-        s3.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        s35.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
         lm = doc_lm_perplexity(spark, tmp)
     keep_lm = lm.filter(F.col("ppl_tercile") <= 2).select("doc_id")
-    selected = s3.join(keep_lm, "doc_id", "left_semi").localCheckpoint(
+    selected = s35.join(keep_lm, "doc_id", "left_semi").localCheckpoint(
         eager=True
     )
 
@@ -136,6 +173,7 @@ def build_training_corpus(
         .join(stage_counts(s1, "n_gopher"), "source", "left")
         .join(stage_counts(s2, "n_exact"), "source", "left")
         .join(stage_counts(s3, "n_neardup"), "source", "left")
+        .join(stage_counts(s35, "n_decontam"), "source", "left")
         .join(stage_counts(selected, "n_selected"), "source", "left")
         .join(
             selected.groupBy("source").agg(

@@ -23,8 +23,11 @@ def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
             >= r["n_gopher"]
             >= r["n_exact"]
             >= r["n_neardup"]
+            >= r["n_decontam"]
             >= r["n_selected"]
         ), r
+        # no eval set passed: the decontamination stage is a no-op
+        assert r["n_decontam"] == r["n_neardup"], r
         assert r["n_selected"] >= 0
     # something must actually ship and something must be filtered
     total_in = sum(r["n_input"] for r in report)
@@ -60,6 +63,47 @@ def test_build_training_corpus_end_to_end(spark, sf_dir, tmp_path):
     }
     shipped_ids = {r["doc_id"] for r in disk.select("doc_id").collect()}
     assert shipped_ids <= orig_ids
+
+
+def test_decontamination_stage_drops_eval_overlap(spark, sf_dir, tmp_path):
+    """Passing an eval set removes every survivor sharing an exact
+    8-gram with it — and ONLY those — before the LM stage."""
+    # baseline run: whatever ships is by construction a survivor of
+    # every earlier stage — take two shipped docs as the "benchmark"
+    base = build_training_corpus(spark, sf_dir, str(tmp_path / "base"), n_shards=2)
+    leak_ids = [
+        r["doc_id"]
+        for r in base["selected"].select("doc_id").orderBy("doc_id").limit(2).collect()
+    ]
+    eval_docs = base["selected"].filter(
+        F.col("doc_id").isin(leak_ids)
+    ).select("text")
+    res = build_training_corpus(
+        spark,
+        sf_dir,
+        str(tmp_path / "shards"),
+        n_shards=2,
+        eval_docs=eval_docs,
+    )
+    rep = res["report"].collect()
+    assert sum(r["n_decontam"] for r in rep) < sum(r["n_neardup"] for r in rep)
+    shipped = {r["doc_id"] for r in res["selected"].select("doc_id").collect()}
+    assert not shipped & set(leak_ids)
+    # shipped docs share no 8-gram with the eval set
+    from bigdatamlteamrepo_spark.functions.text import shingles, tokenize
+    from bigdatamlteamrepo_spark.queries.pipeline import _DECON_W
+
+    ev = {
+        r["g"]
+        for r in eval_docs.select(
+            F.explode(shingles(tokenize("text"), _DECON_W)).alias("g")
+        ).collect()
+    }
+    ship_grams = res["selected"].select(
+        "doc_id", F.explode(shingles(tokenize("text"), _DECON_W)).alias("g")
+    )
+    hits = [r for r in ship_grams.collect() if r["g"] in ev]
+    assert not hits, hits[:3]
 
 
 def test_neardup_representative_chosen_among_survivors(spark, tmp_path):
