@@ -123,7 +123,9 @@ def _passage_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def passage_neardup_doc_pairs(docs: DataFrame) -> DataFrame:
+def passage_neardup_doc_pairs(
+    docs: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
     """Core of :func:`passage_neardup_pairs` over any (doc_id, text)
     frame — separated so property tests can drive generated corpora.
 
@@ -134,6 +136,17 @@ def passage_neardup_doc_pairs(docs: DataFrame) -> DataFrame:
     the shuffle; the band self-join is the linear-shuffle candidate
     step; the verify is an exact set-Jaccard on the two passages'
     shingle sets; the rollup bounds the output at doc-pair granularity.
+
+    ``max_bucket``: the boilerplate-blowup valve.  A passage recurring
+    in D documents makes a band bucket of width ~D, hence ~D²/2
+    candidate pairs per band — measured quadratic candidate growth on
+    corpora with recurring boilerplate (SCALING.md, "Passage near-dup").
+    Setting ``max_bucket`` drops band rows in buckets wider than the
+    cap BEFORE the self-join: those passages are exact/near-exact mass
+    duplicates, which the EXACT passage tier (passage_dedup_summary)
+    already accounts for at linear cost.  The registered query keeps
+    ``None`` (lossless, oracle-mirrored); at 100 TB set a cap (a few
+    hundred) so candidate volume stays s-curve-governed.
     """
     psets = _passage_sets(docs).localCheckpoint(eager=True)
 
@@ -161,6 +174,17 @@ def passage_neardup_doc_pairs(docs: DataFrame) -> DataFrame:
         "pi",
         F.explode(band_keys(mh, _P_HASHES, _P_BANDS)).alias("band"),
     ).localCheckpoint(eager=True)
+
+    if max_bucket is not None:
+        # bucket widths are a band-keyed agg of the (tiny) band table;
+        # the semi-join keeps only rows in buckets within the cap
+        ok = (
+            bands.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .filter(F.col("w") <= max_bucket)
+            .select("band")
+        )
+        bands = bands.join(ok, "band", "left_semi")
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
@@ -270,6 +294,7 @@ __pver AS (
 
 @query(
     "passage_neardup_pairs",
+    bench=True,
     oracle=f"""
 WITH {_passage_lsh_ctes()}
 SELECT doc_a, doc_b,
@@ -323,6 +348,7 @@ __g AS (
 
 @query(
     "doc_ngram_novelty",
+    bench=True,
     oracle=f"""
 WITH {_GRAMS_CTE},
 __f AS (SELECT g, MIN(doc_id) AS first_doc FROM __g GROUP BY g)
@@ -353,16 +379,35 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_novelty(docs: DataFrame) -> DataFrame:
     """Core of :func:`doc_ngram_novelty` over any (doc_id, source,
     text) frame — separated so property tests can drive generated
-    corpora."""
+    corpora.
+
+    A gram is "seen before" iff its corpus-min doc_id is strictly
+    smaller, so per-doc novel count = |{g : min_doc(g) = doc}| — an
+    aggregate of the FIRST-OCCURRENCE table, not a join back against
+    the full gram stream.  The gram stream is therefore shuffled once
+    (grouped min with map-side combine); the final join is between two
+    doc-cardinality aggregates.  The join-back plan would shuffle the
+    exploded corpus a second time — 2× the largest stage for nothing.
+    """
     g = _doc_grams(docs).select("doc_id", "g")
-    first = g.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    seen = F.sum((F.col("first_doc") < F.col("doc_id")).cast("int"))
-    return (
-        g.join(first, "g")
+    per_doc = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ngrams")
+    )
+    novel = (
+        g.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
-            seen.cast("bigint").alias("n_seen_before"),
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .na.fill({"n_novel": 0})
+        .select(
+            "doc_id",
+            "n_ngrams",
+            (F.col("n_ngrams") - F.col("n_novel"))
+            .cast("bigint")
+            .alias("n_seen_before"),
         )
         .select(
             "doc_id",

@@ -107,6 +107,38 @@ def test_passage_neardup_ignores_sub_window_tail(spark):
     assert passage_neardup_doc_pairs(_docs_frame(spark, rows)).count() == 0
 
 
+def test_passage_neardup_bucket_cap_drops_boilerplate_only(spark):
+    """max_bucket drops mass-duplicated passages from the candidate
+    step (the exact tier's job) while fuzzy low-multiplicity pairs
+    survive — and the capped result is a subset of the uncapped one."""
+    boiler = _words(40, _PW)  # exact passage repeated in 30 docs
+    base = _words(41, _PW)
+    edited = list(base)
+    edited[-1] = "qqqqq"
+    rows = [
+        (i, " ".join(boiler + _words(50 + i, _PW)), "en", "s0", 0)
+        for i in range(30)
+    ] + [
+        (100, " ".join(base), "en", "s0", 0),
+        (101, " ".join(edited), "en", "s0", 0),
+    ]
+    docs = _docs_frame(spark, rows)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in passage_neardup_doc_pairs(docs).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in passage_neardup_doc_pairs(docs, max_bucket=10).collect()
+    }
+    assert capped <= full
+    # the boilerplate clique (30·29/2 pairs) is gone under the cap...
+    assert not any(a < 30 and b < 30 for a, b in capped), capped
+    assert len(full) >= 30 * 29 // 2
+    # ...but the fuzzy low-multiplicity pair survives
+    assert (100, 101) in capped
+
+
 # --------------------------------------------------------------------------
 # n-gram novelty / source overlap vs independent Python twins
 # --------------------------------------------------------------------------
