@@ -16,10 +16,13 @@ the exact-passage tier (queries/passages.py):
   hashes / 4 bands over the passage's 3-token shingles) → band
   equi-join → exact shingle-Jaccard verify → doc-pair rollup.  Exact
   passage matches collide in every band, so they are found with
-  probability 1.  Boilerplate caveat: a passage exactly repeated in D
-  docs contributes D²/2 pairs — at 100 TB run exact passage dedup
-  FIRST (pipelines.py stage ordering) or cap band-bucket width the way
-  the doc-level tier's TUNING.md documents.
+  probability 1.  Boilerplate guard: a passage exactly repeated in D
+  docs contributes ~D²/2 band-join candidates, so the DEFAULT path
+  auto-caps band-bucket width from the bucket-width distribution
+  (``max_bucket="auto"``, mirrored hash-for-hash in the oracle) —
+  buckets wider than the cap are mass-duplicated passages the EXACT
+  passage tier already accounts for at linear cost.  ``None`` keeps
+  the lossless all-pairs behavior for bounded corpora.
 
 * **doc_ngram_novelty** — per-document fraction of distinct 8-grams
   never seen in any LOWER-doc_id document ("attribute to first
@@ -69,12 +72,22 @@ _PW = 20
 #: ``_PW - 2`` 3-token shingles, so fewer hashes than the doc-level
 #: 24/6 scheme suffice; 8 hashes / 4 bands of 2 puts the s-curve
 #: midpoint 1-(1-j²)⁴ ≈ 0.5 at j ≈ 0.4 — below the 0.5 verify
-#: threshold, so candidate recall at j ≥ 0.5 is ≥ 0.77 per band pair
-#: and ≥ 0.9 overall on the driver corpus (pinned in tests).
+#: threshold.  Candidate recall 1-(1-j²)⁴ is ≈ 0.68 at j = 0.5 and
+#: reaches 0.77 around j ≈ 0.56; exact matches (j = 1) collide in
+#: every band, recall 1 (pinned in tests).
 _P_HASHES = 8
 _P_BANDS = 4
 #: exact shingle-Jaccard verify threshold (same as the doc-level tier)
 _P_JACCARD = 0.5
+#: ``max_bucket="auto"`` cap = max(floor, mult × mean bucket width).
+#: Band-bucket widths are Zipf-shaped (mean ≈ 1-2 on natural corpora);
+#: a bucket ≳ 8× the mean holds a passage mass-duplicated across docs —
+#: exactly the content the EXACT passage tier deduplicates at linear
+#: cost — so dropping it bounds candidate volume at ~n_buckets·cap²/2,
+#: linear in the corpus (SCALING.md "Passage near-dup").  All-integer
+#: derivation (bigint div), so the oracle mirrors it tie-free.
+_AUTO_CAP_FLOOR = 16
+_AUTO_CAP_MULT = 8
 
 #: 8-gram granularity for novelty/containment (matches the
 #: decontamination tier, queries/pipeline.py)
@@ -124,13 +137,15 @@ def _passage_sets(docs: DataFrame) -> DataFrame:
 
 
 def passage_neardup_doc_pairs(
-    docs: DataFrame, max_bucket: int | None = None
+    docs: DataFrame,
+    max_bucket: int | str | None = "auto",
+    materialize: bool = True,
 ) -> DataFrame:
     """Core of :func:`passage_neardup_pairs` over any (doc_id, text)
     frame — separated so property tests can drive generated corpora.
 
-    Plan: ONE tokenize+chunk+shingle pass is checkpointed and feeds
-    both the signature aggregation and the verify join (the
+    Plan: ONE tokenize+chunk+shingle pass is persisted and feeds both
+    the signature aggregation and the verify join (the
     ngram_jaccard_pairs discipline).  Signatures are a grouped MIN with
     map-side partial aggregation — only (passage, 8 longs) rows reach
     the shuffle; the band self-join is the linear-shuffle candidate
@@ -141,14 +156,31 @@ def passage_neardup_doc_pairs(
     in D documents makes a band bucket of width ~D, hence ~D²/2
     candidate pairs per band — measured quadratic candidate growth on
     corpora with recurring boilerplate (SCALING.md, "Passage near-dup").
-    Setting ``max_bucket`` drops band rows in buckets wider than the
-    cap BEFORE the self-join: those passages are exact/near-exact mass
-    duplicates, which the EXACT passage tier (passage_dedup_summary)
-    already accounts for at linear cost.  The registered query keeps
-    ``None`` (lossless, oracle-mirrored); at 100 TB set a cap (a few
-    hundred) so candidate volume stays s-curve-governed.
+    The DEFAULT ``"auto"`` derives the cap from the corpus itself —
+    ``max(_AUTO_CAP_FLOOR, _AUTO_CAP_MULT × mean bucket width)``, pure
+    bigint arithmetic so the oracle mirrors it tie-free — and drops
+    band rows in wider buckets BEFORE the self-join: those passages
+    are mass duplicates the EXACT passage tier (passage_dedup_summary)
+    already accounts for at linear cost.  An int pins the cap
+    explicitly; ``None`` disables it (lossless all-pairs — bounded
+    corpora only).
+
+    ``materialize``: the default eagerly computes the (doc-pair-sized)
+    result, then releases the intermediate caches — repeated
+    invocations in one session must not accumulate executor storage
+    (the operators/dedup.py discipline).  ``materialize=False`` builds
+    the fully lazy plan (no caching, the shingle subtree is simply
+    evaluated per consumer) — the form the plan-gate tests inspect.
     """
-    psets = _passage_sets(docs).localCheckpoint(eager=True)
+    _persisted: list[DataFrame] = []
+
+    def _keep(df: DataFrame) -> DataFrame:
+        if materialize:
+            df = df.persist()
+            _persisted.append(df)
+        return df
+
+    psets = _keep(_passage_sets(docs))
 
     ex = psets.select("doc_id", "pi", F.explode("s").alias("sh"))
     hx = F.md5("sh")
@@ -169,21 +201,42 @@ def passage_neardup_doc_pairs(
         ]
     )
     mh = F.array(*[F.col(f"m{i}") for i in range(_P_HASHES)])
-    bands = sig.select(
-        "doc_id",
-        "pi",
-        F.explode(band_keys(mh, _P_HASHES, _P_BANDS)).alias("band"),
-    ).localCheckpoint(eager=True)
+    bands = _keep(
+        sig.select(
+            "doc_id",
+            "pi",
+            F.explode(band_keys(mh, _P_HASHES, _P_BANDS)).alias("band"),
+        )
+    )
 
     if max_bucket is not None:
-        # bucket widths are a band-keyed agg of the (tiny) band table;
+        # bucket widths are a band-keyed agg of the (small) band table;
         # the semi-join keeps only rows in buckets within the cap
-        ok = (
-            bands.groupBy("band")
-            .agg(F.count(F.lit(1)).alias("w"))
-            .filter(F.col("w") <= max_bucket)
-            .select("band")
-        )
+        bw = bands.groupBy("band").agg(F.count(F.lit(1)).alias("w"))
+        if max_bucket == "auto":
+            # cap = max(floor, mult × (Σw div nb)): one 1-ROW agg of bw
+            # broadcast back over the width table (the engine-wide
+            # 1-row-scalar pattern — linear, plan-gated at ≤1 BNLJ);
+            # guards keep the empty corpus NULL-free
+            stats = bw.agg(
+                F.greatest(
+                    F.lit(_AUTO_CAP_FLOOR).cast("long"),
+                    F.coalesce(
+                        F.lit(_AUTO_CAP_MULT)
+                        * F.expr(
+                            "sum(w) div greatest(count(1), 1L)"
+                        ).cast("long"),
+                        F.lit(_AUTO_CAP_FLOOR).cast("long"),
+                    ),
+                ).alias("cap")
+            )
+            ok = (
+                bw.crossJoin(F.broadcast(stats))
+                .filter(F.col("w") <= F.col("cap"))
+                .select("band")
+            )
+        else:
+            ok = bw.filter(F.col("w") <= max_bucket).select("band")
         bands = bands.join(ok, "band", "left_semi")
 
     a, b = bands.alias("a"), bands.alias("b")
@@ -224,16 +277,25 @@ def passage_neardup_doc_pairs(
         )
         .filter(F.col("jac") >= _P_JACCARD)
     )
-    return ver.groupBy("doc_a", "doc_b").agg(
+    out = ver.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_passage_pairs"),
         F.max("jac").alias("max_jaccard"),
     )
+    if materialize:
+        # materialize the doc-pair-sized result, then release the
+        # corpus-sized caches (localCheckpoint severs the lineage so
+        # the returned frame never re-reads them)
+        out = out.localCheckpoint(eager=True)
+        for df in _persisted:
+            df.unpersist()
+    return out
 
 
 def _passage_lsh_ctes() -> str:
     """Oracle CTE chain ending in ``__pver(doc_a, doc_b, jac)`` — the
     DuckDB twin of :func:`passage_neardup_doc_pairs` hash-for-hash
-    (same md5 words, universal-hash constants, band-key strings)."""
+    (same md5 words, universal-hash constants, band-key strings) INCL.
+    the default auto bucket cap (same all-integer derivation)."""
     consts = uh_constants(_P_HASHES)
     r = _P_HASHES // _P_BANDS
     sigs = ",\n         ".join(
@@ -273,10 +335,25 @@ __psig AS (
 __pbands AS (
   {band_sel}
 ),
+__pbw AS (
+  SELECT band, COUNT(*) AS w FROM __pbands GROUP BY band
+),
+__pcap AS (
+  SELECT greatest({_AUTO_CAP_FLOOR},
+                  COALESCE({_AUTO_CAP_MULT} * (CAST(SUM(w) AS BIGINT)
+                             // greatest(COUNT(*), 1)),
+                           {_AUTO_CAP_FLOOR})) AS cap
+  FROM __pbw
+),
+__pbf AS (
+  SELECT p.doc_id, p.pi, p.band
+  FROM __pbands p JOIN __pbw bw USING (band) CROSS JOIN __pcap c
+  WHERE bw.w <= c.cap
+),
 __pcand AS (
   SELECT DISTINCT a.doc_id AS doc_a, a.pi AS pi_a,
                   b.doc_id AS doc_b, b.pi AS pi_b
-  FROM __pbands a JOIN __pbands b
+  FROM __pbf a JOIN __pbf b
     ON a.band = b.band AND a.doc_id < b.doc_id
 ),
 __pver AS (
@@ -305,10 +382,12 @@ GROUP BY doc_a, doc_b
 """,
 )
 def passage_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document pairs sharing ≥1 NEAR-duplicate (but not exactly equal)
-    {_PW}-token passage, with the count of near-dup passage pairs and
-    the max exact shingle-Jaccard — partial-overlap / quote detection
-    between documents that are not document-level near-dups."""
+    """Document pairs sharing ≥1 duplicated 20-token passage (exact or
+    fuzzy, shingle-Jaccard ≥ 0.5), with the count of duplicated passage
+    pairs and the max Jaccard — partial-overlap / quote detection
+    between documents that are not document-level near-dups.  Runs the
+    default auto bucket cap (mirrored in the oracle), so mass-
+    boilerplate passages never reach the band join."""
     return passage_neardup_doc_pairs(load_table(spark, sf_dir, "documents"))
 
 
@@ -317,7 +396,7 @@ def passage_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _doc_grams(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, g) — md5 of each DISTINCT {_NG}-token shingle
+    """(doc_id, source, g) — md5 of each DISTINCT 8-token shingle
     per document.  Only 16-byte-hex hashes leave the row stage; gram
     text never shuffles."""
     t = docs.select("doc_id", "source", tokenize("text").alias("toks"))
@@ -363,8 +442,8 @@ GROUP BY gr.doc_id
 """,
 )
 def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document {_NG}-gram novelty: the fraction of the doc's
-    distinct {_NG}-grams whose FIRST corpus occurrence (min doc_id) is
+    """Per-document 8-gram novelty: the fraction of the doc's
+    distinct 8-grams whose FIRST corpus occurrence (min doc_id) is
     the doc itself — the memorization-risk / contribution score
     first-occurrence dedup pipelines attribute before sampling.
 
@@ -438,7 +517,7 @@ GROUP BY a.source, b.source
 """,
 )
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered-pair {_NG}-gram containment between sources:
+    """Ordered-pair 8-gram containment between sources:
     |grams(a) ∩ grams(b)| / |grams(a)| — the cross-dataset
     contamination matrix audited before mixing corpora (asymmetric:
     a small source quoted by a big one shows high containment from the
@@ -450,16 +529,20 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return overlap_matrix(load_table(spark, sf_dir, "documents"))
 
 
-def overlap_matrix(docs: DataFrame) -> DataFrame:
+def overlap_matrix(docs: DataFrame, materialize: bool = True) -> DataFrame:
     """Core of :func:`source_overlap_matrix` over any (doc_id, source,
     text) frame — separated so property tests can drive generated
-    corpora."""
-    sg = (
-        _doc_grams(docs)
-        .select("source", "g")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    corpora.
+
+    ``materialize`` (default): the distinct (source, gram) table is
+    persisted for its three consumers (totals + both join sides), the
+    n_sources²-bounded output is materialized, and the corpus-sized
+    cache released (the operators/dedup.py discipline — repeated
+    invocations must not accumulate executor storage).
+    ``materialize=False`` builds the fully lazy plan for plan gates."""
+    sg = _doc_grams(docs).select("source", "g").distinct()
+    if materialize:
+        sg = sg.persist()
     tot = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = sg.select(F.col("source").alias("source_a"), "g")
     b = sg.select(F.col("source").alias("source_b"), "g")
@@ -469,7 +552,7 @@ def overlap_matrix(docs: DataFrame) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
     )
-    return shared.join(
+    out = shared.join(
         F.broadcast(tot.select(F.col("source").alias("source_a"), "n_grams")),
         "source_a",
     ).select(
@@ -481,6 +564,10 @@ def overlap_matrix(docs: DataFrame) -> DataFrame:
             "containment"
         ),
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        sg.unpersist()
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -523,7 +610,7 @@ FROM __sig GROUP BY bucket
 def diversity_sample_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One representative embedding per RP-LSH sign-bucket: the
     index-free diversity downsample (keep one doc per semantic region;
-    {_DIV_PLANES} sign bits → ≤{2 ** _DIV_PLANES} regions).  The same
+    8 sign bits → ≤256 regions).  The same
     hyperplane family/seed as the ANN tier, so the bucket structure is
     consistent with the near-dup and top-k operators.
 

@@ -107,25 +107,28 @@ def test_passage_neardup_ignores_sub_window_tail(spark):
     assert passage_neardup_doc_pairs(_docs_frame(spark, rows)).count() == 0
 
 
-def test_passage_neardup_bucket_cap_drops_boilerplate_only(spark):
-    """max_bucket drops mass-duplicated passages from the candidate
-    step (the exact tier's job) while fuzzy low-multiplicity pairs
-    survive — and the capped result is a subset of the uncapped one."""
+def _boilerplate_corpus():
     boiler = _words(40, _PW)  # exact passage repeated in 30 docs
     base = _words(41, _PW)
     edited = list(base)
     edited[-1] = "qqqqq"
-    rows = [
+    return [
         (i, " ".join(boiler + _words(50 + i, _PW)), "en", "s0", 0)
         for i in range(30)
     ] + [
         (100, " ".join(base), "en", "s0", 0),
         (101, " ".join(edited), "en", "s0", 0),
     ]
-    docs = _docs_frame(spark, rows)
+
+
+def test_passage_neardup_bucket_cap_drops_boilerplate_only(spark):
+    """max_bucket drops mass-duplicated passages from the candidate
+    step (the exact tier's job) while fuzzy low-multiplicity pairs
+    survive — and the capped result is a subset of the uncapped one."""
+    docs = _docs_frame(spark, _boilerplate_corpus())
     full = {
         (r["doc_a"], r["doc_b"])
-        for r in passage_neardup_doc_pairs(docs).collect()
+        for r in passage_neardup_doc_pairs(docs, max_bucket=None).collect()
     }
     capped = {
         (r["doc_a"], r["doc_b"])
@@ -137,6 +140,38 @@ def test_passage_neardup_bucket_cap_drops_boilerplate_only(spark):
     assert len(full) >= 30 * 29 // 2
     # ...but the fuzzy low-multiplicity pair survives
     assert (100, 101) in capped
+
+
+def test_passage_neardup_auto_cap_is_scale_safe_default(spark):
+    """The DEFAULT (max_bucket='auto') derives a cap from the
+    bucket-width distribution: the 30-doc boilerplate clique (bucket
+    width 30 ≫ 8× mean width) is excluded without any tuning, while
+    the fuzzy low-multiplicity pair still pairs — the registered
+    query's 100 TB-safe behavior."""
+    docs = _docs_frame(spark, _boilerplate_corpus())
+    auto = {
+        (r["doc_a"], r["doc_b"])
+        for r in passage_neardup_doc_pairs(docs).collect()
+    }
+    assert not any(a < 30 and b < 30 for a, b in auto), auto
+    assert (100, 101) in auto
+
+
+def test_passage_neardup_auto_cap_floor_keeps_small_cliques(spark):
+    """Cliques at or below the cap floor (16) survive the auto cap:
+    a passage shared by 6 docs is NOT boilerplate-scale and all 15
+    pairs must be reported under the default."""
+    shared = _words(70, _PW)
+    rows = [
+        (i, " ".join(shared + _words(80 + i, _PW)), "en", "s0", 0)
+        for i in range(6)
+    ]
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in passage_neardup_doc_pairs(_docs_frame(spark, rows)).collect()
+    }
+    want = {(i, j) for i in range(6) for j in range(i + 1, 6)}
+    assert want <= got, want - got
 
 
 # --------------------------------------------------------------------------
@@ -268,20 +303,37 @@ def test_diversity_sample_buckets_reconstruct(spark, sf_dir):
 
 
 def test_curation_plans_no_cartesian(spark, sf_dir):
-    for name in (
-        "passage_neardup_pairs",
-        "doc_ngram_novelty",
-        "source_overlap_matrix",
-        "diversity_sample_lsh",
-    ):
-        plan = (
-            QUERIES[name](spark, sf_dir)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
+    """Registered passage_neardup_pairs / source_overlap_matrix return
+    a materialized (checkpointed) frame whose plan is just a scan, so
+    the gate inspects their LAZY cores (materialize=False) — the full
+    join tree, including the auto-cap constant-key broadcast join,
+    which must plan as a hash join, never a nested loop."""
+    docs = _docs_frame(
+        spark,
+        [(i, " ".join(_words(90 + i, 2 * _PW)), "en", f"s{i % 2}", 0) for i in range(4)],
+    )
+    lazy = {
+        # allowed=2: the auto-cap 1-ROW scalar broadcast over the width
+        # table (the engine-wide pattern, e.g. doc_lm_perplexity's vsz)
+        # appears once under each side of the band self-join
+        "passage_neardup_pairs(lazy)": (
+            passage_neardup_doc_pairs(docs, materialize=False),
+            2,
+        ),
+        "source_overlap_matrix(lazy)": (
+            overlap_matrix(docs, materialize=False),
+            0,
+        ),
+        "doc_ngram_novelty": (QUERIES["doc_ngram_novelty"](spark, sf_dir), 0),
+        "diversity_sample_lsh": (
+            QUERIES["diversity_sample_lsh"](spark, sf_dir),
+            0,
+        ),
+    }
+    for name, (df, allowed) in lazy.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= allowed, name
 
 
 def test_diversity_sample_is_single_shuffle(spark, sf_dir):
