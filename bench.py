@@ -96,17 +96,41 @@ def main() -> None:
     for name in BENCH_SET:
         QUERIES[name](spark, sf_dir).collect()
 
+    def _calibration() -> float:
+        """Fixed-cost host-speed probe: a deterministic in-memory
+        hash-agg over spark.range — zero I/O, identical work every
+        round, so its wall time moves ONLY with host conditions.
+        Cross-round BENCH ratios divide by this to separate plan
+        regressions from host drift (round-5 lesson: every untouched
+        query read +8-40% purely from host load)."""
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 50_000_000, 1, 32)
+            .selectExpr("(id * 2654435761) % 1024 AS k", "id % 97 AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    _calibration()  # warm the calibration plan itself
+    calib = round(min(_calibration() for _ in range(3)), 3)
+
     # min-of-3 measured runs: single-run noise on a shared box reached
-    # ±50% per query this round (host load outside our control), the
-    # min is the stable estimate of actual plan cost
+    # ±50% per query (host load outside our control); the min is the
+    # stable estimate of plan cost, the median + spread expose how
+    # noisy this particular run was
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in BENCH_SET:
-        best = float("inf")
+        runs = []
         for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        medians[name] = round(runs[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -116,6 +140,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "calibration_sec": calib,
                 "layout_prep_sec": layout_prep_sec,
                 "sf": sf,
             }

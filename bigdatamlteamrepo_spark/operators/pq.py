@@ -93,21 +93,34 @@ def pq_codebooks_kmeans(
     from pyspark.ml.functions import array_to_vector
 
     base = emb.select("vec_id", "embedding")
+    cached = None
     if sample_fraction is not None:
-        sampled = base.sample(
+        # cache the sample so the empty-probe and the m per-subspace
+        # fits share one materialization (the sample is fit-set-sized
+        # by construction — ~1e6 rows at 100 TB)
+        cached = base.sample(
             withReplacement=False, fraction=sample_fraction, seed=seed
-        )
+        ).persist()
         # a tiny corpus × tiny fraction can sample zero rows — MLlib
         # KMeans crashes on an empty fit; mirror the coarse-quantizer
         # guard in build_ivfpq_index / ivf cell fit: fall back to the
         # full frame, and clamp k to the fit-set size below.
-        base = sampled if sampled.limit(1).count() > 0 else base
-    n_fit = base.count()
-    if n_fit == 0:
+        n_cap = cached.limit(k).count()
+        if n_cap > 0:
+            base = cached
+        else:
+            cached.unpersist()
+            cached = None
+            n_cap = base.limit(k).count()
+    else:
+        # limit(k) early-terminates the scan: the only fact the clamp
+        # needs is min(|fit set|, k), never the full count
+        n_cap = base.limit(k).count()
+    if n_cap == 0:
         return emb.sparkSession.createDataFrame(
             [], "s int, center_id int, c_sub array<double>"
         )
-    k = min(k, n_fit)
+    k = min(k, n_cap)
     vs = _subspaces(base, "embedding", "vec_id", "v_sub", m, sub).withColumn(
         "__v", array_to_vector(F.col("v_sub").cast("array<double>"))
     )
@@ -119,6 +132,8 @@ def pq_codebooks_kmeans(
         ).fit(vs.filter(F.col("s") == s))
         for i, c in enumerate(model.clusterCenters()):
             rows.append((s, i, [float(x) for x in c]))
+    if cached is not None:
+        cached.unpersist()
     return emb.sparkSession.createDataFrame(rows, "s int, center_id int, c_sub array<double>")
 
 
