@@ -63,7 +63,7 @@ def build_training_corpus(
     from bigdatamlteamrepo_spark.operators.graph import connected_components
     from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
     from bigdatamlteamrepo_spark.queries.text_dedup import ngram_jaccard_pairs
-    from bigdatamlteamrepo_spark.queries.textmodel import doc_lm_perplexity
+    from bigdatamlteamrepo_spark.queries.textmodel import lm_perplexity_frame
     from bigdatamlteamrepo_spark.sources.shard_writer import write_training_shards
 
     docs = load_table(spark, sf_dir, "documents")
@@ -146,16 +146,11 @@ def build_training_corpus(
 
     # ---- stage 4: LM perplexity selection (head/middle terciles).
     # Train on the deduped survivors by default: build the LM frame
-    # from s3's text unless a precomputed one is passed in.
+    # from s35's text unless a precomputed one is passed in.
     if lm is None:
-        import tempfile
-
-        # doc_lm_perplexity is corpus-closed (reads sf_dir); project the
-        # survivor corpus through a temp table layout so the SAME
-        # registered plan scores it
-        tmp = tempfile.mkdtemp(prefix="corpus-lm-")
-        s35.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
-        lm = doc_lm_perplexity(spark, tmp)
+        # the SAME registered plan (queries/textmodel.doc_lm_perplexity)
+        # scores the survivor frame directly — no temp-table round-trip
+        lm = lm_perplexity_frame(s35.select("doc_id", "lang", "text"))
     keep_lm = lm.filter(F.col("ppl_tercile") <= 2).select("doc_id")
     selected = s35.join(keep_lm, "doc_id", "left_semi").localCheckpoint(
         eager=True

@@ -92,9 +92,15 @@ def _bigrams_sql(toks: str) -> str:
 # Bigram-LM perplexity (CCNet head/middle/tail).
 # --------------------------------------------------------------------------
 
-_LM_ORACLE = f"""
+def _lm_oracle_sql(rel: str = "documents") -> str:
+    """The bigram-LM perplexity oracle over any relation ``rel`` with
+    (doc_id, lang, text) — parameterized so capstones can score a
+    survivor CTE with the LM trained on the survivors themselves
+    (embed as ``(SELECT ... FROM ({_lm_oracle_sql('__cte')}))``; the
+    nested WITH scopes its names away from the caller's chain)."""
+    return f"""
 WITH t AS (
-  SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+  SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM {rel}
 ),
 bg AS (
   SELECT doc_id, lang, unnest({_bigrams_sql('toks')}) AS bigram
@@ -135,6 +141,9 @@ FROM agg
 """
 
 
+_LM_ORACLE = _lm_oracle_sql()
+
+
 @query("doc_lm_perplexity", bench=True, oracle=_LM_ORACLE)
 def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filter: an add-k bigram LM trained on the
@@ -152,7 +161,16 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The conditional ``p(y|x) = (c_xy + k) / (c_x + k·V)`` uses the
     corpus vocabulary size V — one broadcast scalar."""
-    docs = load_table(spark, sf_dir, "documents")
+    return lm_perplexity_frame(load_table(spark, sf_dir, "documents"))
+
+
+def lm_perplexity_frame(docs: DataFrame) -> DataFrame:
+    """Core of :func:`doc_lm_perplexity` over any (doc_id, lang, text)
+    frame: train the add-k bigram LM on ``docs`` itself and score every
+    document — separated so pipeline capstones can score POST-DEDUP
+    survivors with a survivor-trained LM (the CCNet caveat: training on
+    raw duplicated text biases the head toward boilerplate) without a
+    temp-table round-trip."""
     t = docs.select("doc_id", "lang", tokenize("text").alias("toks"))
     bg = (
         t.filter(F.size("toks") >= 2)
@@ -668,6 +686,178 @@ def training_corpus_selection(
             .alias("tokens_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end corpus-build capstone: the full pipelines.build_training_
+# corpus decision chain (Gopher gate → exact dedup → near-dup dedup →
+# survivor-trained LM selection) as ONE oracle-paired per-source
+# accounting query — the driver row for the composed pipeline, not
+# just its pieces.
+# --------------------------------------------------------------------------
+
+
+def _corpus_build_oracle() -> str:
+    from bigdatamlteamrepo_spark.queries.text_dedup import (
+        _JAC_SQL,
+        _JACCARD_MIN,
+        lsh_pairs_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE
+__cbg AS ({_gopher_doc_sql()}),
+__cs1 AS (SELECT doc_id FROM __cbg WHERE pass_gopher = 1),
+__cs2 AS (
+  SELECT MIN(d.doc_id) AS doc_id
+  FROM documents d JOIN __cs1 USING (doc_id)
+  GROUP BY d.lang, md5(d.text)
+),
+{lsh_pairs_ctes()},
+__sets AS (SELECT doc_id, list_distinct(sh) AS s FROM __sh),
+__ver AS (
+  SELECT p.doc_a, p.doc_b
+  FROM __lsh_pairs p
+  JOIN __sets a ON a.doc_id = p.doc_a
+  JOIN __sets b ON b.doc_id = p.doc_b
+  WHERE {_JAC_SQL} >= {_JACCARD_MIN}
+),
+__edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM __ver
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM __ver
+),
+__reach AS (
+  SELECT src, dst FROM __edges
+  UNION
+  SELECT r.src, e.dst FROM __reach r JOIN __edges e ON r.dst = e.src
+),
+__rep AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep FROM __reach GROUP BY src
+),
+__creps AS (
+  SELECT MIN(r.doc_id) AS doc_id
+  FROM __rep r JOIN __cs2 s USING (doc_id)
+  GROUP BY r.rep
+),
+__cs3 AS (
+  SELECT s.doc_id FROM __cs2 s LEFT JOIN __rep r USING (doc_id)
+  WHERE r.doc_id IS NULL
+  UNION ALL
+  SELECT doc_id FROM __creps
+),
+__cs3d AS (
+  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN __cs3 USING (doc_id)
+),
+__clm AS (
+  SELECT doc_id, ppl_tercile FROM ({_lm_oracle_sql("__cs3d")})
+),
+__csel AS (
+  SELECT s.doc_id FROM __cs3 s LEFT JOIN __clm l USING (doc_id)
+  WHERE COALESCE(l.ppl_tercile, 3) <= 2
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(SUM(CASE WHEN s1.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
+       CAST(SUM(CASE WHEN s2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN s3.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+       CAST(SUM(CASE WHEN sel.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN sel.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS chars_shipped
+FROM documents d
+LEFT JOIN __cs1 s1 ON s1.doc_id = d.doc_id
+LEFT JOIN __cs2 s2 ON s2.doc_id = d.doc_id
+LEFT JOIN __cs3 s3 ON s3.doc_id = d.doc_id
+LEFT JOIN __csel sel ON sel.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@query("corpus_build_summary", oracle=_corpus_build_oracle())
+def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of the END-TO-END training-corpus build
+    (pipelines.build_training_corpus without the shard write): input →
+    Gopher survivors → exact-dedup keepers (min doc_id per (lang,
+    md5(text))) → near-dup keepers (LSH→verify→connected components,
+    representative chosen AMONG survivors) → LM-selected docs (bigram
+    LM trained on the DEDUPED survivors, tercile ≤ 2) → shipped char
+    mass.
+
+    Plan: every stage is a doc_id presence set glued by hash semi/anti
+    joins; the accounting is ONE pass over documents with four
+    presence-flag left joins and a per-source conditional rollup — no
+    stage is re-aggregated per metric.  Stage frames are persisted
+    while the (per-source-sized) report materializes, then released
+    (the operators/dedup.py discipline).  At 100 TB each arrow keeps
+    the scale shape its registered per-stage query proves; the LM
+    trains on survivors (the CCNet caveat: training on raw duplicated
+    text biases the perplexity head toward boilerplate)."""
+    from bigdatamlteamrepo_spark.operators.graph import connected_components
+    from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
+    from bigdatamlteamrepo_spark.queries.text_dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_rule_flags(docs, "doc_id")
+    s1 = flags.filter(
+        (
+            F.col("f_words")
+            + F.col("f_mwl")
+            + F.col("f_alpha")
+            + F.col("f_stop")
+            + F.col("f_longword")
+        )
+        == 0
+    ).select("doc_id").persist()
+    s2 = (
+        docs.join(s1, "doc_id", "left_semi")
+        .groupBy("lang", F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .persist()
+    )
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    clustered = labels.select(F.col("node").alias("doc_id"))
+    reps = (
+        labels.join(
+            s2.select(F.col("doc_id").alias("node")), "node", "left_semi"
+        )
+        .groupBy("component")
+        .agg(F.min("node").alias("doc_id"))
+        .select("doc_id")
+    )
+    s3 = (
+        s2.join(clustered, "doc_id", "left_anti")
+        .unionByName(s2.join(reps, "doc_id", "left_semi"))
+        .persist()
+    )
+    lm = lm_perplexity_frame(
+        docs.join(s3, "doc_id", "left_semi").select("doc_id", "lang", "text")
+    ).select("doc_id", "ppl_tercile")
+    sel = (
+        s3.join(lm, "doc_id", "left")
+        .filter(F.coalesce(F.col("ppl_tercile"), F.lit(3)) <= 2)
+        .select("doc_id")
+        .persist()
+    )
+    stages = {"s1": s1, "s2": s2, "s3": s3, "sel": sel}
+    base = docs.select("doc_id", "source", "n_chars")
+    for name, frame in stages.items():
+        base = base.join(
+            frame.withColumn(f"__{name}", F.lit(1)), "doc_id", "left"
+        )
+    report = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_input"),
+        F.sum(F.coalesce("__s1", F.lit(0))).cast("bigint").alias("n_gopher"),
+        F.sum(F.coalesce("__s2", F.lit(0))).cast("bigint").alias("n_exact"),
+        F.sum(F.coalesce("__s3", F.lit(0))).cast("bigint").alias("n_neardup"),
+        F.sum(F.coalesce("__sel", F.lit(0))).cast("bigint").alias("n_selected"),
+        F.sum(F.when(F.col("__sel") == 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_shipped"),
+    ).localCheckpoint(eager=True)
+    for frame in stages.values():
+        frame.unpersist()
+    return report
 
 
 # --------------------------------------------------------------------------
