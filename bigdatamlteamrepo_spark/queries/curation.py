@@ -62,6 +62,7 @@ from bigdatamlteamrepo_spark.functions.text import (
     tokenize,
     uh_constants,
 )
+from bigdatamlteamrepo_spark.operators.sketches import POW60
 from bigdatamlteamrepo_spark.queries.registry import query
 from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
 
@@ -567,6 +568,195 @@ def overlap_matrix(docs: DataFrame, materialize: bool = True) -> DataFrame:
     if materialize:
         out = out.localCheckpoint(eager=True)
         sg.unpersist()
+    return out
+
+
+# --------------------------------------------------------------------------
+# source_overlap_kmv — the sketch tier of the containment audit.
+# --------------------------------------------------------------------------
+
+#: bottom-k size for the per-source gram sketch: rsd ≈ 1/√k ≈ 6% per
+#: cardinality, ~9% for the containment ratio (bound pinned in tests)
+_OVK_K = 256
+#: pre-filter oversampling factor (the doc_stratified_sample cutoff
+#: discipline): keep hashes below ~SAFETY·k/n of the hash range, so the
+#: per-source bottom-k window sorts O(k) rows, not the full gram set.
+#: The cutoff is PART OF THE SKETCH DEFINITION and mirrored in the
+#: oracle, so parity is exact by construction.
+_OVK_SAFETY = 4
+
+
+@query(
+    "source_overlap_kmv",
+    oracle=f"""
+WITH {_GRAMS_CTE},
+__sgh AS (SELECT DISTINCT source, ('0x' || substr(g, 1, 15))::BIGINT AS h FROM __g),
+__n AS (SELECT source, COUNT(*) AS n FROM __sgh GROUP BY source),
+__pref AS (
+  SELECT s.source, s.h
+  FROM __sgh s JOIN __n n USING (source)
+  WHERE s.h < CASE WHEN n.n <= {_OVK_SAFETY * _OVK_K} THEN {POW60}
+                   ELSE ({POW60} // n.n) * {_OVK_SAFETY * _OVK_K} END
+),
+__rk AS (
+  SELECT source, h,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM __pref
+),
+__bk AS (SELECT source, h FROM __rk WHERE rn <= {_OVK_K}),
+__th AS (
+  SELECT b.source,
+         CASE WHEN n.n > {_OVK_K} THEN MAX(b.h) ELSE {POW60} END AS theta,
+         MAX(b.h) AS kth, COUNT(*) AS n_kept
+  FROM __bk b JOIN __n n USING (source) GROUP BY b.source, n.n
+),
+__cnt AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         ANY_VALUE(LEAST(ta.theta, tb.theta)) AS th
+  FROM __bk a
+  JOIN __bk b ON a.h = b.h AND a.source <> b.source
+  JOIN __th ta ON ta.source = a.source
+  JOIN __th tb ON tb.source = b.source
+  WHERE a.h < LEAST(ta.theta, tb.theta)
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b, n_common, est_shared,
+       round(est_shared / est_a, 6) AS est_containment
+FROM (
+  SELECT c.source_a, c.source_b, c.n_common,
+         round(CAST(c.n_common AS DOUBLE) * {float(POW60)!r}
+               / CAST(c.th AS DOUBLE), 6) AS est_shared,
+         round(CASE WHEN t.n_kept >= {_OVK_K}
+                    THEN {float(_OVK_K - 1)!r} * {float(POW60)!r}
+                         / CAST(t.kth AS DOUBLE)
+                    ELSE CAST(t.n_kept AS DOUBLE) END, 6) AS est_a
+  FROM __cnt c JOIN __th t ON t.source = c.source_a
+)
+""",
+)
+def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-tier twin of :func:`source_overlap_matrix`: estimate the
+    pairwise 8-gram containment |grams(a) ∩ grams(b)| / |grams(a)| from
+    per-source bottom-256 KMV/theta sketches instead of joining every
+    distinct (source, gram) row.
+
+    Below the shared threshold θ = min(θ_a, θ_b) both sketches are
+    uniform samples of their gram sets, so |common hashes < θ|·2^60/θ
+    estimates the true intersection (theta-sketch intersection) and the
+    KMV estimate (k−1)·2^60/h₍ₖ₎ the per-source cardinality; their
+    ratio is the containment.  At 100 TB this replaces the exact
+    matrix's distinct-(source, gram) self-join — whose shuffle carries
+    every distinct gram in the corpus — with one distinct pass + a
+    cutoff pre-filter (bottom-k of a uniform hash lies below
+    ~SAFETY·k/n of the range — the doc_stratified_sample discipline,
+    cutoff mirrored in the oracle) + an n_sources·k-row sketch join.
+    Run the exact matrix only on the pairs this audit flags."""
+    emb_docs = load_table(spark, sf_dir, "documents")
+    return overlap_kmv(emb_docs)
+
+
+def overlap_kmv(docs: DataFrame, materialize: bool = True) -> DataFrame:
+    """Core of :func:`source_overlap_kmv` over any (doc_id, source,
+    text) frame — separated so the error-bound tests can drive
+    generated corpora (``materialize`` as in :func:`overlap_matrix`)."""
+    from pyspark.sql import Window
+
+    sgh = (
+        _doc_grams(docs)
+        .select(
+            "source",
+            F.conv(F.substring("g", 1, 15), 16, 10).cast("long").alias("h"),
+        )
+        .distinct()
+    )
+    if materialize:
+        sgh = sgh.persist()
+    n = sgh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    cutoff = F.when(
+        F.col("n") <= _OVK_SAFETY * _OVK_K, F.lit(POW60).cast("long")
+    ).otherwise(
+        F.expr(f"({POW60}L div n) * {_OVK_SAFETY * _OVK_K}L")
+    )
+    pref = sgh.join(F.broadcast(n), "source").filter(F.col("h") < cutoff)
+    w = Window.partitionBy("source").orderBy("h")
+    bk = (
+        pref.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _OVK_K)
+        .select("source", "h")
+    )
+    th = (
+        bk.groupBy("source")
+        .agg(F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_kept"))
+        .join(F.broadcast(n), "source")
+        .select(
+            "source",
+            F.when(F.col("n") > _OVK_K, F.col("kth"))
+            .otherwise(F.lit(POW60).cast("long"))
+            .alias("theta"),
+            "kth",
+            "n_kept",
+        )
+    )
+    a = bk.select(F.col("source").alias("source_a"), "h")
+    b = bk.select(F.col("source").alias("source_b"), "h")
+    ta = th.select(
+        F.col("source").alias("source_a"),
+        F.col("theta").alias("theta_a"),
+        F.col("kth").alias("kth_a"),
+        F.col("n_kept").alias("n_kept_a"),
+    )
+    tb = th.select(
+        F.col("source").alias("source_b"), F.col("theta").alias("theta_b")
+    )
+    least_th = F.least("theta_a", "theta_b")
+    cnt = (
+        a.join(b, "h")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .filter(F.col("h") < least_th)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.first(least_th).alias("th"),
+            F.first("kth_a").alias("kth_a"),
+            F.first("n_kept_a").alias("n_kept_a"),
+        )
+    )
+    est_shared = F.round(
+        F.col("n_common").cast("double")
+        * F.lit(float(POW60))
+        / F.col("th").cast("double"),
+        6,
+    )
+    est_a = F.round(
+        F.when(
+            F.col("n_kept_a") >= _OVK_K,
+            F.lit(float(_OVK_K - 1))
+            * F.lit(float(POW60))
+            / F.col("kth_a").cast("double"),
+        ).otherwise(F.col("n_kept_a").cast("double")),
+        6,
+    )
+    out = cnt.select(
+        "source_a",
+        "source_b",
+        "n_common",
+        est_shared.alias("est_shared"),
+        est_a.alias("est_a"),
+    ).select(
+        "source_a",
+        "source_b",
+        "n_common",
+        "est_shared",
+        F.round(F.col("est_shared") / F.col("est_a"), 6).alias(
+            "est_containment"
+        ),
+    )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        sgh.unpersist()
     return out
 
 

@@ -261,6 +261,83 @@ def test_overlap_matrix_is_asymmetric(spark):
 
 
 # --------------------------------------------------------------------------
+# source_overlap_kmv: sketch estimate vs the exact matrix
+# --------------------------------------------------------------------------
+
+
+def test_overlap_kmv_exact_when_sketch_holds_all(spark):
+    """With fewer than k distinct grams per source the bottom-k sketch
+    IS the gram set: every estimate must equal the exact matrix value
+    (theta = full range, counts exact)."""
+    from bigdatamlteamrepo_spark.queries.curation import overlap_kmv
+
+    rows = _random_corpus(6)  # tiny vocab → far fewer than 256 grams
+    exact = {
+        (r["source_a"], r["source_b"]): (r["n_shared"], r["containment"])
+        for r in overlap_matrix(_docs_frame(spark, rows)).collect()
+    }
+    est = {
+        (r["source_a"], r["source_b"]): (r["n_common"], r["est_containment"])
+        for r in overlap_kmv(_docs_frame(spark, rows)).collect()
+    }
+    assert set(est) == set(exact)
+    for pair, (n_common, cont) in est.items():
+        assert n_common == exact[pair][0], pair
+        assert abs(cont - exact[pair][1]) < 1e-6, pair
+
+
+def test_overlap_kmv_error_bound_in_estimation_regime(spark):
+    """Sources with thousands of distinct 8-grams (≫ k=256): the
+    containment estimate must land within the theta-sketch error bound
+    of the exact value.  rsd of each cardinality ≈ 1/√k ≈ 6.3%, of the
+    ratio ≈ 9% — assert a 3σ-ish absolute bound of 0.2 plus a mean
+    bound of 0.05 across pairs (the corpus is fixed, so this is a
+    deterministic regression pin, not a flaky statistical test)."""
+    import random
+
+    from bigdatamlteamrepo_spark.queries.curation import overlap_kmv
+
+    rng = random.Random(11)
+    # 3 sources over a shared 400-word vocab → tens of thousands of
+    # distinct 8-grams each, with real cross-source overlap from shared
+    # passages
+    vocab = _words(60, 400)
+    shared_passages = [
+        " ".join(rng.choice(vocab) for _ in range(60)) for _ in range(40)
+    ]
+    rows = []
+    did = 0
+    for s in range(3):
+        for _ in range(120):
+            own = " ".join(rng.choice(vocab) for _ in range(40))
+            parts = [own]
+            # each doc quotes a couple of shared passages with
+            # source-dependent probability → asymmetric containment
+            for p in shared_passages:
+                if rng.random() < 0.15 * (s + 1):
+                    parts.append(p)
+            rows.append((did, " ".join(parts), "en", f"s{s}", 0))
+            did += 1
+    docs = _docs_frame(spark, rows)
+    exact = {
+        (r["source_a"], r["source_b"]): r["containment"]
+        for r in overlap_matrix(docs).collect()
+    }
+    est = {
+        (r["source_a"], r["source_b"]): r["est_containment"]
+        for r in overlap_kmv(docs).collect()
+    }
+    # every exact-overlapping pair must be estimated (shared mass is
+    # far above the sketch floor here)
+    assert set(exact) == set(est), (set(exact) ^ set(est))
+    errs = [abs(est[p] - exact[p]) for p in exact]
+    assert max(errs) <= 0.2, sorted(
+        (abs(est[p] - exact[p]), p) for p in exact
+    )[-3:]
+    assert sum(errs) / len(errs) <= 0.05, errs
+
+
+# --------------------------------------------------------------------------
 # diversity_sample_lsh bucket reconstruction
 # --------------------------------------------------------------------------
 

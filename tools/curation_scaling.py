@@ -31,6 +31,7 @@ def main() -> None:
 
     from bigdatamlteamrepo_spark.queries.curation import (
         ngram_novelty,
+        overlap_kmv,
         overlap_matrix,
         passage_neardup_doc_pairs,
     )
@@ -41,8 +42,8 @@ def main() -> None:
     )
     passage_neardup_doc_pairs(warm).count()
 
-    print("| docs | auto s (pairs) | uncapped s (pairs) | cap=20 s (pairs) | novelty s | overlap s |")
-    print("|---|---|---|---|---|---|")
+    print("| docs | auto s (pairs) | uncapped s (pairs) | cap=20 s (pairs) | novelty s | overlap s | overlap-kmv s |")
+    print("|---|---|---|---|---|---|---|")
     for n in SIZES:
         docs = spark.read.parquet(
             os.path.join(corpus_dir(spark, n), "documents.parquet")
@@ -57,6 +58,9 @@ def main() -> None:
         cells.append(f"{time.time() - t0:.2f}")
         t0 = time.time()
         overlap_matrix(docs).count()
+        cells.append(f"{time.time() - t0:.2f}")
+        t0 = time.time()
+        overlap_kmv(docs).count()
         cells.append(f"{time.time() - t0:.2f}")
         print("| " + " | ".join(cells) + " |", flush=True)
     spark.stop()
