@@ -444,6 +444,67 @@ def build_ivfpq_index(
     )
 
 
+def semdedup_from_index(
+    spark,
+    index_dir: str,
+    threshold: float,
+    labels: DataFrame,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) driven by a PERSISTED IVF-PQ index
+    (:func:`build_ivfpq_index`): candidate pairs are WITHIN-CELL pairs
+    of the index's ``vectors/`` layout — the paper's own algorithm,
+    where the coarse quantizer bounds the pairwise stage to
+    Σ|cell|²/2 instead of n²/2 — verified by exact cosine, clustered by
+    connected components, reported per label.
+
+    At 100 TB this is the composition a production dedup runs: the
+    index is built ONCE (sampled KMeans fits), each ``cell=<k>/``
+    directory is an independent pairwise unit (partition-pruned scan,
+    embarrassingly parallel across cells), and ``n_cells`` is the
+    recall/cost knob — more cells mean cheaper cells but more
+    cross-cell near-dup pairs missed (recall pinned vs the exact
+    operator in tests/test_ann_dedup.py).
+
+    ``labels``: (vec_id, label) frame for the per-label rollup (kept
+    separate — the index stores geometry, not metadata)."""
+    from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity
+    from bigdatamlteamrepo_spark.operators.graph import connected_components
+
+    vecs = spark.read.parquet(index_dir + "/vectors")
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cell"
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(
+        pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
+    )
+    merged = labels.join(
+        comp.select(F.col("node").alias("vec_id"), "component"),
+        "vec_id",
+        "left",
+    ).withColumn("rep", F.coalesce("component", "vec_id"))
+    return merged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("vec_id") == F.col("rep")).cast("long")).alias("n_kept"),
+        F.sum((F.col("vec_id") != F.col("rep")).cast("long")).alias(
+            "n_removed"
+        ),
+    )
+
+
 def ivfpq_index_topk(
     spark,
     index_dir: str,

@@ -144,6 +144,149 @@ def embedding_semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: coarse-quantizer size for the ANN SemDeDup variant: first-16 corpus
+#: vectors as deterministic Voronoi anchors (the ann_voronoi_topk
+#: quantizer — data-defined, so the whole capstone stays oracle-paired)
+_SEM_ANCHORS = 16
+
+_SEM_ACOS = (
+    f"({dot_expr('e.embedding', 'a.a_emb')} / "
+    f"({norm_expr('e.embedding')} * {norm_expr('a.a_emb')}))"
+)
+_SEM_PCOS = (
+    f"({dot_expr('a.v_emb', 'b.v_emb')} / "
+    f"({norm_expr('a.v_emb')} * {norm_expr('b.v_emb')}))"
+)
+
+
+@query(
+    "embedding_semdedup_ann_summary",
+    oracle=f"""
+WITH RECURSIVE
+__anchors AS (
+  SELECT vec_id AS cell, embedding AS a_emb FROM embeddings
+  WHERE vec_id < {_SEM_ANCHORS}
+),
+__asim AS (
+  SELECT e.vec_id, e.embedding AS v_emb, a.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY ({_SEM_ACOS}) DESC, a.cell) AS r
+  FROM embeddings e CROSS JOIN __anchors a
+),
+__assigned AS (SELECT vec_id, v_emb, cell FROM __asim WHERE r = 1),
+__pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM __assigned a JOIN __assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_SEM_PCOS} >= {_NEARDUP_THRESHOLD}
+),
+__edges AS (
+  SELECT id_a AS src, id_b AS dst FROM __pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM __pairs
+),
+__reach AS (
+  SELECT src, dst FROM __edges
+  UNION
+  SELECT r.src, e.dst FROM __reach r JOIN __edges e ON r.dst = e.src
+),
+__rep AS (
+  SELECT src AS vec_id, LEAST(src, MIN(dst)) AS rep FROM __reach GROUP BY src
+),
+__m AS (
+  SELECT emb.label, emb.vec_id, COALESCE(r.rep, emb.vec_id) AS rep
+  FROM embeddings emb LEFT JOIN __rep r ON r.vec_id = emb.vec_id
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN vec_id = rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN vec_id <> rep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM __m GROUP BY label
+""",
+)
+def embedding_semdedup_ann_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as Abbas et al. actually run it: candidate pairs are
+    WITHIN-CELL pairs of a coarse quantizer (here the deterministic
+    first-16-anchor Voronoi assignment of ann_voronoi_topk, so the
+    whole capstone — assignment, pairs, components, rollup — stays
+    oracle-paired), then exact-cosine verify → connected components →
+    per-label kept/removed.
+
+    This is the 100 TB candidate stage the EXACT capstone
+    (embedding_semdedup_summary) replaces with lossless blocking: the
+    pairwise cost drops from n²/2 to Σ|cell|²/2 at the price of
+    missing cross-cell pairs (recall vs the exact operator pinned in
+    tests/test_ann_dedup.py; n_cells is the recall/cost knob — Abbas
+    et al. use 50k clusters at LAION scale).  The persisted-index
+    composition (operators/pq.semdedup_from_index over
+    build_ivfpq_index's cell-partitioned ``vectors/`` layout) runs the
+    SAME pair stage per ``cell=`` directory, partition-pruned and
+    embarrassingly parallel."""
+    from bigdatamlteamrepo_spark.operators.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = semdedup_voronoi_pairs(emb).select("id_a", "id_b")
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    merged = emb.select("vec_id", "label").join(
+        comp.select(F.col("node").alias("vec_id"), "component"),
+        "vec_id",
+        "left",
+    ).withColumn("rep", F.coalesce("component", "vec_id"))
+    return merged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("vec_id") == F.col("rep")).cast("long")).alias("n_kept"),
+        F.sum((F.col("vec_id") != F.col("rep")).cast("long")).alias("n_removed"),
+    )
+
+
+def semdedup_voronoi_pairs(
+    emb: DataFrame,
+    n_anchors: int = _SEM_ANCHORS,
+    threshold: float = _NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """(id_a, id_b, cosine_sim) — within-Voronoi-cell cosine ≥ t pairs.
+
+    Assignment is a broadcast cross join against the n_anchors-row
+    anchor table collapsed by a max_by hash-agg (map-side combine —
+    the PQ-encode discipline; no per-key window sort), mirrored in SQL
+    by the equivalent top-1 window.  The pair stage joins the assigned
+    corpus to itself ON CELL — the shuffle key a 100 TB run bucketing
+    ``vectors/`` by cell avoids entirely."""
+    anchors = emb.filter(F.col("vec_id") < n_anchors).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("a_emb")
+    )
+    asim = cosine_similarity(F.col("c_emb"), F.col("a_emb"))
+    assigned = (
+        emb.select(F.col("vec_id"), F.col("embedding").alias("c_emb"))
+        .crossJoin(F.broadcast(anchors))
+        .select("vec_id", "c_emb", "cell", asim.alias("a_sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.first("c_emb").alias("v_emb"),
+            F.expr(
+                "max_by(cell, struct(a_sim, -cell))"
+            ).alias("cell"),
+        )
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("id_a"), F.col("v_emb").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("id_b"), F.col("v_emb").alias("vb"), "cell"
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def _rp_lsh_ctes() -> str:
     """Oracle CTE chain ending in ``__cand(id_a, id_b)`` — the DuckDB
     twin of :func:`rp_band_candidate_pairs` with identical literal

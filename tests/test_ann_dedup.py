@@ -221,3 +221,88 @@ def test_ivf_persisted_matches_inmemory(spark, clustered_emb, tmp_path):
     a = {(r.query_id, r.neighbor_id, r.rank) for r in mem.collect()}
     b = {(r.query_id, r.neighbor_id, r.rank) for r in per.collect()}
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# SemDeDup via ANN candidate stages (voronoi cells / persisted IVF-PQ
+# index): recall vs the exact pair operator + refinement property.
+# --------------------------------------------------------------------------
+
+
+def _exact_pairs(emb, threshold):
+    from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_similarity(F.col("va"), F.col("vb")).alias("c")
+        )
+        .filter(F.col("c") >= threshold)
+        .collect()
+    }
+
+
+def test_semdedup_voronoi_recall_on_clusters(spark, clustered_emb):
+    """With cell granularity matching the semantic structure (6 anchors
+    over 6 tight clusters), every true near-dup pair (cos >= 0.9 ==
+    intra-cluster here) is within-cell: recall 1.0 — the SemDeDup
+    premise that near-identical vectors share a coarse cell."""
+    from bigdatamlteamrepo_spark.queries.extensions import semdedup_voronoi_pairs
+
+    exact = _exact_pairs(clustered_emb, 0.9)
+    assert len(exact) > 1000  # 6 cliques of 50 -> 7350 pairs
+    ann = {
+        (r.id_a, r.id_b)
+        for r in semdedup_voronoi_pairs(
+            clustered_emb, n_anchors=6, threshold=0.9
+        ).collect()
+    }
+    assert exact <= ann and ann <= exact  # recall AND precision 1.0
+
+
+def test_semdedup_from_index_collapses_clusters(spark, clustered_emb, tmp_path):
+    """Persisted-index composition: 6-cell IVF-PQ index -> within-cell
+    pairs at cos >= 0.9 -> components.  Each tight cluster is a clique
+    in one cell, so every label keeps exactly 1 representative."""
+    from bigdatamlteamrepo_spark.operators.pq import (
+        build_ivfpq_index,
+        semdedup_from_index,
+    )
+
+    idx = str(tmp_path / "ivfpq-sem")
+    # dim-32 fixture -> 4 subspaces of 8 (the engine default assumes
+    # the driver corpus's dim 64)
+    build_ivfpq_index(clustered_emb, idx, n_cells=6, sub=8, seed=42)
+    summ = {
+        r.label: (r.n_vecs, r.n_kept, r.n_removed)
+        for r in semdedup_from_index(
+            spark, idx, 0.9, clustered_emb.select("vec_id", "label")
+        ).collect()
+    }
+    assert set(summ) == set(range(6))
+    for label, (n_vecs, n_kept, n_removed) in summ.items():
+        assert (n_vecs, n_kept, n_removed) == (50, 1, 49), (label, summ[label])
+
+
+def test_semdedup_ann_is_refinement_of_exact(spark, sf_dir):
+    """On the ADVERSARIAL near-uniform driver corpus (threshold pairs
+    ~70 degrees apart — the case where no coarse quantizer can be
+    complete), the ANN variant's pairs must still be a SUBSET of the
+    exact operator's (within-cell + same verify => no false pairs), so
+    its components refine the exact ones and it never removes MORE:
+    total kept_ann >= kept_exact."""
+    from bigdatamlteamrepo_spark.queries import QUERIES
+
+    ann = {
+        r.label: (r.n_kept, r.n_removed)
+        for r in QUERIES["embedding_semdedup_ann_summary"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.label: (r.n_kept, r.n_removed)
+        for r in QUERIES["embedding_semdedup_summary"](spark, sf_dir).collect()
+    }
+    assert set(ann) == set(exact)
+    assert sum(k for k, _ in ann.values()) >= sum(k for k, _ in exact.values())
