@@ -148,8 +148,10 @@ def hll_alpha(m: int) -> float:
     return _HLL_ALPHAS.get(m, 0.7213 / (1.0 + 1.079 / m))
 
 
-def hll_agg_exprs(h: Column, p: int) -> list[Column]:
-    """One conditional MAX(rank) aggregate per register (r0..r{2^p-1})."""
+def hll_agg_exprs(h: Column, p: int, prefix: str = "r") -> list[Column]:
+    """One conditional MAX(rank) aggregate per register
+    ({prefix}0..{prefix}{2^p-1}); ``prefix`` lets several sketches
+    (e.g. one per profiled column) share a single wide aggregation."""
     m = 1 << p
     low = 60 - p
     max_rank = low + 1
@@ -157,20 +159,23 @@ def hll_agg_exprs(h: Column, p: int) -> list[Column]:
     w = h % F.lit(1 << low)
     bitlen = F.length(F.conv(w, 10, 2))
     rank = F.when(w == 0, F.lit(max_rank)).otherwise(F.lit(max_rank) - bitlen)
-    return [F.max(F.when(reg == j, rank)).alias(f"r{j}") for j in range(m)]
+    return [
+        F.max(F.when(reg == j, rank)).alias(f"{prefix}{j}") for j in range(m)
+    ]
 
 
-def hll_agg_finalize(p: int) -> Column:
-    """Estimate from the r0..r{2^p-1} columns (NULL register = empty).
-    Same exact-integer harmonic sum (scaled 2^(low+1)) and linear-
-    counting correction as the two-pass form; rounded to 6 decimals."""
+def hll_agg_finalize(p: int, prefix: str = "r") -> Column:
+    """Estimate from the {prefix}0..{prefix}{2^p-1} columns (NULL
+    register = empty).  Same exact-integer harmonic sum (scaled
+    2^(low+1)) and linear-counting correction as the two-pass form;
+    rounded to 6 decimals."""
     m = 1 << p
     max_rank = 60 - p + 1
     term0 = 1 << max_rank
     s: Column = F.lit(0).cast("long")
     zeros: Column = F.lit(0)
     for j in range(m):
-        r = F.col(f"r{j}")
+        r = F.col(f"{prefix}{j}")
         s = s + F.coalesce(
             F.pow(F.lit(2.0), F.lit(max_rank) - r).cast("long"), F.lit(term0)
         )

@@ -19,14 +19,43 @@ from pyspark.sql import functions as F
 _MOMENT_SCALE = 1_000_000
 
 
-def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+#: register-count exponent for the approx-NDV ANALYZE path: 2^6 = 64
+#: registers per column → rsd ≈ 1.04/√64 ≈ 13%, the CBO regime (stats
+#: need join-size ORDERING, not exact counts); 64 conditional-MAX aggs
+#: per column keeps a whole-catalog sweep inside one codegen'd stage
+ANALYZE_HLL_P = 6
+
+
+def column_stats(
+    df: DataFrame, cols: Sequence[str], approx_ndv: bool = False
+) -> DataFrame:
     """(column_name, n_rows, ndv, n_nulls, min_value, max_value) per
     profiled column, min/max stringified so every type shares one
-    schema.  One wide aggregation + a metadata-sized unpivot."""
+    schema.  One wide aggregation + a metadata-sized unpivot.
+
+    ``approx_ndv``: replace each exact ``countDistinct`` with the
+    portable HLL register sketch (operators/sketches.hll_agg_exprs,
+    p=:data:`ANALYZE_HLL_P`).  countDistinct is the one expression in
+    this ANALYZE that does NOT map-side-collapse — at 100 TB it
+    partially shuffles each profiled column's distinct values, while
+    the HLL path keeps the whole profile a single-pass agg whose state
+    is 64 small ints per column regardless of cardinality.  Error
+    bound (rsd ≈ 13%) pinned vs exact in tests/test_sketches.py."""
+    from bigdatamlteamrepo_spark.operators.sketches import (
+        h60,
+        hll_agg_exprs,
+        hll_agg_finalize,
+    )
+
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for i, c in enumerate(cols):
+        if approx_ndv:
+            # NULLs must not feed the sketch (countDistinct skips them);
+            # h60 of a NULL is NULL, which the register MAX ignores
+            aggs += hll_agg_exprs(h60(F.col(c)), ANALYZE_HLL_P, prefix=f"c{i}r")
+        else:
+            aggs.append(F.countDistinct(c).cast("bigint").alias(f"ndv_{i}"))
         aggs += [
-            F.countDistinct(c).cast("bigint").alias(f"ndv_{i}"),
             (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"nulls_{i}"),
             F.min(c).cast("string").alias(f"min_{i}"),
             F.max(c).cast("string").alias(f"max_{i}"),
@@ -34,11 +63,16 @@ def column_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     a = df.agg(*aggs)
     parts = []
     for i, c in enumerate(cols):
+        ndv = (
+            hll_agg_finalize(ANALYZE_HLL_P, prefix=f"c{i}r").cast("bigint")
+            if approx_ndv
+            else F.col(f"ndv_{i}")
+        )
         parts.append(
             a.select(
                 F.lit(c).alias("column_name"),
                 "n_rows",
-                F.col(f"ndv_{i}").alias("ndv"),
+                ndv.alias("ndv"),
                 F.col(f"nulls_{i}").alias("n_nulls"),
                 F.col(f"min_{i}").alias("min_value"),
                 F.col(f"max_{i}").alias("max_value"),

@@ -173,3 +173,83 @@ def user_funnel_stages(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming retention cohorts: the streaming twin of the batch
+# events_retention_cohorts matrix.  Per-user state = (cohort week =
+# ISO week of the FIRST event ever seen, list of activity weeks already
+# emitted); each micro-batch emits one (cohort_week_us,
+# activity_week_us) DELTA row per NEWLY-seen (user, week) cell.
+# Summing deltas per cell downstream therefore equals the batch
+# matrix's COUNT(DISTINCT user_id) exactly — the state dedups, so the
+# rollup is a plain additive count, the streaming-friendly form of a
+# distinct count.  State is O(weeks-active) per user (bounded by the
+# stream's age in weeks), sharded by the groupBy key.
+# --------------------------------------------------------------------------
+
+RETENTION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("cohort_week_us", T.LongType()),
+        T.StructField("activity_week_us", T.LongType()),
+    ]
+)
+
+RETENTION_STATE = T.StructType(
+    [
+        T.StructField("cohort_us", T.LongType()),
+        T.StructField("weeks", T.ArrayType(T.LongType())),
+    ]
+)
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _iso_week_us(ts_us: int) -> int:
+    """Epoch micros → epoch micros of that week's ISO Monday 00:00 UTC
+    (the streaming twin of ``date_trunc('week', ts)`` on this UTC-tz
+    runtime).  1970-01-01 was a Thursday, so day (d + 3) % 7 == 0 is a
+    Monday."""
+    days = ts_us // _US_PER_DAY
+    return (days - (days + 3) % 7) * _US_PER_DAY
+
+
+def _retention_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (user_id,) = key
+    cohort, weeks = state.get if state.exists else (None, [])
+    seen = set(weeks)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+    ts_us = rows["ts"].astype("int64") // 1000  # pandas ns → µs
+    new_weeks = []
+    for ts in ts_us:
+        w = _iso_week_us(int(ts))
+        if cohort is None:
+            cohort = w  # first event ever seen defines the cohort
+        if w not in seen:
+            seen.add(w)
+            new_weeks.append(w)
+    state.update((cohort, sorted(seen)))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(new_weeks),
+            "cohort_week_us": [cohort] * len(new_weeks),
+            "activity_week_us": new_weeks,
+        }
+    )
+
+
+def user_retention_cells(events: DataFrame) -> DataFrame:
+    """Streaming (user, cohort_week, activity_week) cell deltas — each
+    cell appears EXACTLY ONCE across the stream's lifetime, so
+    ``groupBy(cohort, activity).count()`` over the emitted rows equals
+    the batch cohort matrix.  Requires per-user in-order arrival for
+    the cohort week (same contract as the funnel operator); late
+    PRE-cohort events would need the batch path's full recompute."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _retention_update,
+        outputStructType=RETENTION_OUTPUT,
+        stateStructType=RETENTION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -152,3 +152,29 @@ def test_sketch_plans_no_cartesian_and_broadcast_counters(spark, sf_dir):
         .toString()
     )
     assert "HashAggregate" in hll_plan
+
+
+def test_catalog_analyze_approx_ndv_bound(spark, sf_dir):
+    """The sketch-tier ANALYZE (column_stats approx_ndv=True — the
+    documented 100 TB path of catalog_column_stats): HLL-estimated NDV
+    must track the exact countDistinct within ~3 sigma of the p=6
+    sketch's 13% rsd on every profiled catalog column, and all
+    non-NDV columns must be identical to the exact path."""
+    from bigdatamlteamrepo_spark.catalog import load_table
+    from bigdatamlteamrepo_spark.operators.stats import column_stats
+    from bigdatamlteamrepo_spark.queries.analytic import _CATALOG_STATS_COLS
+
+    for t, cols in _CATALOG_STATS_COLS.items():
+        df = load_table(spark, sf_dir, t)
+        exact = {r.column_name: r for r in column_stats(df, cols).collect()}
+        approx = {
+            r.column_name: r
+            for r in column_stats(df, cols, approx_ndv=True).collect()
+        }
+        assert set(exact) == set(approx)
+        for c in exact:
+            e, a = exact[c], approx[c]
+            assert abs(a.ndv - e.ndv) <= max(2, 0.4 * e.ndv), (t, c, e.ndv, a.ndv)
+            assert (a.n_rows, a.n_nulls, a.min_value, a.max_value) == (
+                e.n_rows, e.n_nulls, e.min_value, e.max_value,
+            ), (t, c)

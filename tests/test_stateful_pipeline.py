@@ -236,3 +236,44 @@ def test_stateful_restart_with_different_shuffle_width(spark, sf_dir, tmp_path):
     # every user's FINAL totals must cover both tranches — state from
     # the width-3 run survived the width-13 restart intact
     assert got == want
+
+
+def test_streaming_retention_cohorts_matches_batch(spark, sf_dir):
+    """Streaming cohort-cell deltas, summed per (cohort, activity)
+    cell, equal the batch events_retention_cohorts matrix (the state
+    dedups (user, week) cells, so a plain additive count replaces the
+    batch COUNT(DISTINCT))."""
+    from bigdatamlteamrepo_spark.queries import QUERIES
+    from bigdatamlteamrepo_spark.streaming.stateful import user_retention_cells
+
+    stream = W.read_events_stream(spark, sf_dir)
+    out = user_retention_cells(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("retention_cells")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.cohort_week_us, r.activity_week_us): r.n
+        for r in spark.sql(
+            "SELECT cohort_week_us, activity_week_us, COUNT(*) AS n "
+            "FROM retention_cells GROUP BY 1, 2"
+        ).collect()
+    }
+    batch = QUERIES["events_retention_cohorts"](spark, sf_dir).select(
+        F.unix_micros("cohort_week").alias("c"),
+        F.unix_micros("activity_week").alias("a"),
+        "n_users",
+    )
+    want = {(r.c, r.a): r.n_users for r in batch.collect()}
+    assert got == want
+    # every emitted (user, cell) row is unique — the delta contract
+    dup = spark.sql(
+        "SELECT user_id, activity_week_us, COUNT(*) c FROM retention_cells "
+        "GROUP BY 1, 2 HAVING COUNT(*) > 1"
+    ).count()
+    assert dup == 0
