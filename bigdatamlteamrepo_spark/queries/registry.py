@@ -34,80 +34,79 @@ PRI_CORE = 50
 #: covered by the local pytest parity suite)
 PRI_EXTRA = 90
 
-#: Driver-window rotation (round 5): the driver checks only the first 50
+#: Driver-window rotation (round 6): the driver checks only the first 50
 #: exported queries, so the window is spent on the queries whose LATEST
 #: driver evidence is oldest (everything newer keeps full local parity
 #: coverage at sf0.001/0.01/0.1).  One set, swapped per round —
 #: individual ``@query(priority=...)`` values stay stable.
-#: Composition (see CORRECTNESS_r01-r04 ledger):
-#:   * 2 oracle-paired queries with no driver row yet — vocab_zipf_fit
-#:     and doc_term_burstiness landed after the r04 window froze;
-#:   * 32 queries whose latest green is r01 — three rounds of churn
-#:     since (ann_ivf_topk stays OUT: rows-only entries surface as
+#: Composition (see CORRECTNESS_r01-r05 ledger):
+#:   * 46 of the 47 queries whose latest green is r03 — the oldest
+#:     evidence on the ledger, three rounds of churn behind
+#:     (order_priority_status_crosstab defers one round: family-
+#:     redundant with the r05-green order_priority_status_value_pivot;
+#:     ann_ivf_topk stays OUT: rows-only entries surface as
 #:     non-green-looking driver rows — the r03 lesson);
-#:   * 12 queries whose latest green is r02, including the 10
-#:     low-churn relational plans deferred from the r04 window;
-#:   * the remainder of the 50 = queries newly registered this round
-#:     (added to this set at registration time).
-#: Every r03/r04 green keeps local parity coverage and rotates back in
+#:   * passage_neardup_pairs — r05-green but its REGISTERED DEFAULT
+#:     changed this round (auto bucket cap), so it re-verifies;
+#:   * 3 queries new this round: corpus_build_summary,
+#:     source_overlap_kmv, embedding_semdedup_ann_summary.
+#: Every r04/r05 green keeps local parity coverage and rotates back in
 #: future windows.
 ROTATE_IN: frozenset[str] = frozenset(
     {
-        # --- never driver-checked (2 oracle-paired, post-r04-freeze)
-        "vocab_zipf_fit",
-        "doc_term_burstiness",
-        # --- latest green = r01 (32)
-        "building_and_urgent_custkeys",
-        "customer_order_stats",
-        "customers_with_urgent_orders",
-        "customers_without_orders",
-        "doc_bpe_token_counts",
-        "doc_category_distribution",
-        "doc_multihot_label_totals",
-        "doc_quality_scores",
-        "doc_token_entropy",
-        "doc_token_stats_by_lang",
-        "embedding_label_centroids",
-        "embedding_label_stats",
-        "events_hour_of_day_profile",
-        "events_hourly_by_type",
-        "events_hourly_ffill",
-        "events_props_stats",
-        "events_type_share",
-        "events_user_gap_stats",
-        "events_value_anomalies",
-        "events_value_histogram",
-        "knn_cosine_topk",
-        "lineitem_flag_distincts",
-        "machinery_minus_high_priority",
-        "nation_region_customer_counts",
-        "nation_supplier_full_outer",
-        "ngram_jaccard_pairs",
-        "order_priority_status_value_pivot",
-        "orders_monthly_volume",
-        "part_brand_type_stats",
-        "part_name_analysis",
-        "q17_small_quantity_revenue",
-        "q18_large_volume_orders",
-        # --- latest green = r02 (12)
-        "doc_mixture_sample",
-        "doc_shard_assignment",
-        "order_custkeys_except_all",
-        "orders_grouping_sets",
-        "q12_late_shipment_priority",
-        "q13_customer_distribution",
-        "q14_promo_revenue",
-        "q16_parts_supplier_counts",
-        "q19_disjunctive_revenue",
-        "q22_sales_opportunity",
-        "q6_forecast_revenue",
-        "segment_stats_unpivot",
-        # --- new this round (registered below as they land; keep the
-        #     set at exactly 50)
+        # --- latest green = r03 (46 of 47)
+        "ann_ivfpq_topk",
+        "ann_pq_adc_topk",
+        "ann_rp_lsh_multiprobe_topk",
+        "bloom_semijoin_orders",
+        "bpe_pair_counts",
+        "cms_heavy_suppliers",
+        "dedup_exact_by_lang",
+        "doc_containment_pairs",
+        "doc_gopher_rules",
+        "doc_keyword_label_counts",
+        "doc_language_id",
+        "doc_lm_perplexity",
+        "doc_pack_plan",
+        "doc_pack_plan_bucketed",
+        "doc_shard_assignment_n64",
+        "doc_shared_shingle_stats",
+        "doc_stratified_sample",
+        "doc_winnowing_fingerprints",
+        "dsir_importance_weights",
+        "events_funnel_view_click_purchase",
+        "events_retention_cohorts",
+        "events_sliding_by_type",
+        "events_user_sessions",
+        "events_value_hist_quantiles",
+        "events_zorder_blocks",
+        "hll_hourly_users",
+        "hll_orders_by_flag",
+        "hybrid_rrf_retrieval",
+        "kmv_distinct_parts",
+        "kmv_orders_by_flag",
+        "minhash_signatures",
+        "neardup_best_representatives",
+        "neardup_incremental_lsh",
+        "neardup_pairs_lsh",
+        "pagerank_nation_trade",
+        "part_cooccurrence_triangles",
+        "per_source_doc_caps",
+        "q11_important_stock",
+        "q1_pricing_summary",
+        "q20_dominant_supplier",
+        "q3_shipping_priority",
+        "q5_local_supplier_volume",
+        "simhash_neardup_pairs",
+        "theta_customer_overlap",
+        "top_orders_per_segment",
+        "training_corpus_selection",
+        # --- r05-green but registered semantics changed this round
         "passage_neardup_pairs",
-        "doc_ngram_novelty",
-        "source_overlap_matrix",
-        "diversity_sample_lsh",
+        # --- new this round (3)
+        "corpus_build_summary",
+        "source_overlap_kmv",
+        "embedding_semdedup_ann_summary",
     }
 )
 
