@@ -40,21 +40,22 @@ PRI_EXTRA = 90
 #: coverage at sf0.001/0.01/0.1).  One set, swapped per round —
 #: individual ``@query(priority=...)`` values stay stable.
 #: Composition (see CORRECTNESS_r01-r05 ledger):
-#:   * 46 of the 47 queries whose latest green is r03 — the oldest
-#:     evidence on the ledger, three rounds of churn behind
-#:     (order_priority_status_crosstab defers one round: family-
-#:     redundant with the r05-green order_priority_status_value_pivot;
-#:     ann_ivf_topk stays OUT: rows-only entries surface as
-#:     non-green-looking driver rows — the r03 lesson);
+#:   * 44 of the 47 queries whose latest green is r03 — the oldest
+#:     evidence on the ledger, three rounds of churn behind (three
+#:     defer one round, each family-redundant with a fresher green:
+#:     order_priority_status_crosstab / kmv_distinct_parts /
+#:     hll_orders_by_flag; ann_ivf_topk stays OUT: rows-only entries
+#:     surface as non-green-looking driver rows — the r03 lesson);
 #:   * passage_neardup_pairs — r05-green but its REGISTERED DEFAULT
 #:     changed this round (auto bucket cap), so it re-verifies;
-#:   * 3 queries new this round: corpus_build_summary,
-#:     source_overlap_kmv, embedding_semdedup_ann_summary.
+#:   * 5 queries new this round: corpus_build_summary,
+#:     source_overlap_kmv, embedding_semdedup_ann_summary,
+#:     events_value_quantile_sketch, bbit_minhash_jaccard_pairs.
 #: Every r04/r05 green keeps local parity coverage and rotates back in
 #: future windows.
 ROTATE_IN: frozenset[str] = frozenset(
     {
-        # --- latest green = r03 (46 of 47)
+        # --- latest green = r03 (44 of 47)
         "ann_ivfpq_topk",
         "ann_pq_adc_topk",
         "ann_rp_lsh_multiprobe_topk",
@@ -81,9 +82,7 @@ ROTATE_IN: frozenset[str] = frozenset(
         "events_value_hist_quantiles",
         "events_zorder_blocks",
         "hll_hourly_users",
-        "hll_orders_by_flag",
         "hybrid_rrf_retrieval",
-        "kmv_distinct_parts",
         "kmv_orders_by_flag",
         "minhash_signatures",
         "neardup_best_representatives",
@@ -103,10 +102,12 @@ ROTATE_IN: frozenset[str] = frozenset(
         "training_corpus_selection",
         # --- r05-green but registered semantics changed this round
         "passage_neardup_pairs",
-        # --- new this round (3)
+        # --- new this round (5)
         "corpus_build_summary",
         "source_overlap_kmv",
         "embedding_semdedup_ann_summary",
+        "events_value_quantile_sketch",
+        "bbit_minhash_jaccard_pairs",
     }
 )
 

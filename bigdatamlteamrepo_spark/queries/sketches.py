@@ -574,3 +574,129 @@ def pagerank_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", F.col("rank").alias("rank_scaled"))
         .orderBy(F.desc("rank_scaled"), F.asc("nation"))
     )
+
+
+# --------------------------------------------------------------------------
+# Bottom-k-by-hash quantile sketch: per-group order statistics from a
+# deterministic uniform sample.
+# --------------------------------------------------------------------------
+
+#: sample size per group: rank error of a quantile estimated from a
+#: uniform k-sample is ~ sqrt(p(1-p)/k) — 256 puts 3σ under ±0.1 of
+#: rank for every p (CDF bound pinned in tests/test_sketches.py)
+QSK_K = 256
+#: cutoff oversampling factor (the doc_stratified_sample discipline —
+#: the cutoff is part of the sketch definition, mirrored in the oracle)
+_QSK_SAFETY = 4
+#: probed quantiles (integer percents — rank selection stays integer)
+_QSK_PCTS = (10, 50, 90, 99)
+
+
+@query(
+    "events_value_quantile_sketch",
+    oracle=f"""
+WITH __qh AS (
+  SELECT event_type, value,
+         {h60_sql("CAST(user_id AS VARCHAR) || '|' || CAST(epoch_us(ts) AS VARCHAR)")} AS h
+  FROM events
+),
+__qn AS (SELECT event_type, COUNT(*) AS n FROM __qh GROUP BY event_type),
+__qpref AS (
+  SELECT q.event_type, q.value, q.h
+  FROM __qh q JOIN __qn n USING (event_type)
+  WHERE q.h < CASE WHEN n.n <= {_QSK_SAFETY * QSK_K} THEN {POW60}
+                   ELSE ({POW60} // n.n) * {_QSK_SAFETY * QSK_K} END
+),
+__qsamp AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, value) AS hr
+  FROM __qpref
+),
+__qk AS (SELECT event_type, value FROM __qsamp WHERE hr <= {QSK_K}),
+__qv AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS vr,
+         COUNT(*) OVER (PARTITION BY event_type) AS ns
+  FROM __qk
+)
+SELECT v.event_type,
+       CAST(ANY_VALUE(n.n) AS BIGINT) AS n,
+       CAST(ANY_VALUE(v.ns) AS BIGINT) AS n_sample,
+       {", ".join(
+           f"round(MAX(CASE WHEN v.vr = greatest(1, (v.ns * {p} + 99) // 100)"
+           f" THEN v.value END), 6) AS p{p}_est"
+           for p in _QSK_PCTS
+       )}
+FROM __qv v JOIN __qn n USING (event_type)
+GROUP BY v.event_type
+""",
+)
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type value quantiles from a BOTTOM-k-BY-HASH sample — the
+    mergeable quantile-sketch tier of the percentile family.
+
+    ``events_value_percentiles`` computes exact interpolated quantiles:
+    at 100 TB that is a per-group sort (or a full percentile agg) over
+    every value.  Here the sample IS the sketch: rows whose 60-bit key
+    hash ranks bottom-k per group form a deterministic uniform sample
+    (the hash is the sample's randomness, so the result is
+    value-hash-checkable), and the estimate is the element at rank
+    ⌈p·k⌉ of the sample — pure integer rank selection, no
+    interpolation, tie-broken (h, value), so both engines pick the
+    identical element.  Mergeable exactly like KMV: the union's
+    bottom-k is the bottom-k of per-partition bottom-k's.
+
+    Plan: one scan builds (group, value, h); a count-derived cutoff
+    (part of the definition, oracle-mirrored) prefilters to ~4k rows
+    per group, so BOTH windows sort O(k) rows per group at any corpus
+    size.  Accuracy: rank error ~ √(p(1−p)/k); the CDF-at-estimate
+    bound vs the exact percentiles is pinned in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    qh = ev.select(
+        "event_type",
+        "value",
+        h60(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.unix_micros("ts").cast("string"),
+            )
+        ).alias("h"),
+    )
+    n = qh.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    cutoff = F.when(
+        F.col("n") <= _QSK_SAFETY * QSK_K, F.lit(POW60).cast("long")
+    ).otherwise(F.expr(f"({POW60}L div n) * {_QSK_SAFETY * QSK_K}L"))
+    pref = qh.join(F.broadcast(n), "event_type").filter(F.col("h") < cutoff)
+    wh = Window.partitionBy("event_type").orderBy("h", "value")
+    samp = (
+        pref.withColumn("hr", F.row_number().over(wh))
+        .filter(F.col("hr") <= QSK_K)
+        .select("event_type", "value")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    qv = samp.select(
+        "event_type",
+        "value",
+        F.row_number().over(wv).alias("vr"),
+        F.count(F.lit(1)).over(wn).alias("ns"),
+    )
+    rank_p = {
+        p: F.greatest(F.lit(1), F.expr(f"(ns * {p} + 99) div 100"))
+        for p in _QSK_PCTS
+    }
+    return (
+        qv.join(F.broadcast(n), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n").cast("bigint").alias("n"),
+            F.first("ns").cast("bigint").alias("n_sample"),
+            *[
+                F.round(
+                    F.max(F.when(F.col("vr") == rank_p[p], F.col("value"))), 6
+                ).alias(f"p{p}_est")
+                for p in _QSK_PCTS
+            ],
+        )
+    )

@@ -663,7 +663,25 @@ def lsh_band_rows(
     corpus dedup, band equi-join for incremental new-batch dedup
     (:func:`neardup_incremental_lsh`).
     """
-    from bigdatamlteamrepo_spark.functions.text import UH_MOD, band_keys, uh_constants
+    from bigdatamlteamrepo_spark.functions.text import band_keys
+
+    sig = uh_signature_frame(df, shingle_col, n_hashes)
+    mh = F.array(*[F.col(f"m{i}") for i in range(n_hashes)])
+    return sig.select(
+        "doc_id", F.explode(band_keys(mh, n_hashes, n_bands)).alias("band")
+    )
+
+
+def uh_signature_frame(
+    df: DataFrame, shingle_col, n_hashes: int = LSH_N_HASHES
+) -> DataFrame:
+    """(doc_id, m0..m{n_hashes-1}) — the universal-hash MinHash
+    signature as a grouped MIN with map-side partial aggregation (the
+    combiner state is n_hashes longs per doc, so the shuffle moves
+    signatures, not shingles).  Shared by the band index
+    (:func:`lsh_band_rows`) and the b-bit compressed estimator
+    (:func:`bbit_minhash_jaccard_pairs`)."""
+    from bigdatamlteamrepo_spark.functions.text import UH_MOD, uh_constants
 
     ex = df.select("doc_id", F.explode(shingle_col).alias("sh"))
     hx = F.md5("sh")
@@ -673,7 +691,7 @@ def lsh_band_rows(
         F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("w2"),
     )
     consts = uh_constants(n_hashes)
-    sig = words.groupBy("doc_id").agg(
+    return words.groupBy("doc_id").agg(
         *[
             F.min(
                 (F.lit(a) * F.col("w1") + F.lit(b) * F.col("w2") + F.lit(c))
@@ -681,10 +699,6 @@ def lsh_band_rows(
             ).alias(f"m{i}")
             for i, (a, b, c) in enumerate(consts)
         ]
-    )
-    mh = F.array(*[F.col(f"m{i}") for i in range(n_hashes)])
-    return sig.select(
-        "doc_id", F.explode(band_keys(mh, n_hashes, n_bands)).alias("band")
     )
 
 
@@ -1069,4 +1083,92 @@ def neardup_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = prefix_jaccard_join(sets, _JACCARD_MIN, id_col="doc_id", set_col="s")
     return out.select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "jaccard"
+    )
+
+
+# --------------------------------------------------------------------------
+# b-bit MinHash (Li & König 2010): the compressed dedup index.  A 100 TB
+# signature table stores b·k bits per doc instead of k 8-byte hashes —
+# 24 hashes × 2 bits = 6 bytes/doc vs 192 — and Jaccard is estimated
+# from bit agreement: P[bit match] = J + (1−J)/2^b, so
+# Ĵ = (2^b·A − 1)/(2^b − 1) for agreement fraction A.  With k = 24 the
+# estimator is a coarse PRE-FILTER (σ_Ĵ ≈ 0.14 at b=2 — bound pinned in
+# tests): it ranks candidate pairs so the exact-verify stage reads
+# shingle sets only for pairs whose estimate clears a low bar, which is
+# the standard two-tier index (b-bit filter → exact verify) at scale.
+# --------------------------------------------------------------------------
+
+#: bits kept per hash (b=2 → agreement baseline 1/4 for J=0)
+_BBIT_MOD = 4
+
+
+@query(
+    "bbit_minhash_jaccard_pairs",
+    oracle=f"""
+WITH {lsh_pairs_ctes()}
+SELECT doc_a, doc_b, n_agree,
+       round(greatest(0.0,
+             ({_BBIT_MOD}.0 * n_agree - {LSH_N_HASHES})
+               / ({(_BBIT_MOD - 1) * LSH_N_HASHES}.0)), 6) AS est_jaccard
+FROM (
+  SELECT p.doc_a, p.doc_b,
+         CAST(({" + ".join(
+             f"CASE WHEN a.mh_{i} % {_BBIT_MOD} = b.mh_{i} % {_BBIT_MOD}"
+             f" THEN 1 ELSE 0 END"
+             for i in range(LSH_N_HASHES)
+         )}) AS BIGINT) AS n_agree
+  FROM __lsh_pairs p
+  JOIN __sig a ON a.doc_id = p.doc_a
+  JOIN __sig b ON b.doc_id = p.doc_b
+)
+""",
+)
+def bbit_minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LSH-candidate Jaccard ESTIMATE from 2-bit minhash remnants —
+    the compressed-signature tier (module comment above).  One
+    signature aggregation feeds both the banding (candidates) and the
+    2-bit agreement join; only (doc_id, 24 longs) rows shuffle."""
+    sets = _shingle_sets(spark, sf_dir)
+    sig = uh_signature_frame(sets, F.col("s")).localCheckpoint(eager=True)
+    from bigdatamlteamrepo_spark.functions.text import band_keys
+
+    mh = F.array(*[F.col(f"m{i}") for i in range(LSH_N_HASHES)])
+    bands = sig.select(
+        "doc_id", F.explode(band_keys(mh, LSH_N_HASHES, LSH_N_BANDS)).alias("band")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[(F.col(f"m{i}") % _BBIT_MOD).alias(f"ba{i}") for i in range(LSH_N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[(F.col(f"m{i}") % _BBIT_MOD).alias(f"bb{i}") for i in range(LSH_N_HASHES)],
+    )
+    n_agree = sum(
+        (F.col(f"ba{i}") == F.col(f"bb{i}")).cast("int")
+        for i in range(LSH_N_HASHES)
+    ).cast("bigint")
+    est = F.round(
+        F.greatest(
+            F.lit(0.0),
+            (F.lit(float(_BBIT_MOD)) * F.col("n_agree") - LSH_N_HASHES)
+            / F.lit(float((_BBIT_MOD - 1) * LSH_N_HASHES)),
+        ),
+        6,
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", n_agree.alias("n_agree"))
+        .select("doc_a", "doc_b", "n_agree", est.alias("est_jaccard"))
     )

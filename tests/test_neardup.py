@@ -245,3 +245,32 @@ def test_neardup_plans_have_no_cartesian(spark, sf_dir):
         plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+# --------------------------------------------------------------------------
+# b-bit MinHash estimator (Li & Konig 2010): accuracy + two-tier filter
+# completeness vs the exact verified Jaccard.
+# --------------------------------------------------------------------------
+
+
+def test_bbit_minhash_estimator_bounds(spark, sf_dir):
+    """2-bit/24-hash estimates on LSH candidates: mean abs error vs the
+    exact shingle Jaccard within 0.1 (measured 0.035), max within 0.3
+    (measured 0.13), and NO verified >= 0.5 pair falls below the 0.2
+    pre-filter bar — the property that lets the compressed index gate
+    the exact-verify stage without losing true near-dups."""
+    from bigdatamlteamrepo_spark.queries import QUERIES
+
+    est = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in QUERIES["bbit_minhash_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in QUERIES["ngram_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    assert set(exact) <= set(est)  # same candidates, estimate unfiltered
+    errs = [abs(est[p] - exact[p]) for p in exact]
+    assert sum(errs) / len(errs) <= 0.1, sum(errs) / len(errs)
+    assert max(errs) <= 0.3, max(errs)
+    assert all(est[p] >= 0.2 for p in exact), min(est[p] for p in exact)

@@ -178,3 +178,63 @@ def test_catalog_analyze_approx_ndv_bound(spark, sf_dir):
             assert (a.n_rows, a.n_nulls, a.min_value, a.max_value) == (
                 e.n_rows, e.n_nulls, e.min_value, e.max_value,
             ), (t, c)
+
+
+def test_quantile_sketch_cdf_bound(spark, sf_dir):
+    """Bottom-k-by-hash quantile sketch: the empirical CDF at each
+    estimate must sit within ±0.1 of the target rank (3σ of the k=256
+    sample's rank error), per event type."""
+    from bigdatamlteamrepo_spark.catalog import load_table
+    from bigdatamlteamrepo_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    est = {
+        r.event_type: r
+        for r in QUERIES["events_value_quantile_sketch"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    for etype, row in est.items():
+        vals = ev.filter(F.col("event_type") == etype)
+        n = vals.count()
+        assert row.n == n
+        for p in (10, 50, 90, 99):
+            e = getattr(row, f"p{p}_est")
+            cdf = vals.filter(F.col("value") <= e).count() / n
+            assert abs(cdf - p / 100) <= 0.1, (etype, p, e, cdf)
+
+
+def test_quantile_sketch_is_mergeable(spark, sf_dir):
+    """KMV-style mergeability: the bottom-k of the union equals the
+    bottom-k of the concatenated per-split bottom-k's — the property
+    that makes the sketch a distributed aggregate."""
+    from bigdatamlteamrepo_spark.catalog import load_table
+    from bigdatamlteamrepo_spark.operators.sketches import h60
+    from bigdatamlteamrepo_spark.queries.sketches import QSK_K
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        h60(
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.unix_micros("ts").cast("string"),
+            )
+        ).alias("h"),
+    ).filter(F.col("event_type") == "view")
+    whole = [
+        (r.h, r.value)
+        for r in ev.orderBy("h", "value").limit(QSK_K).collect()
+    ]
+    parts = []
+    for m in range(3):  # 3 disjoint "partitions"
+        parts += [
+            (r.h, r.value)
+            for r in ev.filter(F.pmod(F.col("h"), F.lit(3)) == m)
+            .orderBy("h", "value")
+            .limit(QSK_K)
+            .collect()
+        ]
+    merged = sorted(parts)[:QSK_K]
+    assert merged == sorted(whole)
