@@ -215,27 +215,40 @@ def passage_neardup_doc_pairs(
         # the semi-join keeps only rows in buckets within the cap
         bw = bands.groupBy("band").agg(F.count(F.lit(1)).alias("w"))
         if max_bucket == "auto":
-            # cap = max(floor, mult × (Σw div nb)): one 1-ROW agg of bw
-            # broadcast back over the width table (the engine-wide
-            # 1-row-scalar pattern — linear, plan-gated at ≤1 BNLJ);
-            # guards keep the empty corpus NULL-free
-            stats = bw.agg(
-                F.greatest(
-                    F.lit(_AUTO_CAP_FLOOR).cast("long"),
-                    F.coalesce(
-                        F.lit(_AUTO_CAP_MULT)
-                        * F.expr(
-                            "sum(w) div greatest(count(1), 1L)"
-                        ).cast("long"),
+            # cap = max(floor, mult × (Σw div nb)) — pure bigint, so the
+            # oracle mirrors it tie-free.  Materialized path: collect
+            # the 1-ROW stat (the engine's bounded-collect convention —
+            # this also fills the bands cache in one cheap job; the
+            # broadcast formulation instead re-ran the whole signature
+            # chain inside the broadcast-exchange job, measured +1.9 s
+            # at sf0.1).  Lazy path keeps the collect-free 1-row
+            # broadcast so plan gates see a pure plan.
+            if materialize:
+                bw = _keep(bw)  # width table reused by stats + semi side
+                tot, nb = bw.agg(F.sum("w"), F.count(F.lit(1))).first()
+                cap = max(
+                    _AUTO_CAP_FLOOR,
+                    _AUTO_CAP_MULT * ((tot or 0) // max(nb, 1)),
+                )
+                ok = bw.filter(F.col("w") <= cap).select("band")
+            else:
+                stats = bw.agg(
+                    F.greatest(
                         F.lit(_AUTO_CAP_FLOOR).cast("long"),
-                    ),
-                ).alias("cap")
-            )
-            ok = (
-                bw.crossJoin(F.broadcast(stats))
-                .filter(F.col("w") <= F.col("cap"))
-                .select("band")
-            )
+                        F.coalesce(
+                            F.lit(_AUTO_CAP_MULT)
+                            * F.expr(
+                                "sum(w) div greatest(count(1), 1L)"
+                            ).cast("long"),
+                            F.lit(_AUTO_CAP_FLOOR).cast("long"),
+                        ),
+                    ).alias("cap")
+                )
+                ok = (
+                    bw.crossJoin(F.broadcast(stats))
+                    .filter(F.col("w") <= F.col("cap"))
+                    .select("band")
+                )
         else:
             ok = bw.filter(F.col("w") <= max_bucket).select("band")
         bands = bands.join(ok, "band", "left_semi")
