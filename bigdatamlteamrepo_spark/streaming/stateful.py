@@ -253,3 +253,84 @@ def user_retention_cells(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming bottom-k-by-hash quantile sketch: the streaming twin of the
+# batch events_value_quantile_sketch.  The sketch is MERGEABLE by
+# construction (bottom-k of a union = bottom-k of concatenated
+# bottom-k's), so per-key state is exactly the batch sketch of the
+# prefix seen so far: merge each micro-batch's (h, value) rows into the
+# stored bottom-k, emit the current rank-selected quantile estimates.
+# State is O(k) per event type; the hash IS the sample's randomness, so
+# stream and batch agree bit-for-bit on any prefix (asserted in tests).
+# --------------------------------------------------------------------------
+
+QSKETCH_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("n_sample", T.LongType()),
+        T.StructField("p10_est", T.DoubleType()),
+        T.StructField("p50_est", T.DoubleType()),
+        T.StructField("p90_est", T.DoubleType()),
+        T.StructField("p99_est", T.DoubleType()),
+    ]
+)
+
+QSKETCH_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("hs", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _h60_py(key: str) -> int:
+    """Python twin of operators/sketches.h60 (first 15 md5 hex digits)."""
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+
+def _qsketch_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    from bigdatamlteamrepo_spark.queries.sketches import QSK_K, _QSK_PCTS
+
+    (event_type,) = key
+    n, hs, vals = state.get if state.exists else (0, [], [])
+    pairs = list(zip(hs, vals))
+    for pdf in pdfs:
+        n += len(pdf)
+        ts_us = pdf["ts"].astype("int64") // 1000  # pandas ns → µs
+        for uid, ts, v in zip(pdf["user_id"], ts_us, pdf["value"]):
+            pairs.append((_h60_py(f"{int(uid)}|{int(ts)}"), float(v)))
+    pairs.sort()  # (h, value) — the batch tie-break
+    pairs = pairs[: QSK_K]
+    state.update(
+        (n, [h for h, _ in pairs], [v for _, v in pairs])
+    )
+    by_val = sorted(v for _, v in pairs)
+    ns = len(by_val)
+    ests = {
+        f"p{p}_est": [round(by_val[max(1, (ns * p + 99) // 100) - 1], 6)]
+        if ns
+        else [None]
+        for p in _QSK_PCTS
+    }
+    yield pd.DataFrame(
+        {"event_type": [event_type], "n": [n], "n_sample": [ns], **ests}
+    )
+
+
+def value_quantile_sketch_stream(events: DataFrame) -> DataFrame:
+    """Streaming per-type quantile estimates from the mergeable
+    bottom-k-by-hash sketch; ``update`` mode emits the current
+    estimates for types seen in each micro-batch."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _qsketch_update,
+        outputStructType=QSKETCH_OUTPUT,
+        stateStructType=QSKETCH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -277,3 +277,39 @@ def test_streaming_retention_cohorts_matches_batch(spark, sf_dir):
         "GROUP BY 1, 2 HAVING COUNT(*) > 1"
     ).count()
     assert dup == 0
+
+
+def test_streaming_quantile_sketch_matches_batch(spark, sf_dir):
+    """The streaming bottom-k-by-hash quantile sketch's final state
+    equals the batch events_value_quantile_sketch exactly — the
+    mergeability property live: the stream merges micro-batch
+    bottom-k's, the batch computes one global bottom-k."""
+    from bigdatamlteamrepo_spark.queries import QUERIES
+    from bigdatamlteamrepo_spark.streaming.stateful import (
+        value_quantile_sketch_stream,
+    )
+
+    stream = W.read_events_stream(spark, sf_dir)
+    out = value_quantile_sketch_stream(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("qsketch")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.event_type: (r.n, r.n_sample, r.p10_est, r.p50_est, r.p90_est, r.p99_est)
+        for r in spark.sql(
+            "SELECT event_type, s.* FROM (SELECT event_type, "
+            "max_by(struct(n, n_sample, p10_est, p50_est, p90_est, p99_est), n) AS s "
+            "FROM qsketch GROUP BY event_type)"
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n, r.n_sample, r.p10_est, r.p50_est, r.p90_est, r.p99_est)
+        for r in QUERIES["events_value_quantile_sketch"](spark, sf_dir).collect()
+    }
+    assert got == want
