@@ -59,6 +59,34 @@ FILLERS = [
 
 _ALL_ALLERGEN_TERMS = sorted({k for kws in ALLERGEN_CATEGORIES.values() for k in kws} | set(ALLERGENS))
 
+#: extra fillers for the PHRASE-labeled matched corpus
+#: (:func:`generate_recipes_matched`) ONLY.  With 40 fillers the
+#: fixture's phrase-bigram contexts repeat across train/test far more
+#: than the reference's free-form ingredient lists, which left the
+#: bigram-5class accuracy +0.057 above the reference (r5 verdict item
+#: 10); 80 fillers dilute the bigram context space to the reference's
+#: regime (measured: bigram 0.735/0.714 vs reference 0.745/0.741, all
+#: other reference metrics simultaneously inside ±0.05 — MLMETRICS.md).
+#: Unigram allergen evidence is untouched (same allergen/collider
+#: machinery).  None of these contains an allergen term as a substring
+#: (guarded in tests), and none hash-collides with an allergen bucket
+#: at numFeatures=5000 (that would be an undocumented collider —
+#: "polenta" was rejected for landing in the "peanuts" bucket).  The
+#: SUBSTR twin keeps the original 40: its RF-diffusion result is tuned
+#: against that vocabulary.
+_MATCHED_EXTRA_FILLERS = [
+    "watercress", "star anise", "pumpkin seeds", "white wine", "red wine",
+    "apple cider", "dijon mustard", "hot sauce", "tamarind paste",
+    "oyster sauce", "rice vinegar", "balsamic vinegar", "canola oil",
+    "grapeseed oil", "shallots", "leeks", "fennel", "parsnip", "turnip",
+    "radish", "arugula", "romaine", "cabbage", "broccoli", "cauliflower",
+    "green beans", "snap peas", "chickpeas", "black beans", "lentils",
+    "quinoa", "couscous", "orzo", "farro", "barley",
+    "rosemary", "sage", "tarragon", "dill", "chives",
+]
+
+MATCHED_FILLERS = FILLERS + _MATCHED_EXTRA_FILLERS
+
 
 #: benign phrases mined to hash into the SAME HashingTF(5000) bucket as
 #: an allergen phrase (MurmurHash3 seed 42, the MLlib default) — they
@@ -285,7 +313,7 @@ def generate_recipes_matched(
 
     Class balance ≈ ``allergen_frac`` positives, matching 577/1956.
     """
-    fillers = F.array(*[F.lit(x) for x in FILLERS])
+    fillers = F.array(*[F.lit(x) for x in MATCHED_FILLERS])
     allergens = F.array(*[F.lit(x) for x in _ALL_ALLERGEN_TERMS])
     colliders = F.array(*[F.lit(x) for x in COLLIDER_PHRASES])
     df = spark.range(n_rows).withColumnRenamed("id", "doc_id")
@@ -305,7 +333,7 @@ def generate_recipes_matched(
 
     filler_part = F.transform(
         F.sequence(F.lit(1), n_ing),
-        lambda i: _pick(fillers, ["doc_id", i, F.lit("f"), "__seed"], len(FILLERS)),
+        lambda i: _pick(fillers, ["doc_id", i, F.lit("f"), "__seed"], len(MATCHED_FILLERS)),
     )
     # distinct picks: a repeated allergen phrase would put TF=2 in an
     # allergen bucket and blur the doubled-collider count signal

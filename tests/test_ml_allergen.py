@@ -155,3 +155,22 @@ def test_substr_fixture_structure(spark):
         "y2", has_any_keyword(F.col("ingredient_array"), ALLERGENS)
     )
     assert exact.agg(F.avg("y2")).first()[0] < 0.01
+
+
+def test_matched_extra_fillers_are_clean():
+    """The enlarged matched-fixture vocabulary must not smuggle label
+    noise: no extra filler contains an allergen term as a substring
+    (would flip the substr labeler) and none hash-collides with an
+    allergen HashingTF(5000) bucket (would be an undocumented
+    collider — 'polenta' was rejected for landing in the 'peanuts'
+    bucket)."""
+    from bigdatamlteamrepo_spark.ml.recipes import (
+        _ALL_ALLERGEN_TERMS,
+        _MATCHED_EXTRA_FILLERS,
+        hashing_tf_bucket,
+    )
+
+    allergen_buckets = {hashing_tf_bucket(a) for a in _ALL_ALLERGEN_TERMS}
+    for f in _MATCHED_EXTRA_FILLERS:
+        assert not any(a in f or f in a for a in _ALL_ALLERGEN_TERMS), f
+        assert hashing_tf_bucket(f.lower()) not in allergen_buckets, f

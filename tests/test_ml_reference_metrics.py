@@ -115,24 +115,24 @@ def test_reference_six_class_metrics(matched):
 
 @slow
 def test_reference_bigram_five_class_metrics(matched):
-    """VERDICT r3 item 7: the 5-class bigram variant (MLP.ipynb:c5,
-    reference 0.745/0.741) pinned with a fixture tolerance like the
-    others, at the reference's exact config — numFeatures=5000, layers
+    """VERDICT r3 item 7 (tightened to ±0.05 in r6): the 5-class
+    bigram variant (MLP.ipynb:c5, reference 0.745/0.741) at the
+    reference's exact config — numFeatures=5000, layers
     [5000,128,64,C], maxIter=50, MLP seed=42, split seed=100 (c5 uses
     DIFFERENT seeds for split and model; ``split_seed`` reproduces it).
 
-    Measured on the matched fixture: 0.802/0.786.  F1 lands inside the
-    standard ±0.05; accuracy sits at Δ+0.057 — the fixture's
-    phrase-bigram signal is slightly denser than the real corpus's
-    free-form ingredient lists (same mechanism as the RF concentration
-    effect documented in the module docstring), so accuracy gets the
-    RF-style documented band (±0.06, ordering preserved below the
-    6-class variant's 0.99)."""
+    Measured on the matched fixture: 0.735/0.715 — both inside the
+    standard ±0.05.  The r5 fixture (40 fillers) sat at Δ+0.057
+    accuracy because its phrase-bigram contexts repeated across
+    train/test far more than the reference's free-form lists; the
+    80-filler vocabulary (`recipes._MATCHED_EXTRA_FILLERS`) dilutes
+    the bigram context space to the reference's regime while leaving
+    unigram allergen evidence untouched."""
     res = allergen.fit_multiclass_bigram(
         matched, num_features=5000, max_iter=50, seed=42, split_seed=100
     ).metrics
     assert abs(res["f1"] - 0.741) <= 0.05, res
-    assert abs(res["accuracy"] - 0.745) <= 0.06, res
+    assert abs(res["accuracy"] - 0.745) <= 0.05, res
     # the reference's own finding: bigram-of-phrase features underperform
     # the unigram 6-class variant by a wide margin
     assert res["accuracy"] < 0.9, res

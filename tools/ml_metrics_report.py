@@ -31,6 +31,7 @@ REFERENCE = {
     "lr": {"accuracy": 0.93, "f1": 0.93, "auc": 0.97},
     "mlp": {"accuracy": 0.98, "f1": 0.98, "auc": 0.99},
     "six": {"accuracy": 0.966, "f1": 0.966},
+    "bigram-5class": {"accuracy": 0.745, "f1": 0.741},
 }
 
 
@@ -64,6 +65,15 @@ def main() -> None:
         recipes, num_features=5000, max_iter=100, seed=42
     ).metrics
     print("six", results["six"], f"{time.perf_counter()-t0:.0f}s", flush=True)
+
+    # the 5-class bigram variant (MLP.ipynb:c5): reference seeds —
+    # split 100, model 42
+    t0 = time.perf_counter()
+    results["bigram-5class"] = allergen.fit_multiclass_bigram(
+        recipes, num_features=5000, max_iter=50, seed=42, split_seed=100
+    ).metrics
+    print("bigram", results["bigram-5class"],
+          f"{time.perf_counter()-t0:.0f}s", flush=True)
     recipes.unpersist()
 
     # substring-labeled fixture (evidence diffused across ~300 buckets):
@@ -92,6 +102,13 @@ def main() -> None:
         "[5000,64,32,2] maxIter=100 / 6-class MLP [5000,64,32,6].",
         "Difficulty is structural (hash-bucket colliders + count-based",
         "non-monotonicity), not label noise — see ml/recipes.py docstring.",
+        "Bigram-5class runs the reference's exact c5 config (numF 5000,",
+        "layers [5000,128,64,C], maxIter 50, split seed 100 / model seed",
+        "42) on the 80-filler vocabulary (recipes._MATCHED_EXTRA_FILLERS)",
+        "that matches the reference's bigram-context sparsity — every",
+        "metric below sits inside ±0.05 of the reference (the RF phrase",
+        "row keeps its documented ordering+band regime; the substr",
+        "fixture below reproduces the RF baseline itself).",
         "",
         "| model | metric | engine | reference | Δ |",
         "|---|---|---|---|---|",
