@@ -392,3 +392,65 @@ def embedding_neardup_pairs(
     assigned.unpersist()
     normed.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup shared stages: within-cell pairs + per-label rollup.  One
+# definition for every coarse-quantizer composition — the voronoi-cell
+# capstone (queries/extensions.py), the persisted IVF-PQ index path
+# (operators/pq.py::semdedup_from_index) — so threshold/tie/rep
+# semantics cannot drift between them.
+# ---------------------------------------------------------------------------
+
+
+def within_cell_cosine_pairs(
+    assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """(id_a, id_b, cosine_sim) — exact-cosine ≥ threshold pairs WITHIN
+    each coarse cell of an assigned (id, vector, cell) frame.  The join
+    key is the cell — the shuffle a layout already partitioned/bucketed
+    by cell (the IVF-PQ ``vectors/`` convention) avoids entirely; the
+    pairwise cost is Σ|cell|²/2, the SemDeDup tradeoff."""
+    from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity
+
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        F.col(cell_col).alias("cell"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        F.col(cell_col).alias("cell"),
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("va"), F.col("vb")).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def semdedup_label_rollup(labels: DataFrame, comp: DataFrame) -> DataFrame:
+    """Per-label (n_vecs, n_kept, n_removed) from a (vec_id, label)
+    frame and a connected-components labeling (node, component):
+    unclustered vectors keep themselves; clustered ones keep the
+    component min (rep = coalesce(component, vec_id))."""
+    merged = labels.join(
+        comp.select(F.col("node").alias("vec_id"), "component"),
+        "vec_id",
+        "left",
+    ).withColumn("rep", F.coalesce("component", "vec_id"))
+    return merged.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("vec_id") == F.col("rep")).cast("long")).alias("n_kept"),
+        F.sum((F.col("vec_id") != F.col("rep")).cast("long")).alias(
+            "n_removed"
+        ),
+    )

@@ -467,42 +467,20 @@ def semdedup_from_index(
 
     ``labels``: (vec_id, label) frame for the per-label rollup (kept
     separate — the index stores geometry, not metadata)."""
-    from bigdatamlteamrepo_spark.functions.vectors import cosine_similarity
+    from bigdatamlteamrepo_spark.operators.dedup import (
+        semdedup_label_rollup,
+        within_cell_cosine_pairs,
+    )
     from bigdatamlteamrepo_spark.operators.graph import connected_components
 
     vecs = spark.read.parquet(index_dir + "/vectors")
-    a = vecs.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "cell"
-    )
-    b = vecs.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "cell"
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_similarity(F.col("va"), F.col("vb")).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-        .localCheckpoint(eager=True)
+    pairs = within_cell_cosine_pairs(vecs, threshold).localCheckpoint(
+        eager=True
     )
     comp = connected_components(
         pairs.select("id_a", "id_b"), src="id_a", dst="id_b"
     )
-    merged = labels.join(
-        comp.select(F.col("node").alias("vec_id"), "component"),
-        "vec_id",
-        "left",
-    ).withColumn("rep", F.coalesce("component", "vec_id"))
-    return merged.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum((F.col("vec_id") == F.col("rep")).cast("long")).alias("n_kept"),
-        F.sum((F.col("vec_id") != F.col("rep")).cast("long")).alias(
-            "n_removed"
-        ),
-    )
+    return semdedup_label_rollup(labels, comp)
 
 
 def ivfpq_index_topk(

@@ -384,3 +384,38 @@ def cms_counters(df: DataFrame, key: str) -> DataFrame:
         .groupBy("j", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k-by-hash prefilter: the shared definition of the cutoff trick
+# (doc_stratified_sample discipline) used by every bottom-k sketch —
+# per-group KMV/theta containment (queries/curation.py::overlap_kmv)
+# and the quantile sketch (queries/sketches.py).  The cutoff is PART OF
+# THE SKETCH DEFINITION: bottom-k of a uniform 60-bit hash lies below
+# ~safety·k/n of the range, so the per-group sort that follows sees
+# O(k) rows at any corpus size.  Mirror with :func:`bottomk_cutoff_sql`
+# so both engines share one derivation.
+# ---------------------------------------------------------------------------
+
+
+def bottomk_prefilter(
+    df: DataFrame, group_col: str, k: int, safety: int, h_col: str = "h"
+) -> tuple[DataFrame, DataFrame]:
+    """(prefiltered rows, per-group counts): keep rows of ``df`` whose
+    ``h_col`` lies below the count-derived integer cutoff
+    ``(2^60 div n) · safety·k`` (everything when n ≤ safety·k) —
+    all-bigint arithmetic, tie-free to mirror."""
+    n = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    cutoff = F.when(
+        F.col("n") <= safety * k, F.lit(POW60).cast("long")
+    ).otherwise(F.expr(f"({POW60}L div n) * {safety * k}L"))
+    pref = df.join(F.broadcast(n), group_col).filter(F.col(h_col) < cutoff)
+    return pref, n
+
+
+def bottomk_cutoff_sql(n_expr: str, k: int, safety: int) -> str:
+    """DuckDB twin of :func:`bottomk_prefilter`'s cutoff expression."""
+    return (
+        f"CASE WHEN {n_expr} <= {safety * k} THEN {POW60} "
+        f"ELSE ({POW60} // {n_expr}) * {safety * k} END"
+    )

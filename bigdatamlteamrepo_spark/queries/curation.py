@@ -62,7 +62,11 @@ from bigdatamlteamrepo_spark.functions.text import (
     tokenize,
     uh_constants,
 )
-from bigdatamlteamrepo_spark.operators.sketches import POW60
+from bigdatamlteamrepo_spark.operators.sketches import (
+    POW60,
+    bottomk_cutoff_sql,
+    bottomk_prefilter,
+)
 from bigdatamlteamrepo_spark.queries.registry import query
 from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
 
@@ -608,8 +612,7 @@ __n AS (SELECT source, COUNT(*) AS n FROM __sgh GROUP BY source),
 __pref AS (
   SELECT s.source, s.h
   FROM __sgh s JOIN __n n USING (source)
-  WHERE s.h < CASE WHEN n.n <= {_OVK_SAFETY * _OVK_K} THEN {POW60}
-                   ELSE ({POW60} // n.n) * {_OVK_SAFETY * _OVK_K} END
+  WHERE s.h < {bottomk_cutoff_sql("n.n", _OVK_K, _OVK_SAFETY)}
 ),
 __rk AS (
   SELECT source, h,
@@ -685,13 +688,7 @@ def overlap_kmv(docs: DataFrame, materialize: bool = True) -> DataFrame:
     )
     if materialize:
         sgh = sgh.persist()
-    n = sgh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    cutoff = F.when(
-        F.col("n") <= _OVK_SAFETY * _OVK_K, F.lit(POW60).cast("long")
-    ).otherwise(
-        F.expr(f"({POW60}L div n) * {_OVK_SAFETY * _OVK_K}L")
-    )
-    pref = sgh.join(F.broadcast(n), "source").filter(F.col("h") < cutoff)
+    pref, n = bottomk_prefilter(sgh, "source", _OVK_K, _OVK_SAFETY)
     w = Window.partitionBy("source").orderBy("h")
     bk = (
         pref.withColumn("rn", F.row_number().over(w))

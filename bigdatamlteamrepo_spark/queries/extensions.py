@@ -127,21 +127,13 @@ def embedding_semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered real-world embeddings the same plan prunes most of the
     grid, and the approximate path (embedding_neardup_lsh) is the
     recall-tunable alternative either way."""
+    from bigdatamlteamrepo_spark.operators.dedup import semdedup_label_rollup
     from bigdatamlteamrepo_spark.operators.graph import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = _emb_pairs(emb, threshold=_NEARDUP_THRESHOLD).select("id_a", "id_b")
-    labels = connected_components(pairs, src="id_a", dst="id_b")
-    merged = emb.select("vec_id", "label").join(
-        labels.select(F.col("node").alias("vec_id"), "component"),
-        "vec_id",
-        "left",
-    ).withColumn("rep", F.coalesce("component", "vec_id"))
-    return merged.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum((F.col("vec_id") == F.col("rep")).cast("long")).alias("n_kept"),
-        F.sum((F.col("vec_id") != F.col("rep")).cast("long")).alias("n_removed"),
-    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return semdedup_label_rollup(emb.select("vec_id", "label"), comp)
 
 
 #: coarse-quantizer size for the ANN SemDeDup variant: first-16 corpus
@@ -223,21 +215,13 @@ def embedding_semdedup_ann_summary(spark: SparkSession, sf_dir: str) -> DataFram
     build_ivfpq_index's cell-partitioned ``vectors/`` layout) runs the
     SAME pair stage per ``cell=`` directory, partition-pruned and
     embarrassingly parallel."""
+    from bigdatamlteamrepo_spark.operators.dedup import semdedup_label_rollup
     from bigdatamlteamrepo_spark.operators.graph import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = semdedup_voronoi_pairs(emb).select("id_a", "id_b")
     comp = connected_components(pairs, src="id_a", dst="id_b")
-    merged = emb.select("vec_id", "label").join(
-        comp.select(F.col("node").alias("vec_id"), "component"),
-        "vec_id",
-        "left",
-    ).withColumn("rep", F.coalesce("component", "vec_id"))
-    return merged.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n_vecs"),
-        F.sum((F.col("vec_id") == F.col("rep")).cast("long")).alias("n_kept"),
-        F.sum((F.col("vec_id") != F.col("rep")).cast("long")).alias("n_removed"),
-    )
+    return semdedup_label_rollup(emb.select("vec_id", "label"), comp)
 
 
 def semdedup_voronoi_pairs(
@@ -269,22 +253,9 @@ def semdedup_voronoi_pairs(
             ).alias("cell"),
         )
     )
-    a = assigned.select(
-        F.col("vec_id").alias("id_a"), F.col("v_emb").alias("va"), "cell"
-    )
-    b = assigned.select(
-        F.col("vec_id").alias("id_b"), F.col("v_emb").alias("vb"), "cell"
-    )
-    return (
-        a.join(b, "cell")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine_similarity(F.col("va"), F.col("vb")).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+    from bigdatamlteamrepo_spark.operators.dedup import within_cell_cosine_pairs
+
+    return within_cell_cosine_pairs(assigned, threshold, vec_col="v_emb")
 
 
 def _rp_lsh_ctes() -> str:

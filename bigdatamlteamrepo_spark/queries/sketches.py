@@ -20,6 +20,8 @@ from bigdatamlteamrepo_spark.operators.pagerank import integer_pagerank, pageran
 from bigdatamlteamrepo_spark.operators.sketches import (
     KMV_K,
     POW60,
+    bottomk_cutoff_sql,
+    bottomk_prefilter,
     cms_bucket,
     cms_bucket_sql,
     cms_constants,
@@ -604,8 +606,7 @@ __qn AS (SELECT event_type, COUNT(*) AS n FROM __qh GROUP BY event_type),
 __qpref AS (
   SELECT q.event_type, q.value, q.h
   FROM __qh q JOIN __qn n USING (event_type)
-  WHERE q.h < CASE WHEN n.n <= {_QSK_SAFETY * QSK_K} THEN {POW60}
-                   ELSE ({POW60} // n.n) * {_QSK_SAFETY * QSK_K} END
+  WHERE q.h < {bottomk_cutoff_sql("n.n", QSK_K, _QSK_SAFETY)}
 ),
 __qsamp AS (
   SELECT event_type, value,
@@ -655,19 +656,18 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     qh = ev.select(
         "event_type",
         "value",
+        # F.concat (NOT concat_ws): a NULL key component must yield a
+        # NULL hash so the row stays OUT of the sample in BOTH engines
+        # (the oracle's || propagates NULL; concat_ws silently skips it)
         h60(
-            F.concat_ws(
-                "|",
+            F.concat(
                 F.col("user_id").cast("string"),
+                F.lit("|"),
                 F.unix_micros("ts").cast("string"),
             )
         ).alias("h"),
     )
-    n = qh.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    cutoff = F.when(
-        F.col("n") <= _QSK_SAFETY * QSK_K, F.lit(POW60).cast("long")
-    ).otherwise(F.expr(f"({POW60}L div n) * {_QSK_SAFETY * QSK_K}L"))
-    pref = qh.join(F.broadcast(n), "event_type").filter(F.col("h") < cutoff)
+    pref, n = bottomk_prefilter(qh, "event_type", QSK_K, _QSK_SAFETY)
     wh = Window.partitionBy("event_type").orderBy("h", "value")
     samp = (
         pref.withColumn("hr", F.row_number().over(wh))

@@ -294,6 +294,17 @@ def _h60_py(key: str) -> int:
     return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
 
 
+def _round_half_up_6(x: float) -> float:
+    """Python twin of Spark's F.round(double, 6): shortest-decimal repr
+    (BigDecimal.valueOf semantics — repr(float) is also shortest), then
+    HALF_UP at the 6th decimal.  Python's builtin round() is half-EVEN
+    on the binary value and disagrees on decimal-tie values like
+    2.0000005."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
 def _qsketch_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     from bigdatamlteamrepo_spark.queries.sketches import QSK_K, _QSK_PCTS
 
@@ -304,6 +315,9 @@ def _qsketch_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         n += len(pdf)
         ts_us = pdf["ts"].astype("int64") // 1000  # pandas ns → µs
         for uid, ts, v in zip(pdf["user_id"], ts_us, pdf["value"]):
+            if pd.isna(uid) or pd.isna(ts):
+                continue  # NULL key → no hash → outside the sample
+                # (the batch twin's NULL-propagating concat, mirrored)
             pairs.append((_h60_py(f"{int(uid)}|{int(ts)}"), float(v)))
     pairs.sort()  # (h, value) — the batch tie-break
     pairs = pairs[: QSK_K]
@@ -313,7 +327,9 @@ def _qsketch_update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     by_val = sorted(v for _, v in pairs)
     ns = len(by_val)
     ests = {
-        f"p{p}_est": [round(by_val[max(1, (ns * p + 99) // 100) - 1], 6)]
+        f"p{p}_est": [
+            _round_half_up_6(by_val[max(1, (ns * p + 99) // 100) - 1])
+        ]
         if ns
         else [None]
         for p in _QSK_PCTS

@@ -216,9 +216,9 @@ def test_quantile_sketch_is_mergeable(spark, sf_dir):
         "event_type",
         "value",
         h60(
-            F.concat_ws(
-                "|",
+            F.concat(
                 F.col("user_id").cast("string"),
+                F.lit("|"),
                 F.unix_micros("ts").cast("string"),
             )
         ).alias("h"),
