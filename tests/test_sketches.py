@@ -238,3 +238,47 @@ def test_quantile_sketch_is_mergeable(spark, sf_dir):
         ]
     merged = sorted(parts)[:QSK_K]
     assert merged == sorted(whole)
+
+
+def test_quantile_sketch_key_is_null_propagating(spark):
+    """A NULL key component must exclude the row from the sample in
+    BOTH engines: the Spark key uses NULL-propagating concat (h60 ->
+    NULL -> fails every h < cutoff comparison), matching the oracle's
+    || semantics.  concat_ws would silently skip the NULL part and
+    admit the row on the Spark side only."""
+    from bigdatamlteamrepo_spark.operators.sketches import h60
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 100, 5.0), (None, 200, 6.0), (3, None, 7.0)],
+        "user_id long, ts_us long, value double",
+    )
+    h = df.select(
+        h60(
+            F.concat(
+                F.col("user_id").cast("string"),
+                F.lit("|"),
+                F.col("ts_us").cast("string"),
+            )
+        ).alias("h")
+    ).collect()
+    assert h[0].h is not None
+    assert h[1].h is None and h[2].h is None
+
+
+def test_streaming_round_twin_matches_spark_half_up():
+    """_round_half_up_6 must round decimal-tie doubles UP like Spark's
+    F.round (BigDecimal HALF_UP on the shortest repr), where Python's
+    builtin round() is half-even on the binary value."""
+    from bigdatamlteamrepo_spark.streaming.stateful import _round_half_up_6
+
+    # true divergence values: the binary double sits slightly BELOW the
+    # decimal .5, so the builtin (half-even on the binary value) rounds
+    # down while Spark (HALF_UP on the shortest decimal repr) rounds up
+    assert _round_half_up_6(5e-07) == 1e-06
+    assert round(5e-07, 6) == 0.0  # the builtin disagrees
+    assert _round_half_up_6(0.1234565) == 0.123457
+    assert round(0.1234565, 6) == 0.123456  # the builtin disagrees
+    # agreement cases stay identical
+    assert _round_half_up_6(2.0000004) == 2.0
+    assert _round_half_up_6(1.25) == 1.25
