@@ -40,22 +40,25 @@ PRI_EXTRA = 90
 #: coverage at sf0.001/0.01/0.1).  One set, swapped per round —
 #: individual ``@query(priority=...)`` values stay stable.
 #: Composition (see CORRECTNESS_r01-r05 ledger):
-#:   * 44 of the 47 queries whose latest green is r03 — the oldest
-#:     evidence on the ledger, three rounds of churn behind (three
+#:   * 43 of the 47 queries whose latest green is r03 — the oldest
+#:     evidence on the ledger, three rounds of churn behind (four
 #:     defer one round, each family-redundant with a fresher green:
 #:     order_priority_status_crosstab / kmv_distinct_parts /
-#:     hll_orders_by_flag; ann_ivf_topk stays OUT: rows-only entries
-#:     surface as non-green-looking driver rows — the r03 lesson);
+#:     hll_orders_by_flag / doc_pack_plan_bucketed (same oracle as
+#:     doc_pack_plan, which stays in); ann_ivf_topk stays OUT:
+#:     rows-only entries surface as non-green-looking driver rows —
+#:     the r03 lesson);
 #:   * passage_neardup_pairs — r05-green but its REGISTERED DEFAULT
 #:     changed this round (auto bucket cap), so it re-verifies;
-#:   * 5 queries new this round: corpus_build_summary,
+#:   * 6 queries new this round: corpus_build_summary,
 #:     source_overlap_kmv, embedding_semdedup_ann_summary,
-#:     events_value_quantile_sketch, bbit_minhash_jaccard_pairs.
+#:     events_value_quantile_sketch, bbit_minhash_jaccard_pairs,
+#:     doc_pack_offsets.
 #: Every r04/r05 green keeps local parity coverage and rotates back in
 #: future windows.
 ROTATE_IN: frozenset[str] = frozenset(
     {
-        # --- latest green = r03 (44 of 47)
+        # --- latest green = r03 (43 of 47)
         "ann_ivfpq_topk",
         "ann_pq_adc_topk",
         "ann_rp_lsh_multiprobe_topk",
@@ -69,7 +72,6 @@ ROTATE_IN: frozenset[str] = frozenset(
         "doc_language_id",
         "doc_lm_perplexity",
         "doc_pack_plan",
-        "doc_pack_plan_bucketed",
         "doc_shard_assignment_n64",
         "doc_shared_shingle_stats",
         "doc_stratified_sample",
@@ -102,12 +104,13 @@ ROTATE_IN: frozenset[str] = frozenset(
         "training_corpus_selection",
         # --- r05-green but registered semantics changed this round
         "passage_neardup_pairs",
-        # --- new this round (5)
+        # --- new this round (6)
         "corpus_build_summary",
         "source_overlap_kmv",
         "embedding_semdedup_ann_summary",
         "events_value_quantile_sketch",
         "bbit_minhash_jaccard_pairs",
+        "doc_pack_offsets",
     }
 )
 

@@ -376,3 +376,64 @@ def doc_shard_assignment_n64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-realistic deal: 64 shards ⇒ 64-way window parallelism at
     driver SF (thousands in production; parameter, not plan, changes)."""
     return shard_assignment(spark, sf_dir, 64)
+
+
+# --------------------------------------------------------------------------
+# Per-document pack-boundary metadata: the row-level face of the pack
+# plan.  doc_pack_plan reports per-shard rollups; a tokenizer/loader
+# additionally needs, PER DOCUMENT, which packed sequence it starts in,
+# at what offset, and whether it spans a sequence boundary (the rows an
+# attention-mask builder must split).  Same per-source cumsum as the
+# plan (one window, identical offsets — the bucketed fold in
+# doc_pack_plan_bucketed is the 100 TB variant of this same stage);
+# everything after the cumsum is row-local modular arithmetic.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_pack_offsets",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+  FROM t
+)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_offset // {SEQ_LEN} AS BIGINT) AS shard_id,
+       CAST(tok_offset % {SEQ_LEN} AS BIGINT) AS offset_in_shard,
+       CAST(CASE WHEN tok_offset % {SEQ_LEN} + n_tokens > {SEQ_LEN}
+                 THEN 1 ELSE 0 END AS INT) AS spans_boundary
+FROM c
+""",
+)
+def doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, doc_id, n_tokens, shard_id, offset_in_shard,
+    spans_boundary) — each document's position inside the packed
+    SEQ_LEN-token sequences of its source: the metadata a loader uses
+    to reconstruct document boundaries (and an attention-mask builder
+    uses to split boundary-spanning rows) without re-tokenizing."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(tokenize("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn(
+        "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    off = F.col("tok_offset") % SEQ_LEN
+    return c.select(
+        "source",
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.floor(F.col("tok_offset") / SEQ_LEN).cast("bigint").alias("shard_id"),
+        off.cast("bigint").alias("offset_in_shard"),
+        (off + F.col("n_tokens") > SEQ_LEN).cast("int").alias("spans_boundary"),
+    )

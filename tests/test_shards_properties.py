@@ -133,3 +133,26 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def shared_spark(spark):
     return spark
+
+
+def test_pack_offsets_consistent_with_plan(spark, sf_dir):
+    """doc_pack_offsets is the row-level expansion of doc_pack_plan:
+    grouping the per-doc rows by (source, shard) must reproduce the
+    plan's rollup exactly, offsets stay inside [0, SEQ_LEN), and a doc
+    spans a boundary iff offset + n_tokens overflows the sequence."""
+    from bigdatamlteamrepo_spark.queries import QUERIES
+    from bigdatamlteamrepo_spark.queries.shards import SEQ_LEN
+
+    offs = QUERIES["doc_pack_offsets"](spark, sf_dir).collect()
+    plan = {
+        (r.source, r.shard_id): (r.n_docs, r.shard_tokens, r.first_doc, r.last_doc)
+        for r in QUERIES["doc_pack_plan"](spark, sf_dir).collect()
+    }
+    agg: dict = {}
+    for r in offs:
+        assert 0 <= r.offset_in_shard < SEQ_LEN, r
+        assert r.spans_boundary == int(r.offset_in_shard + r.n_tokens > SEQ_LEN), r
+        k = (r.source, r.shard_id)
+        n, tok, lo, hi = agg.get(k, (0, 0, r.doc_id, r.doc_id))
+        agg[k] = (n + 1, tok + r.n_tokens, min(lo, r.doc_id), max(hi, r.doc_id))
+    assert agg == plan
