@@ -898,3 +898,94 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         rerank=_IVFPQ_RERANK,
         exclude_self=True,
     )
+
+
+# --------------------------------------------------------------------------
+# Curate → search composition: similarity search restricted to the
+# documents the END-TO-END corpus build actually ships.  The synthetic
+# corpus links embeddings to documents 1:1 by id (vec_id = doc_id), so
+# the survivor set from queries/textmodel.corpus_stage_frames projects
+# directly onto the embedding table — the retrieval surface a curated
+# 100 TB corpus exposes (dedup/quality-filter first, then index ONLY
+# the shipped vectors; dead weight never enters the ANN tier).
+# --------------------------------------------------------------------------
+
+_SURV_NQ = 5
+_SURV_K = 10
+
+
+def _survivor_knn_oracle() -> str:
+    from bigdatamlteamrepo_spark.queries.textmodel import _corpus_survivor_ctes
+
+    cos = (
+        f"({dot_expr('q.embedding', 'c.embedding')} / "
+        f"({norm_expr('q.embedding')} * {norm_expr('c.embedding')}))"
+    )
+    return f"""
+WITH RECURSIVE
+{_corpus_survivor_ctes()},
+__semb AS (
+  SELECT e.vec_id, e.embedding
+  FROM embeddings e JOIN __csel s ON e.vec_id = s.doc_id
+),
+__squeries AS (
+  SELECT vec_id, embedding FROM __semb ORDER BY vec_id LIMIT {_SURV_NQ}
+),
+__spairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine_sim
+  FROM __squeries q JOIN __semb c ON c.vec_id <> q.vec_id
+),
+__sranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+         ) AS INT) AS rank
+  FROM __spairs
+)
+SELECT query_id, neighbor_id, cosine_sim, rank
+FROM __sranked WHERE rank <= {_SURV_K}
+"""
+
+
+@query("corpus_survivor_knn", oracle=_survivor_knn_oracle())
+def corpus_survivor_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k over the CURATED corpus: candidates (and the
+    query vectors — the lowest-id survivors) are restricted to the
+    end-to-end build's shipped doc_ids before any similarity work runs.
+
+    Plan: the survivor id set is corpus-shrunk and materialized once
+    (queries/textmodel.corpus_survivor_ids — every stage a hash
+    semi/anti join); the embedding scan hash-semi-joins against it, the
+    query set is broadcast, cosine is a JVM expression fold, and the
+    per-query top-k window shuffles only (query, candidate) rows.  At
+    100 TB the win is structural: the ANN/index tier (see
+    tests/test_corpus_ann.py for the IVF-PQ-index composition of this
+    same surface) is built over survivors only — typically 30-60%
+    smaller than raw after dedup + quality gating."""
+    from pyspark.sql import Window
+
+    from bigdatamlteamrepo_spark.queries.textmodel import corpus_survivor_ids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    surv = corpus_survivor_ids(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    semb = emb.join(surv, "vec_id", "left_semi")
+    queries = (
+        semb.orderBy("vec_id")
+        .limit(_SURV_NQ)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    )
+    cand = semb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("q_emb"), F.col("embedding")).alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _SURV_K)
+    )

@@ -697,7 +697,13 @@ def training_corpus_selection(
 # --------------------------------------------------------------------------
 
 
-def _corpus_build_oracle() -> str:
+def _corpus_survivor_ctes() -> str:
+    """The corpus-build survivor chain as a DuckDB CTE body (requires a
+    ``WITH RECURSIVE`` prefix): Gopher gate → exact dedup → near-dup
+    keep-rep → survivor-trained-LM tercile selection, ending at
+    ``__csel (doc_id)``.  Shared by the corpus_build_summary oracle and
+    every oracle composing "the documents the build ships" with a
+    downstream stage (e.g. corpus_survivor_knn)."""
     from bigdatamlteamrepo_spark.queries.text_dedup import (
         _JAC_SQL,
         _JACCARD_MIN,
@@ -705,7 +711,6 @@ def _corpus_build_oracle() -> str:
     )
 
     return f"""
-WITH RECURSIVE
 __cbg AS ({_gopher_doc_sql()}),
 __cs1 AS (SELECT doc_id FROM __cbg WHERE pass_gopher = 1),
 __cs2 AS (
@@ -755,7 +760,13 @@ __clm AS (
 __csel AS (
   SELECT s.doc_id FROM __cs3 s LEFT JOIN __clm l USING (doc_id)
   WHERE COALESCE(l.ppl_tercile, 3) <= 2
-)
+)"""
+
+
+def _corpus_build_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+{_corpus_survivor_ctes()}
 SELECT d.source,
        CAST(COUNT(*) AS BIGINT) AS n_input,
        CAST(SUM(CASE WHEN s1.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher,
@@ -772,25 +783,15 @@ GROUP BY d.source
 """
 
 
-@query("corpus_build_summary", oracle=_corpus_build_oracle())
-def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source accounting of the END-TO-END training-corpus build
-    (pipelines.build_training_corpus without the shard write): input →
-    Gopher survivors → exact-dedup keepers (min doc_id per (lang,
-    md5(text))) → near-dup keepers (LSH→verify→connected components,
-    representative chosen AMONG survivors) → LM-selected docs (bigram
-    LM trained on the DEDUPED survivors, tercile ≤ 2) → shipped char
-    mass.
-
-    Plan: every stage is a doc_id presence set glued by hash semi/anti
-    joins; the accounting is ONE pass over documents with four
-    presence-flag left joins and a per-source conditional rollup — no
-    stage is re-aggregated per metric.  Stage frames are persisted
-    while the (per-source-sized) report materializes, then released
-    (the operators/dedup.py discipline).  At 100 TB each arrow keeps
-    the scale shape its registered per-stage query proves; the LM
-    trains on survivors (the CCNet caveat: training on raw duplicated
-    text biases the perplexity head toward boilerplate)."""
+def corpus_stage_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The corpus-build decision chain's per-stage doc_id presence sets
+    as PERSISTED frames: ``{"s1": gopher, "s2": exact-dedup keepers,
+    "s3": near-dup keepers, "sel": LM-selected}`` — the Spark twin of
+    :func:`_corpus_survivor_ctes`.  Callers own the lifecycle: consume,
+    materialize something small, then ``unpersist()`` each frame (the
+    operators/dedup.py discipline)."""
     from bigdatamlteamrepo_spark.operators.graph import connected_components
     from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
     from bigdatamlteamrepo_spark.queries.text_dedup import ngram_jaccard_pairs
@@ -839,7 +840,42 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .persist()
     )
-    stages = {"s1": s1, "s2": s2, "s3": s3, "sel": sel}
+    return {"s1": s1, "s2": s2, "s3": s3, "sel": sel}
+
+
+def corpus_survivor_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc_ids the end-to-end build ships (``__csel`` in the oracle
+    CTEs), materialized small (one bigint column, corpus-shrunk) and
+    released from executor storage before returning."""
+    stages = corpus_stage_frames(spark, sf_dir)
+    out = stages["sel"].localCheckpoint(eager=True)
+    for frame in stages.values():
+        frame.unpersist()
+    return out
+
+
+@query("corpus_build_summary", oracle=_corpus_build_oracle())
+def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of the END-TO-END training-corpus build
+    (pipelines.build_training_corpus without the shard write): input →
+    Gopher survivors → exact-dedup keepers (min doc_id per (lang,
+    md5(text))) → near-dup keepers (LSH→verify→connected components,
+    representative chosen AMONG survivors) → LM-selected docs (bigram
+    LM trained on the DEDUPED survivors, tercile ≤ 2) → shipped char
+    mass.
+
+    Plan: every stage is a doc_id presence set glued by hash semi/anti
+    joins (built once in :func:`corpus_stage_frames`); the accounting
+    is ONE pass over documents with four presence-flag left joins and
+    a per-source conditional rollup — no stage is re-aggregated per
+    metric.  Stage frames are persisted while the (per-source-sized)
+    report materializes, then released (the operators/dedup.py
+    discipline).  At 100 TB each arrow keeps the scale shape its
+    registered per-stage query proves; the LM trains on survivors (the
+    CCNet caveat: training on raw duplicated text biases the
+    perplexity head toward boilerplate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stages = corpus_stage_frames(spark, sf_dir)
     base = docs.select("doc_id", "source", "n_chars")
     for name, frame in stages.items():
         base = base.join(
