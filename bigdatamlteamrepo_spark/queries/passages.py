@@ -229,3 +229,208 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= top_k)
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring SPAN dedup (stride-1): Lee et al. 2021's ExactSubstr
+# shape.  Where passage_dedup_summary audits NON-overlapping fixed
+# chunks, this tier slides a w-token window at stride 1, finds every
+# window whose exact token sequence occurs ≥2 times anywhere in the
+# corpus (cross-doc boilerplate AND within-doc repetition), and merges
+# overlapping/adjacent duplicated windows into maximal cut spans — the
+# actionable byte ranges ExactSubstr removes, not just a count.
+#
+# Scale: Lee et al. build a suffix array; the Spark-idiomatic
+# equivalent is this rolling window-hash stream — one row per token
+# (stride 1), i.e. O(corpus tokens), exactly the suffix-array's input
+# size, with the duplicated-hash table Zipf-collapsed far below it.
+# The stream shuffles once to count hashes and once to re-join the dup
+# table; the island merge windows only over DUP windows (a small
+# fraction of the stream).  No stage is quadratic; no UDFs.
+# --------------------------------------------------------------------------
+
+#: stride-1 window width in tokens (Lee et al. use 50-token windows at
+#: web scale; 15 scales to the synthetic corpus' ~54-token documents so
+#: spans are sub-document and multi-span docs exist)
+SPAN_W = 15
+
+_SPAN_WINDOWS_CTE = f"""
+t AS (
+  SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents
+),
+w AS (
+  SELECT doc_id, source, CAST(i AS INT) AS start,
+         md5(array_to_string(toks[i:i + {SPAN_W} - 1], ' ')) AS h
+  FROM t, unnest(range(1, len(toks) - {SPAN_W} + 2)) AS u(i)
+),
+d AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+dw AS (SELECT w.doc_id, w.source, w.start FROM w JOIN d USING (h)),
+isl AS (
+  SELECT doc_id, source, start,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM (
+    SELECT *, CASE WHEN start - LAG(start) OVER (
+                     PARTITION BY doc_id ORDER BY start) <= {SPAN_W}
+                   THEN 0 ELSE 1 END AS brk
+    FROM dw
+  )
+),
+spans AS (
+  SELECT doc_id, source,
+         CAST(MIN(start) AS INT) AS span_start,
+         CAST(MAX(start) + {SPAN_W} - 1 AS INT) AS span_end,
+         CAST(MAX(start) - MIN(start) + {SPAN_W} AS INT) AS span_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_windows
+  FROM isl GROUP BY doc_id, source, island
+)
+"""
+
+
+def window_hashes(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """(doc_id, source, start, h) — md5 keys of every stride-1 w-token
+    window, 1-based start offset.  One expression-only pass: hashes are
+    computed inside ``transform`` over the token array, then ONLY the
+    (pos, hash) pairs explode — the token array never fans out."""
+    t = docs.select("doc_id", "source", tokenize("text").alias("toks"))
+    hs = F.when(
+        F.size("toks") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - F.lit(w - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, F.lit(w)))),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    return t.select(
+        "doc_id", "source", F.posexplode(hs.alias("hs")).alias("pos", "h")
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("pos") + 1).cast("int").alias("start"),
+        "h",
+    )
+
+
+def dup_substring_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Maximal duplicated spans per document: every stride-1 w-token
+    window occurring ≥2 times in the corpus, merged with its
+    overlapping/adjacent duplicated neighbours (equal-width intervals:
+    consecutive starts merge iff start − prev_start ≤ w, so a single
+    ``lag`` replaces the general running-max island scan).
+
+    Returns (doc_id, source, span_start, span_end, span_tokens,
+    n_windows) with 1-based inclusive token offsets."""
+    wins = window_hashes(docs, w)
+    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    dw = wins.join(dup.select("h"), "h").select("doc_id", "source", "start")
+    order = Window.partitionBy("doc_id").orderBy("start")
+    brk = F.when(
+        F.col("start") - F.lag("start").over(order) <= w, F.lit(0)
+    ).otherwise(F.lit(1))
+    isl = dw.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("doc_id", "source", "island")
+        .agg(
+            F.min("start").cast("int").alias("span_start"),
+            (F.max("start") + (w - 1)).cast("int").alias("span_end"),
+            (F.max("start") - F.min("start") + w).cast("int").alias(
+                "span_tokens"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .drop("island")
+    )
+
+
+@query(
+    "doc_dup_substring_spans",
+    oracle=f"""
+WITH {_SPAN_WINDOWS_CTE}
+SELECT doc_id, source, span_start, span_end, span_tokens, n_windows
+FROM spans
+""",
+)
+def doc_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of :func:`dup_substring_spans` on the driver
+    corpus: the exact token ranges an ExactSubstr-style cleaner would
+    cut from each document.
+
+    Plan: the window stream is O(corpus tokens) and shuffles twice on
+    the window hash (count, then re-join the Zipf-collapsed dup table
+    with map-side combine on both); the lag/sum island merge windows
+    only over duplicated windows.  At 100 TB the dup-hash join is a
+    plain hash equi-join (AQE broadcasts it at driver SFs); nothing
+    references text after the first projection — only 32-char hashes
+    and int offsets move."""
+    return dup_substring_spans(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "substring_dedup_summary",
+    bench=True,
+    oracle=f"""
+WITH {_SPAN_WINDOWS_CTE},
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(toks)) AS BIGINT) AS total_tokens
+  FROM t GROUP BY source
+),
+cut AS (
+  SELECT source,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_with_dup,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(span_tokens) AS BIGINT) AS dup_span_tokens
+  FROM spans GROUP BY source
+)
+SELECT tot.source, tot.n_docs, tot.total_tokens,
+       COALESCE(cut.n_docs_with_dup, 0) AS n_docs_with_dup,
+       COALESCE(cut.n_spans, 0) AS n_spans,
+       COALESCE(cut.dup_span_tokens, 0) AS dup_span_tokens,
+       CAST(((tot.total_tokens - COALESCE(cut.dup_span_tokens, 0))
+             * 1000000) // tot.total_tokens AS BIGINT) AS retained_ppm
+FROM tot LEFT JOIN cut USING (source)
+""",
+)
+def substring_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ExactSubstr accounting: how many tokens sit inside a
+    duplicated ≥15-token span, and the parts-per-million of the
+    corpus that survives cutting them — the "what does exact-substring
+    dedup buy me" audit run before committing to the pass.
+
+    ``retained_ppm`` is exact integer arithmetic (floor division of
+    BIGINTs) — never a rounded rational, which both engines tie-break
+    differently (the house rounding rule, NOTES_r6)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokenize("text")).alias("n_toks")
+    )
+    tot = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+    )
+    cut = (
+        dup_substring_spans(docs)
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_with_dup"),
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum("span_tokens").cast("bigint").alias("dup_span_tokens"),
+        )
+    )
+    return tot.join(cut, "source", "left").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.coalesce("n_docs_with_dup", F.lit(0)).alias("n_docs_with_dup"),
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("dup_span_tokens", F.lit(0)).alias("dup_span_tokens"),
+        F.expr(
+            "CAST(((total_tokens - COALESCE(dup_span_tokens, 0)) * 1000000)"
+            " div total_tokens AS BIGINT)"
+        ).alias("retained_ppm"),
+    )
