@@ -896,6 +896,217 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
+def _incremental_build_oracle() -> str:
+    from bigdatamlteamrepo_spark.queries.text_dedup import (
+        _INCR_MOD,
+        _JAC_SQL,
+        _JACCARD_MIN,
+        lsh_pairs_ctes,
+    )
+
+    return f"""
+WITH {lsh_pairs_ctes()},
+__sets AS (SELECT doc_id, list_distinct(sh) AS s FROM __sh),
+__ig AS ({_gopher_doc_sql()}),
+__is1 AS (
+  SELECT doc_id FROM __ig
+  WHERE pass_gopher = 1 AND doc_id % {_INCR_MOD} = 0
+),
+__ikeys AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+__inew AS (
+  SELECT k.doc_id, k.lang, k.h
+  FROM __ikeys k JOIN __is1 USING (doc_id)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM __ikeys x
+    WHERE x.doc_id % {_INCR_MOD} <> 0 AND x.lang = k.lang AND x.h = k.h
+  )
+),
+__is2 AS (
+  SELECT MIN(doc_id) AS doc_id FROM __inew GROUP BY lang, h
+),
+__icand AS (
+  SELECT DISTINCT n.doc_id AS doc_a, i.doc_id AS doc_b
+  FROM __bands n JOIN __bands i ON n.band = i.band
+  WHERE n.doc_id IN (SELECT doc_id FROM __is2)
+    AND (i.doc_id % {_INCR_MOD} <> 0
+         OR (i.doc_id IN (SELECT doc_id FROM __is2)
+             AND i.doc_id < n.doc_id))
+),
+__idrop AS (
+  SELECT DISTINCT c.doc_a AS doc_id
+  FROM __icand c
+  JOIN __sets a ON a.doc_id = c.doc_a
+  JOIN __sets b ON b.doc_id = c.doc_b
+  WHERE {_JAC_SQL} >= {_JACCARD_MIN}
+),
+__is3 AS (
+  SELECT doc_id FROM __is2
+  WHERE doc_id NOT IN (SELECT doc_id FROM __idrop)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN s1.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gopher,
+       CAST(SUM(CASE WHEN s2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_new,
+       CAST(SUM(CASE WHEN s3.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_neardup_new,
+       CAST(SUM(CASE WHEN s3.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS chars_appended
+FROM documents d
+LEFT JOIN __is1 s1 ON d.doc_id = s1.doc_id
+LEFT JOIN __is2 s2 ON d.doc_id = s2.doc_id
+LEFT JOIN __is3 s3 ON d.doc_id = s3.doc_id
+WHERE d.doc_id % {_INCR_MOD} = 0
+GROUP BY d.source
+"""
+
+
+@query("corpus_incremental_build_summary", oracle=_incremental_build_oracle())
+def corpus_incremental_build_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source accounting of an INCREMENTAL ingest: the new batch
+    (the ``doc_id % 5 == 0`` slice, the neardup_incremental_lsh
+    convention) curated against the already-ingested corpus (the other
+    80%) without re-deduplicating it: batch → Gopher gate → exact
+    dedup (drop (lang, md5) keys already in the index, keep min doc_id
+    within the batch) → near-dup (drop batch docs whose shingle
+    Jaccard ≥ 0.5 with ANY index doc, or with a SMALLER-id surviving
+    batch doc) → appended char mass.
+
+    The within-batch near-dup rule is the standard min-id pair rule,
+    not full connected components: at ingest time each accepted doc
+    joins the index, so "drop if a smaller-id near-dup exists" is the
+    set-expressible form of greedy sequential acceptance (it can
+    over-drop only on chains a > b > c where b was itself dropped —
+    the conservative direction for a dedup gate).  The full-rebuild
+    CC semantics live in :func:`corpus_build_summary`.
+
+    Scale: this is THE 100 TB ingest shape — per-crawl cost is
+    O(|batch|) signature/hash work plus band/key equi-joins against
+    the persisted index tables (here rebuilt from sf_dir so the query
+    stays a pure oracle-checkable function; lsh_band_rows documents
+    the persisted-index deployment).  The index side never shuffles
+    when the band table is bucketed by band; nothing in this plan
+    touches index-index pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    from bigdatamlteamrepo_spark.queries.text_dedup import _INCR_MOD
+
+    is_new = F.col("doc_id") % _INCR_MOD == 0
+    stages = incremental_stage_frames(docs)
+    base = docs.filter(is_new).select("doc_id", "source", "n_chars")
+    for name, frame in stages.items():
+        if name.startswith("_"):
+            continue
+        base = base.join(
+            frame.withColumn(f"__{name}", F.lit(1)), "doc_id", "left"
+        )
+    report = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.sum(F.coalesce("__s1", F.lit(0))).cast("bigint").alias("n_gopher"),
+        F.sum(F.coalesce("__s2", F.lit(0))).cast("bigint").alias("n_exact_new"),
+        F.sum(F.coalesce("__s3", F.lit(0)))
+        .cast("bigint")
+        .alias("n_neardup_new"),
+        F.sum(F.when(F.col("__s3") == 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_appended"),
+    ).localCheckpoint(eager=True)
+    for frame in stages.values():
+        frame.unpersist()
+    return report
+
+
+def incremental_stage_frames(docs: DataFrame) -> dict[str, DataFrame]:
+    """Per-stage batch-survivor doc_id sets of the incremental ingest
+    (``{"s1": gopher pass, "s2": exact-new, "s3": neardup-new}``) as
+    PERSISTED frames over any (doc_id, lang, source, text, n_chars)
+    frame — callers consume, materialize something small, then
+    ``unpersist()`` each (the operators/dedup.py discipline)."""
+    from bigdatamlteamrepo_spark.functions.text import shingles, tokenize
+    from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
+    from bigdatamlteamrepo_spark.queries.text_dedup import (
+        _INCR_MOD,
+        _JACCARD_MIN,
+        _pair_jaccard,
+        lsh_band_rows,
+    )
+
+    is_new = F.col("doc_id") % _INCR_MOD == 0
+    batch = docs.filter(is_new)
+
+    flags = gopher_rule_flags(batch, "doc_id")
+    s1 = (
+        flags.filter(
+            (
+                F.col("f_words")
+                + F.col("f_mwl")
+                + F.col("f_alpha")
+                + F.col("f_stop")
+                + F.col("f_longword")
+            )
+            == 0
+        )
+        .select("doc_id")
+        .persist()
+    )
+
+    keys = docs.select("doc_id", "lang", F.md5("text").alias("__h"))
+    index_keys = keys.filter(~is_new).select("lang", "__h").distinct()
+    s2 = (
+        keys.join(s1, "doc_id", "left_semi")
+        .join(index_keys, ["lang", "__h"], "left_anti")
+        .groupBy("lang", "__h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .persist()
+    )
+
+    # persist() (not localCheckpoint) so the caller's final unpersist
+    # actually releases the corpus-sized blocks — unpersist on a
+    # checkpointed frame is a no-op (the r5-advice storage leak)
+    sets = (
+        docs.select("doc_id", tokenize("text").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s")
+        )
+        .persist()
+    )
+    bands = lsh_band_rows(sets, F.col("s")).persist()
+    bnew = bands.join(s2, "doc_id", "left_semi")
+    vs_index = (
+        bnew.alias("n")
+        .join(bands.filter(~is_new).alias("i"), "band")
+        .select(
+            F.col("n.doc_id").alias("doc_a"), F.col("i.doc_id").alias("doc_b")
+        )
+    )
+    vs_batch = (
+        bnew.alias("a")
+        .join(
+            bnew.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    cand = vs_index.unionByName(vs_batch).distinct()
+    dropped = (
+        _pair_jaccard(cand, sets, _JACCARD_MIN, materialize=False)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(dropped, "doc_id", "left_anti").persist()
+    # "_"-keyed entries are storage-releasable internals, not stage
+    # presence sets — consumers join on the s* keys only but must
+    # unpersist everything once their output is materialized
+    return {"s1": s1, "s2": s2, "s3": s3, "_sets": sets, "_bands": bands}
+
+
 # --------------------------------------------------------------------------
 # Iterative BPE merge learning (full loop over bpe_pair_counts' stat).
 # --------------------------------------------------------------------------
