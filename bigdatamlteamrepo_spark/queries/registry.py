@@ -50,21 +50,30 @@ PRI_EXTRA = 90
 #:     the r03 lesson);
 #:   * passage_neardup_pairs — r05-green but its REGISTERED DEFAULT
 #:     changed this round (auto bucket cap), so it re-verifies;
-#:   * 6 queries new this round: corpus_build_summary,
+#:   * 10 queries new this round: corpus_build_summary,
 #:     source_overlap_kmv, embedding_semdedup_ann_summary,
 #:     events_value_quantile_sketch, bbit_minhash_jaccard_pairs,
-#:     doc_pack_offsets.
+#:     doc_pack_offsets, corpus_survivor_knn, doc_dup_substring_spans,
+#:     substring_dedup_summary, corpus_incremental_build_summary — a
+#:     new query's FIRST driver row outranks re-verifying a stale one
+#:     (never-driver-checked reads worse than 3-rounds-stale).  The
+#:     last four displaced four r03 entries whose mechanism family has
+#:     an in-window or fresher-green sibling: ann_rp_lsh_multiprobe_topk
+#:     (RP-LSH core green via ann_rp_lsh_topk r05 + pq/ivfpq in-window),
+#:     bpe_pair_counts (doc_bpe_token_counts r05; learners pinned
+#:     locally), cms_heavy_suppliers (4 sketch queries remain in-window),
+#:     doc_stratified_sample (doc_mixture_sample / doc_shard_assignment
+#:     r05; cutoff property tested locally) — all four + the four
+#:     round-5 deferrals are the r07 rotation's first picks.
 #: Every r04/r05 green keeps local parity coverage and rotates back in
 #: future windows.
 ROTATE_IN: frozenset[str] = frozenset(
     {
-        # --- latest green = r03 (43 of 47)
+        # --- latest green = r03 (39 of 47; 4 deferred round 5, 4 more
+        # displaced late round 6 — see composition note above)
         "ann_ivfpq_topk",
         "ann_pq_adc_topk",
-        "ann_rp_lsh_multiprobe_topk",
         "bloom_semijoin_orders",
-        "bpe_pair_counts",
-        "cms_heavy_suppliers",
         "dedup_exact_by_lang",
         "doc_containment_pairs",
         "doc_gopher_rules",
@@ -74,7 +83,6 @@ ROTATE_IN: frozenset[str] = frozenset(
         "doc_pack_plan",
         "doc_shard_assignment_n64",
         "doc_shared_shingle_stats",
-        "doc_stratified_sample",
         "doc_winnowing_fingerprints",
         "dsir_importance_weights",
         "events_funnel_view_click_purchase",
@@ -104,13 +112,17 @@ ROTATE_IN: frozenset[str] = frozenset(
         "training_corpus_selection",
         # --- r05-green but registered semantics changed this round
         "passage_neardup_pairs",
-        # --- new this round (6)
+        # --- new this round (10)
         "corpus_build_summary",
         "source_overlap_kmv",
         "embedding_semdedup_ann_summary",
         "events_value_quantile_sketch",
         "bbit_minhash_jaccard_pairs",
         "doc_pack_offsets",
+        "corpus_survivor_knn",
+        "doc_dup_substring_spans",
+        "substring_dedup_summary",
+        "corpus_incremental_build_summary",
     }
 )
 
