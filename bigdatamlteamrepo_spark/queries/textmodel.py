@@ -1018,23 +1018,51 @@ def corpus_incremental_build_summary(
     return report
 
 
-def incremental_stage_frames(docs: DataFrame) -> dict[str, DataFrame]:
-    """Per-stage batch-survivor doc_id sets of the incremental ingest
-    (``{"s1": gopher pass, "s2": exact-new, "s3": neardup-new}``) as
-    PERSISTED frames over any (doc_id, lang, source, text, n_chars)
-    frame — callers consume, materialize something small, then
-    ``unpersist()`` each (the operators/dedup.py discipline)."""
+def doc_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) — distinct 3-token shingle set per document of any
+    (doc_id, text) frame (the frame-parameterized twin of
+    queries/text_dedup._shingle_sets)."""
     from bigdatamlteamrepo_spark.functions.text import shingles, tokenize
+
+    return (
+        docs.select("doc_id", tokenize("text").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s")
+        )
+    )
+
+
+def batch_ingest_stages(
+    batch: DataFrame,
+    index_keys: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+) -> dict[str, DataFrame]:
+    """Per-stage batch-survivor doc_id sets of one ingest step against
+    arbitrary index tables: ``{"s1": gopher pass, "s2": exact-new,
+    "s3": neardup-new}`` as PERSISTED frames — callers consume,
+    materialize something small, then ``unpersist()`` each (the
+    operators/dedup.py discipline; ``_``-keyed entries are
+    storage-releasable internals, not presence sets).
+
+    ``batch``: (doc_id, lang, source, text, ...) — the arriving docs.
+    ``index_keys``: (lang, h) md5 keys of every already-ingested doc.
+    ``index_bands``: (doc_id, band) LSH band rows of the ingested
+    corpus (lsh_band_rows — the persisted dedup index).
+    ``index_sets``: (doc_id, s) shingle sets for Jaccard verify; index
+    doc_ids must be disjoint from batch doc_ids.
+
+    Shared by the registered batch query
+    (:func:`corpus_incremental_build_summary`) and the streaming
+    foreachBatch ingest (streaming/ingest.py), so stream ≡ batch is
+    testable against one implementation."""
     from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
     from bigdatamlteamrepo_spark.queries.text_dedup import (
-        _INCR_MOD,
         _JACCARD_MIN,
         _pair_jaccard,
         lsh_band_rows,
     )
-
-    is_new = F.col("doc_id") % _INCR_MOD == 0
-    batch = docs.filter(is_new)
 
     flags = gopher_rule_flags(batch, "doc_id")
     s1 = (
@@ -1052,11 +1080,14 @@ def incremental_stage_frames(docs: DataFrame) -> dict[str, DataFrame]:
         .persist()
     )
 
-    keys = docs.select("doc_id", "lang", F.md5("text").alias("__h"))
-    index_keys = keys.filter(~is_new).select("lang", "__h").distinct()
+    keys = batch.select("doc_id", "lang", F.md5("text").alias("__h"))
     s2 = (
         keys.join(s1, "doc_id", "left_semi")
-        .join(index_keys, ["lang", "__h"], "left_anti")
+        .join(
+            index_keys.select(F.col("lang"), F.col("h").alias("__h")),
+            ["lang", "__h"],
+            "left_anti",
+        )
         .groupBy("lang", "__h")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
@@ -1066,19 +1097,12 @@ def incremental_stage_frames(docs: DataFrame) -> dict[str, DataFrame]:
     # persist() (not localCheckpoint) so the caller's final unpersist
     # actually releases the corpus-sized blocks — unpersist on a
     # checkpointed frame is a no-op (the r5-advice storage leak)
-    sets = (
-        docs.select("doc_id", tokenize("text").alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select(
-            "doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s")
-        )
-        .persist()
-    )
-    bands = lsh_band_rows(sets, F.col("s")).persist()
-    bnew = bands.join(s2, "doc_id", "left_semi")
+    bsets = doc_shingle_sets(batch).persist()
+    bnew = lsh_band_rows(bsets, F.col("s")).join(s2, "doc_id", "left_semi")
+    bnew = bnew.persist()
     vs_index = (
         bnew.alias("n")
-        .join(bands.filter(~is_new).alias("i"), "band")
+        .join(index_bands.alias("i"), "band")
         .select(
             F.col("n.doc_id").alias("doc_a"), F.col("i.doc_id").alias("doc_b")
         )
@@ -1095,16 +1119,40 @@ def incremental_stage_frames(docs: DataFrame) -> dict[str, DataFrame]:
         )
     )
     cand = vs_index.unionByName(vs_batch).distinct()
+    all_sets = bsets.unionByName(index_sets)
     dropped = (
-        _pair_jaccard(cand, sets, _JACCARD_MIN, materialize=False)
+        _pair_jaccard(cand, all_sets, _JACCARD_MIN, materialize=False)
         .select(F.col("doc_a").alias("doc_id"))
         .distinct()
     )
     s3 = s2.join(dropped, "doc_id", "left_anti").persist()
-    # "_"-keyed entries are storage-releasable internals, not stage
-    # presence sets — consumers join on the s* keys only but must
-    # unpersist everything once their output is materialized
-    return {"s1": s1, "s2": s2, "s3": s3, "_sets": sets, "_bands": bands}
+    return {"s1": s1, "s2": s2, "s3": s3, "_sets": bsets, "_bands": bnew}
+
+
+def incremental_stage_frames(docs: DataFrame) -> dict[str, DataFrame]:
+    """:func:`batch_ingest_stages` over the registered 20/80 split:
+    batch = ``doc_id % 5 == 0``, index tables derived from the other
+    80% (in production these are the PERSISTED key/band/set tables;
+    see streaming/ingest.py for the maintained-index path)."""
+    from bigdatamlteamrepo_spark.queries.text_dedup import (
+        _INCR_MOD,
+        lsh_band_rows,
+    )
+
+    is_new = F.col("doc_id") % _INCR_MOD == 0
+    index = docs.filter(~is_new)
+    index_keys = (
+        index.select("lang", F.md5("text").alias("h")).distinct().persist()
+    )
+    index_sets = doc_shingle_sets(index).persist()
+    index_bands = lsh_band_rows(index_sets, F.col("s")).persist()
+    stages = batch_ingest_stages(
+        docs.filter(is_new), index_keys, index_bands, index_sets
+    )
+    stages["_index_keys"] = index_keys
+    stages["_index_sets"] = index_sets
+    stages["_index_bands"] = index_bands
+    return stages
 
 
 # --------------------------------------------------------------------------

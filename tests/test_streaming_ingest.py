@@ -1,0 +1,147 @@
+"""Streaming incremental ingest: the foreachBatch stream must equal
+the sequential batch fold of the SAME building block, and a single
+micro-batch must reproduce the registered batch capstone's stage
+semantics exactly."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.queries.text_dedup import _INCR_MOD
+from bigdatamlteamrepo_spark.queries.textmodel import incremental_stage_frames
+from bigdatamlteamrepo_spark.streaming.ingest import (
+    build_ingest_indexes,
+    incremental_ingest_stream,
+    ingest_batch,
+)
+
+_DOC_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+@pytest.fixture(scope="module")
+def split(spark, sf_dir):
+    """(index_docs, batch_halves): the 80% seed corpus and the 20%
+    batch split into two arrival waves by doc_id order."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    is_new = F.col("doc_id") % _INCR_MOD == 0
+    batch_ids = sorted(
+        r.doc_id for r in docs.filter(is_new).select("doc_id").collect()
+    )
+    mid = batch_ids[len(batch_ids) // 2]
+    index = docs.filter(~is_new)
+    b1 = docs.filter(is_new & (F.col("doc_id") < mid))
+    b2 = docs.filter(is_new & (F.col("doc_id") >= mid))
+    return index, (b1, b2)
+
+
+def _fold_decisions(spark, tmp, index, batches):
+    idx = str(tmp / "fold_idx")
+    build_ingest_indexes(index, idx)
+    rows = []
+    for b in batches:
+        rows += ingest_batch(b, spark, idx).collect()
+    return {r.doc_id: r.decision for r in rows}
+
+
+def test_stream_equals_sequential_batch_fold(spark, tmp_path, split):
+    index, (b1, b2) = split
+    expect = _fold_decisions(spark, tmp_path, index, [b1, b2])
+
+    idx = str(tmp_path / "stream_idx")
+    build_ingest_indexes(index, idx)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = incremental_ingest_stream(
+        stream,
+        idx,
+        str(tmp_path / "decisions"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    assert n_batches >= 2, "waves must arrive in separate micro-batches"
+
+    got = {
+        r.doc_id: r.decision
+        for r in spark.read.parquet(str(tmp_path / "decisions")).collect()
+    }
+    assert got == expect
+    assert set(got.values()) >= {"accepted", "gopher_fail"}
+
+
+def test_single_batch_reproduces_registered_capstone(spark, sf_dir, tmp_path, split):
+    index, (b1, b2) = split
+    idx = str(tmp_path / "one_idx")
+    build_ingest_indexes(index, idx)
+    whole = b1.unionByName(b2)
+    decisions = {
+        r.doc_id: r.decision for r in ingest_batch(whole, spark, idx).collect()
+    }
+
+    frames = incremental_stage_frames(
+        load_table(spark, sf_dir, "documents")
+    )
+    stages = {
+        k: {r.doc_id for r in v.collect()}
+        for k, v in frames.items()
+        if not k.startswith("_")
+    }
+    for v in frames.values():
+        v.unpersist()
+
+    assert {d for d, v in decisions.items() if v == "accepted"} == stages["s3"]
+    assert {
+        d for d, v in decisions.items() if v in ("accepted", "near_dup")
+    } == stages["s2"]
+    assert {
+        d for d, v in decisions.items() if v != "gopher_fail"
+    } == stages["s1"]
+
+
+def test_sequential_ingest_is_stricter_than_batch_at_once(spark, tmp_path):
+    """A wave-2 doc exactly duplicating a wave-1 REJECTED doc is still
+    dropped (ingested = seen), which the one-shot min-id rule would
+    keep only for ACCEPTED wave-1 content — the documented semantic
+    difference between the stream fold and the batch capstone."""
+    # gopher-passing filler: ≥50 words, mean word length inside
+    # (4.2, 5.0), ≥2 stopwords, all-alpha
+    base = "the brave tiger hunts small birds and often naps under shade " * 6
+    reject_text = "zz " * 60  # fails the stopword floor
+    w1 = spark.createDataFrame(
+        [(0, base + "alpha", "en", "s", 1), (2, reject_text, "en", "s", 1)],
+        _DOC_SCHEMA,
+    )
+    w2 = spark.createDataFrame(
+        [(4, reject_text, "en", "s", 1)], _DOC_SCHEMA
+    )
+    idx = str(tmp_path / "strict_idx")
+    seed = spark.createDataFrame([], _DOC_SCHEMA)
+    build_ingest_indexes(seed, idx)
+    d1 = {r.doc_id: r.decision for r in ingest_batch(w1, spark, idx).collect()}
+    d2 = {r.doc_id: r.decision for r in ingest_batch(w2, spark, idx).collect()}
+    assert d1 == {0: "accepted", 2: "gopher_fail"}
+    # doc 4 never reaches the exact/near-dup stages (gopher rejects it
+    # first, same as doc 2) — but a gopher-PASSING copy of wave-1
+    # rejected content must be caught by the exact stage:
+    w3 = spark.createDataFrame(
+        [(6, base + "alpha", "en", "s", 1)], _DOC_SCHEMA
+    )
+    d3 = {r.doc_id: r.decision for r in ingest_batch(w3, spark, idx).collect()}
+    assert d2 == {4: "gopher_fail"}
+    assert d3 == {6: "exact_dup"}
