@@ -46,6 +46,7 @@ def build_training_corpus(
     n_shards: int = 8,
     lm: DataFrame | None = None,
     eval_docs: DataFrame | None = None,
+    cut_dup_spans: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full build; write shards to ``out_dir``; return
     ``{"report": per-source stage accounting, "manifest": shard
@@ -54,6 +55,11 @@ def build_training_corpus(
     ``lm`` accepts a precomputed perplexity frame (doc_id,
     ppl_tercile); by default the bigram LM is trained on the
     POST-DEDUP corpus (see module docstring).
+
+    ``cut_dup_spans``: when True, repeated ≥15-token spans among the
+    survivors are cut from document TEXT (ExactSubstr, Lee et al.)
+    after dedup/decontamination and before LM selection — span-level
+    surgery for the boilerplate that doc-level keep-rep cannot remove.
 
     ``eval_docs``: an optional (text) frame of held-out benchmark
     documents; survivors sharing ANY exact 8-token gram with it are
@@ -143,6 +149,22 @@ def build_training_corpus(
         )
     else:
         s35 = s3
+
+    # ---- stage 3.75 (optional): exact-substring span cutting — the
+    # ExactSubstr pass (Lee et al.): repeated ≥15-token spans among the
+    # SURVIVORS are cut from the text (not whole-doc removal), so
+    # residual cross-doc boilerplate that near-dup's doc-level keep-rep
+    # left behind never reaches the LM or the shards.  Spans are
+    # derived from survivors only: content that lived exclusively in
+    # dropped docs must not trigger cuts in kept ones.
+    if cut_dup_spans:
+        from bigdatamlteamrepo_spark.queries.passages import (
+            apply_span_cuts,
+            dup_substring_spans,
+        )
+
+        spans = dup_substring_spans(s35)
+        s35 = apply_span_cuts(s35, spans).localCheckpoint(eager=True)
 
     # ---- stage 4: LM perplexity selection (head/middle terciles).
     # Train on the deduped survivors by default: build the LM frame

@@ -347,6 +347,60 @@ def dup_substring_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     )
 
 
+def apply_span_cuts(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Cut the given token spans out of each document — the actionable
+    half of ExactSubstr (Lee et al. cut the repeated span, keep the
+    rest).  ``spans``: (doc_id, span_start, span_end), 1-based
+    inclusive TOKEN offsets (the :func:`dup_substring_spans` output).
+
+    Docs with no spans pass through byte-identical.  Cut docs have
+    ``text`` rebuilt from the kept tokens, single-space joined: the
+    offsets were computed on LOWERCASED tokens, but lowercasing never
+    moves a whitespace boundary, so splitting the ORIGINAL text at the
+    same positions preserves case — only inter-token whitespace is
+    normalized in rebuilt docs.  ``n_chars`` is recomputed and
+    ``n_tokens_cut`` added.
+
+    Plan: spans collapse to one small per-doc struct array
+    (collect_list after the island merge — spans per doc are few by
+    construction), joined back to the corpus on doc_id (broadcast at
+    driver SFs); the cut itself is a row-local ``filter``/``exists``
+    over token positions.  No shuffle of document text at any point."""
+    cuts = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__cuts")
+    )
+    idx = F.sequence(F.lit(1), F.size("__toks"))
+    kept = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            "__cuts",
+            lambda c: (i >= c.span_start) & (i <= c.span_end),
+        ),
+    )
+    clean = F.concat_ws(
+        " ", F.transform(kept, lambda i: F.get("__toks", i - 1))
+    )
+    n_kept = F.size(kept)
+    out_cols = [c for c in docs.columns if c not in ("text", "n_chars")]
+    return (
+        docs.join(cuts, "doc_id", "left")
+        .withColumn("__toks", F.split(F.col("text"), r"\s+"))
+        .select(
+            *out_cols,
+            F.when(F.col("__cuts").isNull(), F.col("text"))
+            .otherwise(clean)
+            .alias("text"),
+            F.when(F.col("__cuts").isNull(), F.col("n_chars"))
+            .otherwise(F.length(clean).cast("bigint"))
+            .alias("n_chars"),
+            F.when(F.col("__cuts").isNull(), F.lit(0))
+            .otherwise(F.size("__toks") - n_kept)
+            .cast("int")
+            .alias("n_tokens_cut"),
+        )
+    )
+
+
 @query(
     "doc_dup_substring_spans",
     oracle=f"""

@@ -154,6 +154,106 @@ def test_short_docs_produce_no_windows(spark):
     assert dup_substring_spans(_docs_frame(spark, texts)).count() == 0
 
 
+def test_apply_span_cuts_matches_brute_force(spark, sf_dir):
+    """Cleaned text re-derived independently: split each doc on
+    whitespace (case preserved), drop positions inside any brute-force
+    span, rejoin."""
+    from bigdatamlteamrepo_spark.queries.passages import apply_span_cuts
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.select("doc_id", "text", "lang", "source", "n_chars").collect()
+    texts = {r.doc_id: r.text for r in rows}
+    spans_by_doc: dict[int, list[tuple[int, int]]] = {}
+    for d, lo, hi in _brute_spans(texts, SPAN_W):
+        spans_by_doc.setdefault(d, []).append((lo, hi))
+    expect = {}
+    for r in rows:
+        cuts = spans_by_doc.get(r.doc_id)
+        if not cuts:
+            expect[r.doc_id] = (r.text, r.n_chars, 0)
+            continue
+        toks = re.split(r"\s+", r.text)
+        keep = [
+            t
+            for i, t in enumerate(toks, start=1)
+            if not any(lo <= i <= hi for lo, hi in cuts)
+        ]
+        clean = " ".join(keep)
+        expect[r.doc_id] = (clean, len(clean), len(toks) - len(keep))
+
+    out = apply_span_cuts(docs, dup_substring_spans(docs)).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        assert (r.text, r.n_chars, r.n_tokens_cut) == expect[r.doc_id], r.doc_id
+    assert any(r.n_tokens_cut > 0 for r in out)
+
+
+def test_cut_docs_shrink_dup_mass(spark, sf_dir):
+    """Cutting is not idempotent in general (new adjacencies can form),
+    but the duplicated-window mass must strictly shrink on the fixture
+    corpus."""
+    from bigdatamlteamrepo_spark.queries.passages import apply_span_cuts
+
+    docs = load_table(spark, sf_dir, "documents")
+    before = (
+        dup_substring_spans(docs)
+        .agg(F.sum("span_tokens").alias("t"))
+        .collect()[0]
+        .t
+    )
+    cleaned = apply_span_cuts(docs, dup_substring_spans(docs)).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    after = (
+        dup_substring_spans(cleaned)
+        .agg(F.sum("span_tokens").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert (after or 0) < before
+
+
+def test_pipeline_span_cut_stage(spark, sf_dir, tmp_path):
+    """cut_dup_spans=True leaves every stage upstream of the cut
+    unchanged, ships cut-annotated docs, and never ships a doc LARGER
+    than the plain build does (LM selection may legitimately pick a
+    different doc SET on the cleaned text, so totals are not compared)."""
+    from bigdatamlteamrepo_spark.pipelines import build_training_corpus
+
+    plain = build_training_corpus(
+        spark, sf_dir, str(tmp_path / "plain"), n_shards=2
+    )
+    cut = build_training_corpus(
+        spark,
+        sf_dir,
+        str(tmp_path / "cut"),
+        n_shards=2,
+        cut_dup_spans=True,
+    )
+    p = {r.source: r for r in plain["report"].collect()}
+    c = {r.source: r for r in cut["report"].collect()}
+    assert p.keys() == c.keys()
+    for src in p:
+        assert p[src].n_gopher == c[src].n_gopher
+        assert p[src].n_exact == c[src].n_exact
+        assert p[src].n_neardup == c[src].n_neardup
+        assert p[src].n_decontam == c[src].n_decontam
+
+    assert "n_tokens_cut" in cut["selected"].columns
+    plain_chars = {
+        r.doc_id: r.n_chars
+        for r in plain["selected"].select("doc_id", "n_chars").collect()
+    }
+    cut_rows = cut["selected"].select(
+        "doc_id", "n_chars", "n_tokens_cut"
+    ).collect()
+    common = [r for r in cut_rows if r.doc_id in plain_chars]
+    assert common
+    for r in common:
+        assert r.n_chars <= plain_chars[r.doc_id]
+        assert (r.n_chars < plain_chars[r.doc_id]) == (r.n_tokens_cut > 0)
+
+
 def test_no_python_udfs_in_span_plan(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = dup_substring_spans(docs)._jdf.queryExecution().executedPlan().toString()
