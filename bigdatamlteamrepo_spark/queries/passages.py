@@ -254,6 +254,32 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
 #: spans are sub-document and multi-span docs exist)
 SPAN_W = 15
 
+def span_merge_sql(w: int, src: str = "dw") -> str:
+    """The ``isl``/``spans`` oracle CTEs mirroring
+    :func:`merge_windows_to_spans` over a (doc_id, source, start) CTE
+    named ``src`` — shared by every span-producing oracle."""
+    return f"""isl AS (
+  SELECT doc_id, source, start,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM (
+    SELECT *, CASE WHEN start - LAG(start) OVER (
+                     PARTITION BY doc_id ORDER BY start) <= {w}
+                   THEN 0 ELSE 1 END AS brk
+    FROM {src}
+  )
+),
+spans AS (
+  SELECT doc_id, source,
+         CAST(MIN(start) AS INT) AS span_start,
+         CAST(MAX(start) + {w} - 1 AS INT) AS span_end,
+         CAST(MAX(start) - MIN(start) + {w} AS INT) AS span_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_windows
+  FROM isl GROUP BY doc_id, source, island
+)"""
+
+
 _SPAN_WINDOWS_CTE = f"""
 t AS (
   SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents
@@ -265,26 +291,7 @@ w AS (
 ),
 d AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
 dw AS (SELECT w.doc_id, w.source, w.start FROM w JOIN d USING (h)),
-isl AS (
-  SELECT doc_id, source, start,
-         SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS island
-  FROM (
-    SELECT *, CASE WHEN start - LAG(start) OVER (
-                     PARTITION BY doc_id ORDER BY start) <= {SPAN_W}
-                   THEN 0 ELSE 1 END AS brk
-    FROM dw
-  )
-),
-spans AS (
-  SELECT doc_id, source,
-         CAST(MIN(start) AS INT) AS span_start,
-         CAST(MAX(start) + {SPAN_W} - 1 AS INT) AS span_end,
-         CAST(MAX(start) - MIN(start) + {SPAN_W} AS INT) AS span_tokens,
-         CAST(COUNT(*) AS BIGINT) AS n_windows
-  FROM isl GROUP BY doc_id, source, island
-)
+{span_merge_sql(SPAN_W)}
 """
 
 
@@ -311,21 +318,19 @@ def window_hashes(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     )
 
 
-def dup_substring_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
-    """Maximal duplicated spans per document: every stride-1 w-token
-    window occurring ≥2 times in the corpus, merged with its
-    overlapping/adjacent duplicated neighbours (equal-width intervals:
+def merge_windows_to_spans(
+    dw: DataFrame, w: int, keys: tuple[str, ...] = ("doc_id", "source")
+) -> DataFrame:
+    """Merge flagged equal-width windows into maximal spans: ``dw`` is
+    (``*keys``, start) rows of w-token windows (1-based starts);
+    overlapping/adjacent windows coalesce (equal-width intervals:
     consecutive starts merge iff start − prev_start ≤ w, so a single
     ``lag`` replaces the general running-max island scan).
 
-    Returns (doc_id, source, span_start, span_end, span_tokens,
-    n_windows) with 1-based inclusive token offsets."""
-    wins = window_hashes(docs, w)
-    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
-        F.col("cnt") >= 2
-    )
-    dw = wins.join(dup.select("h"), "h").select("doc_id", "source", "start")
-    order = Window.partitionBy("doc_id").orderBy("start")
+    Returns (``*keys``, span_start, span_end, span_tokens, n_windows)
+    with 1-based inclusive token offsets.  The window partitions by
+    ``keys[0]`` (the doc id) — only flagged windows shuffle."""
+    order = Window.partitionBy(keys[0]).orderBy("start")
     brk = F.when(
         F.col("start") - F.lag("start").over(order) <= w, F.lit(0)
     ).otherwise(F.lit(1))
@@ -334,7 +339,7 @@ def dup_substring_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
         F.sum("brk").over(order.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return (
-        isl.groupBy("doc_id", "source", "island")
+        isl.groupBy(*keys, "island")
         .agg(
             F.min("start").cast("int").alias("span_start"),
             (F.max("start") + (w - 1)).cast("int").alias("span_end"),
@@ -345,6 +350,21 @@ def dup_substring_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
         )
         .drop("island")
     )
+
+
+def dup_substring_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Maximal duplicated spans per document: every stride-1 w-token
+    window occurring ≥2 times in the corpus, island-merged
+    (:func:`merge_windows_to_spans`).
+
+    Returns (doc_id, source, span_start, span_end, span_tokens,
+    n_windows) with 1-based inclusive token offsets."""
+    wins = window_hashes(docs, w)
+    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    dw = wins.join(dup.select("h"), "h").select("doc_id", "source", "start")
+    return merge_windows_to_spans(dw, w)
 
 
 def apply_span_cuts(docs: DataFrame, spans: DataFrame) -> DataFrame:

@@ -521,6 +521,120 @@ def doc_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decon_spans_oracle() -> str:
+    from bigdatamlteamrepo_spark.queries.passages import span_merge_sql
+
+    gram_i = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_DECON_W))
+    return f"""
+WITH t AS (SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id, source, CAST(i AS INT) AS start, {gram_i} AS gram
+  FROM t, unnest(range(1, len(toks) - {_DECON_W} + 2)) AS u(i)
+),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < {_EVAL_N}),
+dw AS (
+  SELECT g.doc_id, g.source, g.start FROM g JOIN ev USING (gram)
+  WHERE g.doc_id >= {_EVAL_N}
+),
+{span_merge_sql(_DECON_W)}
+SELECT doc_id, source, span_start, span_end, span_tokens, n_windows
+FROM spans
+"""
+
+
+def eval_contamination_spans(
+    docs: DataFrame, ev_grams: DataFrame, w: int = _DECON_W
+) -> DataFrame:
+    """Maximal contaminated spans per document: every position whose
+    w-token gram appears in ``ev_grams`` (a 1-column ``gram`` frame),
+    island-merged (merge_windows_to_spans) into the token ranges a
+    SURGICAL decontamination pass cuts — keeping the rest of the doc,
+    where the registered drop-the-doc stage would discard all of it."""
+    from bigdatamlteamrepo_spark.queries.passages import (
+        merge_windows_to_spans,
+    )
+
+    g = (
+        docs.withColumn("toks", tokenize("text"))
+        .filter(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(shingles(F.col("toks"), w)).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id", "source", (F.col("pos") + 1).cast("int").alias("start"),
+            "gram",
+        )
+    )
+    dw = g.join(F.broadcast(ev_grams.select("gram").distinct()), "gram").select(
+        "doc_id", "source", "start"
+    )
+    return merge_windows_to_spans(dw, w)
+
+
+@query("eval_decontamination_spans", oracle=_decon_spans_oracle())
+def eval_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of :func:`eval_contamination_spans` under the
+    doc_eval_contamination convention (eval set = doc_id < 20, corpus
+    = the rest): the exact token ranges that overlap the eval set
+    through a shared 8-gram, merged into cut spans.
+
+    Plan: the gram stream is one posexplode pass; the eval gram table
+    is benchmark-sized and BROADCAST (the corpus side never shuffles
+    for the probe); the island merge windows only over matching
+    positions.  At 100 TB this is the decontamination shape: eval
+    suites are tiny, so contamination lookup is map-side everywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = (
+        docs.filter(F.col("doc_id") < _EVAL_N)
+        .withColumn("toks", tokenize("text"))
+        .filter(F.size("toks") >= _DECON_W)
+        .select(F.explode(shingles(F.col("toks"), _DECON_W)).alias("gram"))
+    )
+    return eval_contamination_spans(docs.filter(F.col("doc_id") >= _EVAL_N), ev)
+
+
+def surgical_decontaminate(
+    docs: DataFrame, ev_grams: DataFrame, w: int = _DECON_W, max_iter: int = 4
+) -> DataFrame:
+    """Cut eval-overlapping spans out of document text, iterating to a
+    fixpoint: cutting a span can splice the flanking tokens into a NEW
+    w-gram that also matches the eval set (the same non-idempotence as
+    ExactSubstr cutting), so the pass repeats until no contaminated
+    position remains — eval suites are tiny and real overlap is rare,
+    so 1-2 iterations resolve in practice (``max_iter`` guards the
+    pathological corpus; iterations are driven by a count() on the
+    corpus-shrunk span frame, not the corpus).
+
+    Returns the docs frame with cleaned text and ``n_tokens_cut``
+    accumulated across iterations — the per-doc cost of shipping the
+    doc instead of dropping it."""
+    from bigdatamlteamrepo_spark.queries.passages import apply_span_cuts
+
+    ev = ev_grams.select("gram").distinct().persist()
+    out = docs.withColumn("n_tokens_cut", F.lit(0).cast("int"))
+    base_cols = docs.columns
+    for _ in range(max_iter):
+        spans = eval_contamination_spans(
+            out.select(*base_cols), ev, w
+        ).localCheckpoint(eager=True)
+        if not spans.take(1):
+            break
+        cut = apply_span_cuts(out.select(*base_cols), spans)
+        out = (
+            cut.join(
+                out.select("doc_id", F.col("n_tokens_cut").alias("__prev")),
+                "doc_id",
+            )
+            .withColumn("n_tokens_cut", F.col("__prev") + F.col("n_tokens_cut"))
+            .drop("__prev")
+            .localCheckpoint(eager=True)
+        )
+    ev.unpersist()
+    return out
+
+
 # --------------------------------------------------------------------------
 # Vocabulary coverage: top-V tokens per language and the OOV mass a
 # V-entry vocab would leave — the classic wordcount shape (map-side
