@@ -47,6 +47,7 @@ def build_training_corpus(
     lm: DataFrame | None = None,
     eval_docs: DataFrame | None = None,
     cut_dup_spans: bool = False,
+    decon_mode: str = "drop",
 ) -> dict[str, DataFrame]:
     """Run the full build; write shards to ``out_dir``; return
     ``{"report": per-source stage accounting, "manifest": shard
@@ -62,8 +63,13 @@ def build_training_corpus(
     surgery for the boilerplate that doc-level keep-rep cannot remove.
 
     ``eval_docs``: an optional (text) frame of held-out benchmark
-    documents; survivors sharing ANY exact 8-token gram with it are
-    removed (decontamination) before the LM stage, so the selection
+    documents.  With ``decon_mode="drop"`` (default) survivors sharing
+    ANY exact 8-token gram with it are removed whole; with
+    ``decon_mode="cut"`` only the contaminated spans are cut from the
+    text (queries/pipeline.surgical_decontaminate, iterated to a
+    zero-overlap fixpoint) and the doc ships — the
+    keep-the-data-lose-the-leak trade.  Either way the removal happens
+    (decontamination) before the LM stage, so the selection
     model never trains on leaked eval content either.
     """
     from bigdatamlteamrepo_spark.operators.graph import connected_components
@@ -138,15 +144,26 @@ def build_training_corpus(
             )
             .distinct()
         )
-        contaminated = (
-            s3.select("doc_id", F.explode(shingles(tokenize("text"), _DECON_W)).alias("gram"))
-            .join(F.broadcast(ev_grams), "gram")
-            .select("doc_id")
-            .distinct()
-        )
-        s35 = s3.join(contaminated, "doc_id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        if decon_mode == "cut":
+            from bigdatamlteamrepo_spark.queries.pipeline import (
+                surgical_decontaminate,
+            )
+
+            s35 = surgical_decontaminate(s3, ev_grams).drop(
+                "n_tokens_cut"
+            ).localCheckpoint(eager=True)
+        elif decon_mode == "drop":
+            contaminated = (
+                s3.select("doc_id", F.explode(shingles(tokenize("text"), _DECON_W)).alias("gram"))
+                .join(F.broadcast(ev_grams), "gram")
+                .select("doc_id")
+                .distinct()
+            )
+            s35 = s3.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+                eager=True
+            )
+        else:
+            raise ValueError(f"decon_mode must be 'drop' or 'cut': {decon_mode!r}")
     else:
         s35 = s3
 

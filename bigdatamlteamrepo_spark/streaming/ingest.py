@@ -137,6 +137,37 @@ def ingest_batch(
     return out
 
 
+def compact_ingest_indexes(
+    spark: SparkSession, index_dir: str, target_mb: int = 128
+) -> dict[str, int]:
+    """Compact the per-trigger parquet appends (one file-set per
+    micro-batch) into ~``target_mb`` files, sorted within files on the
+    probe key so row-group min/max stats prune the next batch's joins
+    — the OPTIMIZE half of running this ingest indefinitely.  Safe to
+    run between triggers (each table is rebuilt beside the original,
+    then swapped in); returns the output file count per table."""
+    import shutil
+
+    from bigdatamlteamrepo_spark.sources.layout import compact_parquet
+
+    out = {}
+    for sub, sort_cols in (
+        (_KEYS, ("lang", "h")),
+        (_BANDS, ("band",)),
+        (_SETS, ("doc_id",)),
+    ):
+        src = os.path.join(index_dir, sub)
+        if not os.path.exists(src):
+            continue
+        tmp = src + ".compacting"
+        out[sub] = compact_parquet(
+            spark, src, tmp, target_mb, sort_within_by=sort_cols
+        )
+        shutil.rmtree(src)
+        os.rename(tmp, src)
+    return out
+
+
 def incremental_ingest_stream(
     stream_docs: DataFrame,
     index_dir: str,

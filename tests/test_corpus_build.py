@@ -162,3 +162,43 @@ def test_neardup_representative_chosen_among_survivors(spark, tmp_path):
         .collect()
     }
     assert survivors <= {1}, survivors
+
+
+def test_decontamination_cut_mode_ships_cleaned_docs(spark, sf_dir, tmp_path):
+    """decon_mode='cut' ships every pre-decon survivor (no doc-level
+    drop), yet shipped text shares zero 8-grams with the eval set —
+    the keep-the-data-lose-the-leak trade."""
+    base = build_training_corpus(spark, sf_dir, str(tmp_path / "b2"), n_shards=2)
+    leak_ids = [
+        r["doc_id"]
+        for r in base["selected"].select("doc_id").orderBy("doc_id").limit(2).collect()
+    ]
+    eval_docs = base["selected"].filter(
+        F.col("doc_id").isin(leak_ids)
+    ).select("text")
+    res = build_training_corpus(
+        spark,
+        sf_dir,
+        str(tmp_path / "s2"),
+        n_shards=2,
+        eval_docs=eval_docs,
+        decon_mode="cut",
+    )
+    rep = {r["source"]: r for r in res["report"].collect()}
+    for src, r in rep.items():
+        assert r["n_decontam"] == r["n_neardup"], src  # nothing dropped
+
+    from bigdatamlteamrepo_spark.functions.text import shingles, tokenize
+    from bigdatamlteamrepo_spark.queries.pipeline import _DECON_W
+
+    ev = {
+        r["g"]
+        for r in eval_docs.select(
+            F.explode(shingles(tokenize("text"), _DECON_W)).alias("g")
+        ).collect()
+    }
+    ship_grams = res["selected"].select(
+        "doc_id", F.explode(shingles(tokenize("text"), _DECON_W)).alias("g")
+    )
+    hits = [r for r in ship_grams.collect() if r["g"] in ev]
+    assert not hits, hits[:3]

@@ -145,3 +145,42 @@ def test_sequential_ingest_is_stricter_than_batch_at_once(spark, tmp_path):
     d3 = {r.doc_id: r.decision for r in ingest_batch(w3, spark, idx).collect()}
     assert d2 == {4: "gopher_fail"}
     assert d3 == {6: "exact_dup"}
+
+
+def test_index_compaction_preserves_decisions(spark, tmp_path, split):
+    """Compacting the per-trigger appends must not change any future
+    ingest decision, and must strictly shrink the file count."""
+    import glob
+
+    from bigdatamlteamrepo_spark.streaming.ingest import (
+        compact_ingest_indexes,
+        ingest_decisions,
+    )
+
+    index, (b1, b2) = split
+    idx = str(tmp_path / "cmp_idx")
+    build_ingest_indexes(index, idx)
+    # several small appends -> many files
+    for part in (b1, b2):
+        ingest_batch(part.repartition(8), spark, idx)
+    probe = b1.withColumn("doc_id", F.col("doc_id") + 50_000_000)
+
+    def files(sub):
+        return len(glob.glob(str(tmp_path / "cmp_idx" / sub / "*.parquet")))
+
+    before_files = {s: files(s) for s in ("keys", "bands", "sets")}
+    before = {
+        r.doc_id: r.decision
+        for r in ingest_decisions(probe, spark, idx).collect()
+    }
+    counts = compact_ingest_indexes(spark, idx)
+    after_files = {s: files(s) for s in ("keys", "bands", "sets")}
+    after = {
+        r.doc_id: r.decision
+        for r in ingest_decisions(probe, spark, idx).collect()
+    }
+    assert after == before
+    assert set(counts) == {"keys", "bands", "sets"}
+    for s in counts:
+        assert after_files[s] < before_files[s]
+        assert after_files[s] == counts[s]
