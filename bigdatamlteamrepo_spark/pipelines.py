@@ -59,7 +59,8 @@ def build_training_corpus(
 
     ``cut_dup_spans``: when True, repeated ≥15-token spans among the
     survivors are cut from document TEXT (ExactSubstr, Lee et al.)
-    after dedup/decontamination and before LM selection — span-level
+    after dedup and BEFORE decontamination (a cut can splice a new
+    eval-matching gram; decon must see the cut text) — span-level
     surgery for the boilerplate that doc-level keep-rep cannot remove.
 
     ``eval_docs``: an optional (text) frame of held-out benchmark
@@ -129,6 +130,29 @@ def build_training_corpus(
         s2.join(reps, "doc_id", "left_semi")
     ).localCheckpoint(eager=True)
 
+    # ---- stage 3.25 (optional): exact-substring span cutting — the
+    # ExactSubstr pass (Lee et al.): repeated ≥15-token spans among the
+    # SURVIVORS are cut from the text (not whole-doc removal), so
+    # residual cross-doc boilerplate that near-dup's doc-level keep-rep
+    # left behind never reaches the LM or the shards.  Spans are
+    # derived from survivors only: content that lived exclusively in
+    # dropped docs must not trigger cuts in kept ones.  This stage runs
+    # BEFORE decontamination: a cut can splice its flanking tokens into
+    # a new eval-matching 8-gram, and only the decon stage can see that
+    # — the reverse order would re-leak what decon just removed.
+    if cut_dup_spans:
+        from bigdatamlteamrepo_spark.queries.passages import (
+            apply_span_cuts,
+            dup_substring_spans,
+        )
+
+        spans = dup_substring_spans(s3)
+        s3cut = apply_span_cuts(s3, spans).drop(
+            "n_tokens_cut"
+        ).localCheckpoint(eager=True)
+    else:
+        s3cut = s3
+
     # ---- stage 3.5 (optional): eval decontamination — drop survivors
     # sharing any exact 8-gram with the held-out eval set.  The eval
     # gram table is benchmark-sized and broadcast; the corpus side is
@@ -149,39 +173,23 @@ def build_training_corpus(
                 surgical_decontaminate,
             )
 
-            s35 = surgical_decontaminate(s3, ev_grams).drop(
+            s35 = surgical_decontaminate(s3cut, ev_grams).drop(
                 "n_tokens_cut"
             ).localCheckpoint(eager=True)
         elif decon_mode == "drop":
             contaminated = (
-                s3.select("doc_id", F.explode(shingles(tokenize("text"), _DECON_W)).alias("gram"))
+                s3cut.select("doc_id", F.explode(shingles(tokenize("text"), _DECON_W)).alias("gram"))
                 .join(F.broadcast(ev_grams), "gram")
                 .select("doc_id")
                 .distinct()
             )
-            s35 = s3.join(contaminated, "doc_id", "left_anti").localCheckpoint(
+            s35 = s3cut.join(contaminated, "doc_id", "left_anti").localCheckpoint(
                 eager=True
             )
         else:
             raise ValueError(f"decon_mode must be 'drop' or 'cut': {decon_mode!r}")
     else:
-        s35 = s3
-
-    # ---- stage 3.75 (optional): exact-substring span cutting — the
-    # ExactSubstr pass (Lee et al.): repeated ≥15-token spans among the
-    # SURVIVORS are cut from the text (not whole-doc removal), so
-    # residual cross-doc boilerplate that near-dup's doc-level keep-rep
-    # left behind never reaches the LM or the shards.  Spans are
-    # derived from survivors only: content that lived exclusively in
-    # dropped docs must not trigger cuts in kept ones.
-    if cut_dup_spans:
-        from bigdatamlteamrepo_spark.queries.passages import (
-            apply_span_cuts,
-            dup_substring_spans,
-        )
-
-        spans = dup_substring_spans(s35)
-        s35 = apply_span_cuts(s35, spans).localCheckpoint(eager=True)
+        s35 = s3cut
 
     # ---- stage 4: LM perplexity selection (head/middle terciles).
     # Train on the deduped survivors by default: build the LM frame

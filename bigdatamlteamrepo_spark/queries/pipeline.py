@@ -609,17 +609,22 @@ def surgical_decontaminate(
 
     Returns the docs frame with cleaned text and ``n_tokens_cut``
     accumulated across iterations — the per-doc cost of shipping the
-    doc instead of dropping it."""
+    doc instead of dropping it.  Raises ``RuntimeError`` if overlap
+    remains after ``max_iter`` passes: the zero-overlap contract is
+    what callers ship on, so a pathological corpus must fail loudly,
+    never silently leak."""
     from bigdatamlteamrepo_spark.queries.passages import apply_span_cuts
 
     ev = ev_grams.select("gram").distinct().persist()
     out = docs.withColumn("n_tokens_cut", F.lit(0).cast("int"))
     base_cols = docs.columns
+    clean = False
     for _ in range(max_iter):
         spans = eval_contamination_spans(
             out.select(*base_cols), ev, w
         ).localCheckpoint(eager=True)
         if not spans.take(1):
+            clean = True
             break
         cut = apply_span_cuts(out.select(*base_cols), spans)
         out = (
@@ -630,6 +635,15 @@ def surgical_decontaminate(
             .withColumn("n_tokens_cut", F.col("__prev") + F.col("n_tokens_cut"))
             .drop("__prev")
             .localCheckpoint(eager=True)
+        )
+    if not clean and eval_contamination_spans(
+        out.select(*base_cols), ev, w
+    ).take(1):
+        ev.unpersist()
+        raise RuntimeError(
+            f"surgical decontamination did not converge in {max_iter} "
+            "iterations — residual eval overlap remains; raise max_iter "
+            "or fall back to drop-mode decontamination"
         )
     ev.unpersist()
     return out

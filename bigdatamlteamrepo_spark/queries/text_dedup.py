@@ -850,8 +850,22 @@ _JAC_SQL = (
 )
 
 
+def doc_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, s) — distinct 3-token shingle set per document of any
+    (doc_id, text) frame.  THE shingle-set definition: the registered
+    dedup queries, the incremental-ingest stages and the streaming
+    index builder all derive from this one function, so a change to
+    shingle width or distinctness cannot silently diverge between the
+    batch corpus and the maintained index."""
+    return (
+        docs.select("doc_id", tokenize("text").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s"))
+    )
+
+
 def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s) — distinct 3-token shingle set per document.
+    """:func:`doc_shingle_sets` over the driver corpus.
 
     Deliberately NO repartition before the tokenize → shingle chain:
     measured at bench SF, widening a small single-split scan to 32
@@ -860,11 +874,7 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_shared_shingle_stats); at real scale the file layout provides
     the splits and the shuffle would be pure overhead.
     """
-    return (
-        _with_tokens(spark, sf_dir)
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s"))
-    )
+    return doc_shingle_sets(load_table(spark, sf_dir, "documents"))
 
 
 def _pair_jaccard(

@@ -1018,26 +1018,13 @@ def corpus_incremental_build_summary(
     return report
 
 
-def doc_shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, s) — distinct 3-token shingle set per document of any
-    (doc_id, text) frame (the frame-parameterized twin of
-    queries/text_dedup._shingle_sets)."""
-    from bigdatamlteamrepo_spark.functions.text import shingles, tokenize
-
-    return (
-        docs.select("doc_id", tokenize("text").alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select(
-            "doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s")
-        )
-    )
-
-
 def batch_ingest_stages(
     batch: DataFrame,
     index_keys: DataFrame,
     index_bands: DataFrame,
     index_sets: DataFrame,
+    bsets: DataFrame | None = None,
+    bbands: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Per-stage batch-survivor doc_id sets of one ingest step against
     arbitrary index tables: ``{"s1": gopher pass, "s2": exact-new,
@@ -1053,6 +1040,11 @@ def batch_ingest_stages(
     ``index_sets``: (doc_id, s) shingle sets for Jaccard verify; index
     doc_ids must be disjoint from batch doc_ids.
 
+    ``bsets``/``bbands``: optionally the BATCH's already-materialized
+    shingle sets / band rows (callers that also fold the batch into the
+    index — streaming/ingest.py — compute them once and share; the
+    frames must cover exactly ``batch``'s doc_ids).
+
     Shared by the registered batch query
     (:func:`corpus_incremental_build_summary`) and the streaming
     foreachBatch ingest (streaming/ingest.py), so stream ≡ batch is
@@ -1061,6 +1053,7 @@ def batch_ingest_stages(
     from bigdatamlteamrepo_spark.queries.text_dedup import (
         _JACCARD_MIN,
         _pair_jaccard,
+        doc_shingle_sets,
         lsh_band_rows,
     )
 
@@ -1097,9 +1090,11 @@ def batch_ingest_stages(
     # persist() (not localCheckpoint) so the caller's final unpersist
     # actually releases the corpus-sized blocks — unpersist on a
     # checkpointed frame is a no-op (the r5-advice storage leak)
-    bsets = doc_shingle_sets(batch).persist()
-    bnew = lsh_band_rows(bsets, F.col("s")).join(s2, "doc_id", "left_semi")
-    bnew = bnew.persist()
+    if bsets is None:
+        bsets = doc_shingle_sets(batch).persist()
+    if bbands is None:
+        bbands = lsh_band_rows(bsets, F.col("s"))
+    bnew = bbands.join(s2, "doc_id", "left_semi").persist()
     vs_index = (
         bnew.alias("n")
         .join(index_bands.alias("i"), "band")
@@ -1136,6 +1131,7 @@ def incremental_stage_frames(docs: DataFrame) -> dict[str, DataFrame]:
     see streaming/ingest.py for the maintained-index path)."""
     from bigdatamlteamrepo_spark.queries.text_dedup import (
         _INCR_MOD,
+        doc_shingle_sets,
         lsh_band_rows,
     )
 

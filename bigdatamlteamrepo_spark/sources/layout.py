@@ -96,6 +96,7 @@ def compact_parquet(
     dst: str,
     target_mb: int = 128,
     sort_within_by: Sequence[str] | None = None,
+    recursive: bool = False,
 ) -> int:
     """Compact a small-files parquet landing zone into ~``target_mb``
     files; returns the output file-count.
@@ -120,7 +121,11 @@ def compact_parquet(
     fs = path.getFileSystem(hconf)
     total_bytes = fs.getContentSummary(path).getLength()
     n_files = max(1, -(-total_bytes // (target_mb * 1024 * 1024)))
-    df = spark.read.parquet(src)
+    # recursive: landing zones whose writers drop batch-scoped
+    # SUBDIRECTORIES (non key=value names, so partition discovery
+    # won't find them) need the full file tree
+    reader = spark.read.option("recursiveFileLookup", "true") if recursive else spark.read
+    df = reader.parquet(src)
     out = df.repartition(int(n_files))
     if sort_within_by:
         out = out.sortWithinPartitions(*sort_within_by)

@@ -176,6 +176,10 @@ def test_decontamination_cut_mode_ships_cleaned_docs(spark, sf_dir, tmp_path):
     eval_docs = base["selected"].filter(
         F.col("doc_id").isin(leak_ids)
     ).select("text")
+    # cut_dup_spans=True as well: span cutting runs BEFORE decon, so
+    # any eval gram a dup-span cut splices together is still caught —
+    # the zero-overlap assertion below is the regression net for the
+    # stage ordering
     res = build_training_corpus(
         spark,
         sf_dir,
@@ -183,6 +187,7 @@ def test_decontamination_cut_mode_ships_cleaned_docs(spark, sf_dir, tmp_path):
         n_shards=2,
         eval_docs=eval_docs,
         decon_mode="cut",
+        cut_dup_spans=True,
     )
     rep = {r["source"]: r for r in res["report"].collect()}
     for src, r in rep.items():

@@ -77,9 +77,11 @@ def test_stream_equals_sequential_batch_fold(spark, tmp_path, split):
     q.stop()
     assert n_batches >= 2, "waves must arrive in separate micro-batches"
 
+    from bigdatamlteamrepo_spark.streaming.ingest import read_ingest_decisions
+
     got = {
         r.doc_id: r.decision
-        for r in spark.read.parquet(str(tmp_path / "decisions")).collect()
+        for r in read_ingest_decisions(spark, str(tmp_path / "decisions")).collect()
     }
     assert got == expect
     assert set(got.values()) >= {"accepted", "gopher_fail"}
