@@ -437,3 +437,142 @@ def doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         off.cast("bigint").alias("offset_in_shard"),
         (off + F.col("n_tokens") > SEQ_LEN).cast("int").alias("spans_boundary"),
     )
+
+
+# --------------------------------------------------------------------------
+# Materialized packed sequences: the actual loader input.  Where
+# doc_pack_plan/doc_pack_offsets report the GEOMETRY of packing, this
+# query emits the packed rows themselves — per source, the document
+# token streams concatenated in doc_id order, vocab-encoded, and
+# sliced into SEQ_LEN-id sequences.  The vocab is the corpus's global
+# frequency-rank table (id 1 = most frequent token, ties broken by
+# token text), the deterministic stand-in for a trained tokenizer —
+# the BPE tier (queries/textmodel.bpe_encode_words) drops into the
+# same packer by swapping the encode join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "packed_token_sequences",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, {_TOKENS_SQL} AS toks FROM documents
+),
+s AS (
+  SELECT source, doc_id, toks[i] AS token, CAST(i AS BIGINT) AS pos
+  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+),
+v AS (
+  SELECT token,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS tok_id
+  FROM s GROUP BY token
+),
+n AS (SELECT source, doc_id, len(toks) AS n_tokens FROM t),
+o AS (
+  SELECT source, doc_id,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS tok_offset
+  FROM n
+),
+g AS (
+  SELECT s.source, o.tok_offset + s.pos - 1 AS gpos, v.tok_id
+  FROM s JOIN o ON s.source = o.source AND s.doc_id = o.doc_id
+  JOIN v USING (token)
+)
+SELECT source,
+       CAST(gpos // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ids,
+       md5(string_agg(CAST(tok_id AS VARCHAR), ' ' ORDER BY gpos))
+         AS ids_md5,
+       CAST(MIN(CASE WHEN gpos % {SEQ_LEN} = 0 THEN tok_id END) AS BIGINT)
+         AS first_id,
+       CAST(SUM(tok_id) AS BIGINT) AS ids_sum
+FROM g
+GROUP BY source, gpos // {SEQ_LEN}
+""",
+)
+def packed_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, seq_id, n_ids, ids_md5, first_id, ids_sum) — every
+    source's packed SEQ_LEN-id training sequences (the last one per
+    source ragged), the id array carried as a portable md5 of the
+    space-joined ids (the sketch-tier convention: array columns don't
+    survive the driver's value comparator, hashes do) plus two cheap
+    scalars.  :func:`packed_sequence_rows` returns the actual
+    input_ids arrays for the loader/tests.
+
+    Plan: one posexplode of the corpus feeds both the vocab count
+    (map-side combined, Zipf-collapsed) and the encode join (broadcast
+    at driver SFs, hash join when the vocab outgrows it); per-doc
+    offsets are the doc_pack_offsets cumsum (windowed per SOURCE, never
+    global); the final group-by moves each id exactly once, keyed on
+    (source, seq) — the one unavoidable shuffle, since packing IS a
+    repartition of the token stream.  The vocab rank window is global
+    but vocab-sized (the vocab_coverage_by_lang precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", "doc_id", tokenize("text").alias("toks"))
+    s = t.select(
+        "source",
+        "doc_id",
+        F.posexplode("toks").alias("pos0", "token"),
+    )
+    v = (
+        s.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "tok_id",
+            F.row_number().over(
+                Window.orderBy(F.desc("freq"), F.asc("token"))
+            ),
+        )
+        .select("token", "tok_id")
+    )
+    n = t.select("source", "doc_id", F.size("toks").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = n.withColumn(
+        "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).select("source", "doc_id", "tok_offset")
+    g = (
+        s.join(o, ["source", "doc_id"])
+        .join(v, "token")
+        .select(
+            "source",
+            (F.col("tok_offset") + F.col("pos0")).alias("gpos"),
+            "tok_id",
+        )
+    )
+    rows = packed_sequence_rows(g)
+    return rows.select(
+        "source",
+        "seq_id",
+        "n_ids",
+        F.md5(
+            F.concat_ws(
+                " ", F.transform("input_ids", lambda x: x.cast("string"))
+            )
+        ).alias("ids_md5"),
+        F.get("input_ids", 0).cast("bigint").alias("first_id"),
+        F.aggregate(
+            "input_ids", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("ids_sum"),
+    )
+
+
+def packed_sequence_rows(g: DataFrame) -> DataFrame:
+    """(source, seq_id, n_ids, input_ids) from a (source, gpos,
+    tok_id) global-position stream — the loader-facing rows; ids move
+    exactly once, keyed on (source, seq)."""
+    return g.groupBy(
+        "source",
+        F.floor(F.col("gpos") / SEQ_LEN).cast("bigint").alias("seq_id"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ids"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("gpos", "tok_id"))),
+            lambda x: x.tok_id,
+        ).alias("input_ids"),
+    )

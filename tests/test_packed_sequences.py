@@ -1,0 +1,123 @@
+"""Materialized packed sequences: the loader rows must reconstruct the
+corpus exactly — per source, flattening the sequences in seq_id order
+recovers the concatenation of every document's vocab-encoded token
+stream in doc_id order."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.queries.shards import (
+    SEQ_LEN,
+    packed_token_sequences,
+)
+
+
+def _expected_streams(rows):
+    """source -> flat id stream, from raw doc rows, via an independent
+    Python re-derivation of the vocab and the packing order."""
+    from collections import Counter
+
+    toks_by_doc = {}
+    freq = Counter()
+    for r in rows:
+        toks = re.split(r"\s+", r.text.lower())
+        toks_by_doc[r.doc_id] = (r.source, toks)
+        freq.update(toks)
+    vocab = {
+        t: i + 1
+        for i, t in enumerate(
+            sorted(freq, key=lambda t: (-freq[t], t))
+        )
+    }
+    streams: dict[str, list[int]] = {}
+    for doc_id in sorted(toks_by_doc):
+        src, toks = toks_by_doc[doc_id]
+        streams.setdefault(src, []).extend(vocab[t] for t in toks)
+    return streams, vocab
+
+
+def test_sequences_reconstruct_the_corpus(spark, sf_dir):
+    from bigdatamlteamrepo_spark.queries.shards import packed_sequence_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "source", "text").collect()
+    expect_streams, vocab = _expected_streams(raw)
+
+    # rebuild the internal gpos stream the registered query hashes
+    t = docs.select("source", "doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
+    s = t.select("source", "doc_id", F.posexplode("toks").alias("pos0", "token"))
+    from pyspark.sql import Window
+
+    v = (
+        s.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "tok_id",
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("token"))),
+        )
+        .select("token", "tok_id")
+    )
+    n = t.select("source", "doc_id", F.size("toks").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = n.withColumn("tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    g = (
+        s.join(o.select("source", "doc_id", "tok_offset"), ["source", "doc_id"])
+        .join(v, "token")
+        .select("source", (F.col("tok_offset") + F.col("pos0")).alias("gpos"), "tok_id")
+    )
+    seqs = packed_sequence_rows(g).collect()
+
+    got_streams: dict[str, list[int]] = {}
+    for r in sorted(seqs, key=lambda r: (r.source, r.seq_id)):
+        assert r.n_ids == len(r.input_ids)
+        got_streams.setdefault(r.source, []).extend(r.input_ids)
+    assert got_streams == expect_streams
+
+    # every sequence is exactly SEQ_LEN except the last per source
+    by_src: dict[str, list] = {}
+    for r in seqs:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.seq_id)
+        assert [r.seq_id for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert r.n_ids == SEQ_LEN
+        assert 1 <= rs[-1].n_ids <= SEQ_LEN
+
+    # vocab ids are dense 1..V, most-frequent = 1
+    ids = {i for st in got_streams.values() for i in st}
+    assert ids == set(range(1, len(vocab) + 1))
+
+
+def test_registered_hash_face_matches_rows(spark, sf_dir):
+    """The registered md5/scalar projection agrees with an independent
+    hash of the reconstructed streams."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", "source", "text").collect()
+    expect_streams, _ = _expected_streams(raw)
+    out = {
+        (r.source, r.seq_id): r
+        for r in packed_token_sequences(spark, sf_dir).collect()
+    }
+    for src, stream in expect_streams.items():
+        for seq_id in range((len(stream) + SEQ_LEN - 1) // SEQ_LEN):
+            chunk = stream[seq_id * SEQ_LEN : (seq_id + 1) * SEQ_LEN]
+            r = out.pop((src, seq_id))
+            assert r.n_ids == len(chunk)
+            assert r.first_id == chunk[0]
+            assert r.ids_sum == sum(chunk)
+            assert (
+                r.ids_md5
+                == hashlib.md5(" ".join(map(str, chunk)).encode()).hexdigest()
+            )
+    assert not out, "unexpected extra sequences"
