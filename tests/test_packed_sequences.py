@@ -121,3 +121,74 @@ def test_registered_hash_face_matches_rows(spark, sf_dir):
                 == hashlib.md5(" ".join(map(str, chunk)).encode()).hexdigest()
             )
     assert not out, "unexpected extra sequences"
+
+
+def test_bpe_encode_drops_into_the_same_packer(spark, sf_dir):
+    """Swapping the frequency-rank vocab for learned BPE subwords
+    reuses packed_sequence_rows unchanged: per-source flattening of the
+    packed rows equals the concatenation of each doc's BPE symbol
+    stream in doc_id order."""
+    from pyspark.sql import Window
+
+    from bigdatamlteamrepo_spark.functions.text import tokenize_words
+    from bigdatamlteamrepo_spark.queries.shards import packed_sequence_rows
+    from bigdatamlteamrepo_spark.queries.textmodel import (
+        bpe_encode_words,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    words = (
+        docs.select(F.explode(tokenize_words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    merges = [m[1] for m in learn_bpe_merges(words, n_rounds=10)]
+    enc = bpe_encode_words(words, merges).select("word", "symbols")
+    sym_vocab = (
+        enc.select(F.explode("symbols").alias("sym"))
+        .distinct()
+        .withColumn("tok_id", F.row_number().over(Window.orderBy("sym")))
+    )
+    # per-doc BPE id stream: word positions fan out to symbol positions
+    t = docs.select(
+        "source", "doc_id", F.posexplode(tokenize_words("text")).alias("wpos", "word")
+    )
+    wsyms = t.join(enc, "word").select(
+        "source", "doc_id", "wpos",
+        F.posexplode("symbols").alias("spos", "sym"),
+    ).join(sym_vocab, "sym")
+    # global order inside a doc: (wpos, spos); per-doc symbol count for offsets
+    per_doc = wsyms.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_syms")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = per_doc.withColumn("doc_off", F.sum("n_syms").over(w) - F.col("n_syms"))
+    win_doc = Window.partitionBy("source", "doc_id").orderBy("wpos", "spos")
+    g = (
+        wsyms.withColumn("in_doc", F.row_number().over(win_doc) - 1)
+        .join(o.select("source", "doc_id", "doc_off"), ["source", "doc_id"])
+        .select("source", (F.col("doc_off") + F.col("in_doc")).alias("gpos"), "tok_id")
+    )
+    seqs = packed_sequence_rows(g).collect()
+
+    # independent expectation
+    enc_map = {r.word: list(r.symbols) for r in enc.collect()}
+    vocab = {r.sym: r.tok_id for r in sym_vocab.collect()}
+    raw = docs.select("doc_id", "source", "text").collect()
+    expect: dict[str, list[int]] = {}
+    for r in sorted(raw, key=lambda r: r.doc_id):
+        words_seq = re.findall(r"\b[a-zA-Z]+\b", r.text.lower())
+        for wd in words_seq:
+            expect.setdefault(r.source, []).extend(
+                vocab[s] for s in enc_map[wd]
+            )
+    got: dict[str, list[int]] = {}
+    for r in sorted(seqs, key=lambda r: (r.source, r.seq_id)):
+        got.setdefault(r.source, []).extend(r.input_ids)
+    assert got == expect
