@@ -50,7 +50,7 @@ PRI_EXTRA = 90
 #:     the r03 lesson);
 #:   * passage_neardup_pairs — r05-green but its REGISTERED DEFAULT
 #:     changed this round (auto bucket cap), so it re-verifies;
-#:   * 10 queries new this round: corpus_build_summary,
+#:   * 12 queries new this round: corpus_build_summary,
 #:     source_overlap_kmv, embedding_semdedup_ann_summary,
 #:     events_value_quantile_sketch, bbit_minhash_jaccard_pairs,
 #:     doc_pack_offsets, corpus_survivor_knn, doc_dup_substring_spans,
@@ -63,8 +63,13 @@ PRI_EXTRA = 90
 #:     bpe_pair_counts (doc_bpe_token_counts r05; learners pinned
 #:     locally), cms_heavy_suppliers (4 sketch queries remain in-window),
 #:     doc_stratified_sample (doc_mixture_sample / doc_shard_assignment
-#:     r05; cutoff property tested locally) — all four + the four
-#:     round-5 deferrals are the r07 rotation's first picks.
+#:     r05; cutoff property tested locally), then
+#:     eval_decontamination_spans and packed_token_sequences displaced
+#:     hybrid_rrf_retrieval (fusion of doc_bm25_scores r04 + knn r05,
+#:     both fresher-green) and events_sliding_by_type (4 events
+#:     queries with fresher greens; retention/funnel/zorder stay in).
+#:     The six displaced entries + the four round-5 deferrals are the
+#:     r07 rotation's first picks.
 #: Every r04/r05 green keeps local parity coverage and rotates back in
 #: future windows.
 ROTATE_IN: frozenset[str] = frozenset(
@@ -87,12 +92,10 @@ ROTATE_IN: frozenset[str] = frozenset(
         "dsir_importance_weights",
         "events_funnel_view_click_purchase",
         "events_retention_cohorts",
-        "events_sliding_by_type",
         "events_user_sessions",
         "events_value_hist_quantiles",
         "events_zorder_blocks",
         "hll_hourly_users",
-        "hybrid_rrf_retrieval",
         "kmv_orders_by_flag",
         "minhash_signatures",
         "neardup_best_representatives",
@@ -112,7 +115,7 @@ ROTATE_IN: frozenset[str] = frozenset(
         "training_corpus_selection",
         # --- r05-green but registered semantics changed this round
         "passage_neardup_pairs",
-        # --- new this round (10)
+        # --- new this round (12)
         "corpus_build_summary",
         "source_overlap_kmv",
         "embedding_semdedup_ann_summary",
@@ -123,6 +126,8 @@ ROTATE_IN: frozenset[str] = frozenset(
         "doc_dup_substring_spans",
         "substring_dedup_summary",
         "corpus_incremental_build_summary",
+        "eval_decontamination_spans",
+        "packed_token_sequences",
     }
 )
 

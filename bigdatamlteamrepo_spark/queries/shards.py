@@ -454,6 +454,7 @@ def doc_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "packed_token_sequences",
+    bench=True,
     oracle=f"""
 WITH t AS (
   SELECT source, doc_id, {_TOKENS_SQL} AS toks FROM documents
