@@ -263,3 +263,38 @@ def test_no_python_udfs_in_span_plan(spark, sf_dir):
     plan = dup_substring_spans(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Property coverage: random small-alphabet corpora (collision-heavy by
+# construction) vs the independent Python brute force — the shared-bug
+# defense on top of the fixture pin above.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_W = 4  # small width so short random docs still produce windows
+
+_RAND_DOCS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=3 * _W + 2),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+@given(docs=_RAND_DOCS)
+def test_spans_match_brute_force_on_random_corpora(spark, docs):
+    texts = {i: " ".join(toks) if toks else "x" for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, t, "s") for i, t in texts.items()],
+        "doc_id bigint, text string, source string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dup_substring_spans(df, w=_W).collect()
+    }
+    assert got == _brute_spans(texts, _W)
