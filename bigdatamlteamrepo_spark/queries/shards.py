@@ -577,3 +577,90 @@ def packed_sequence_rows(g: DataFrame) -> DataFrame:
             lambda x: x.tok_id,
         ).alias("input_ids"),
     )
+
+
+@query("packed_bpe_sequences")
+def packed_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only (consumes the iteratively learned BPE merges — the
+    house rule for learner-derived outputs, like bpe_encode_summary):
+    the packed-sequence face over SUBWORD ids instead of whitespace
+    vocab ids — learn merges on the distinct-word table, encode it
+    (Zipf-collapsed: the corpus never re-tokenizes), fan each doc's
+    word stream out to symbol ids, pack with the SAME
+    :func:`packed_sequence_rows` shuffle.  Output matches
+    packed_token_sequences' md5-face schema, so the two tiers are
+    directly comparable (BPE packs ~the compression ratio fewer
+    sequences).
+
+    Plan: the encode table joins on ``word`` (broadcast at driver SFs);
+    per-doc symbol order is (word pos, symbol pos) — a per-DOC window,
+    never global; offsets are the per-source cumsum.  Everything after
+    the learner is one pass + the one packing shuffle."""
+    from bigdatamlteamrepo_spark.functions.text import tokenize_words
+    from bigdatamlteamrepo_spark.queries.textmodel import (
+        bpe_encode_words,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize_words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    merges = [m[1] for m in learn_bpe_merges(words)]
+    enc = bpe_encode_words(words, merges).select("word", "symbols")
+    sym_vocab = (
+        enc.select(F.explode("symbols").alias("sym"))
+        .distinct()
+        .withColumn("tok_id", F.row_number().over(Window.orderBy("sym")))
+    )
+    t = docs.select(
+        "source", "doc_id",
+        F.posexplode(tokenize_words("text")).alias("wpos", "word"),
+    )
+    wsyms = (
+        t.join(enc, "word")
+        .select(
+            "source", "doc_id", "wpos",
+            F.posexplode("symbols").alias("spos", "sym"),
+        )
+        .join(sym_vocab, "sym")
+    )
+    per_doc = wsyms.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_syms")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = per_doc.withColumn(
+        "doc_off", F.sum("n_syms").over(w) - F.col("n_syms")
+    )
+    win_doc = Window.partitionBy("source", "doc_id").orderBy("wpos", "spos")
+    g = (
+        wsyms.withColumn("in_doc", F.row_number().over(win_doc) - 1)
+        .join(o.select("source", "doc_id", "doc_off"), ["source", "doc_id"])
+        .select(
+            "source",
+            (F.col("doc_off") + F.col("in_doc")).alias("gpos"),
+            "tok_id",
+        )
+    )
+    rows = packed_sequence_rows(g)
+    return rows.select(
+        "source",
+        "seq_id",
+        "n_ids",
+        F.md5(
+            F.concat_ws(
+                " ", F.transform("input_ids", lambda x: x.cast("string"))
+            )
+        ).alias("ids_md5"),
+        F.get("input_ids", 0).cast("bigint").alias("first_id"),
+        F.aggregate(
+            "input_ids", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("ids_sum"),
+    )

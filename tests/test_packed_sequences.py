@@ -192,3 +192,47 @@ def test_bpe_encode_drops_into_the_same_packer(spark, sf_dir):
     for r in sorted(seqs, key=lambda r: (r.source, r.seq_id)):
         got.setdefault(r.source, []).extend(r.input_ids)
     assert got == expect
+
+
+def test_registered_bpe_pack_face(spark, sf_dir):
+    """Structural pin for the registered rows-only BPE pack: sequences
+    per source are dense SEQ_LEN chunks of exactly the corpus's total
+    BPE-symbol mass (mass re-derived independently from the encode
+    table and raw word streams)."""
+    from bigdatamlteamrepo_spark.functions.text import tokenize_words
+    from bigdatamlteamrepo_spark.queries.shards import packed_bpe_sequences
+    from bigdatamlteamrepo_spark.queries.textmodel import (
+        bpe_encode_words,
+        learn_bpe_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokenize_words("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)
+    )
+    enc_map = {
+        r.word: len(r.symbols)
+        for r in bpe_encode_words(
+            words, [m[1] for m in learn_bpe_merges(words)]
+        ).collect()
+    }
+    expect_mass: dict[str, int] = {}
+    for r in docs.select("source", "text").collect():
+        for wd in re.findall(r"\b[a-zA-Z]+\b", r.text.lower()):
+            expect_mass[r.source] = expect_mass.get(r.source, 0) + enc_map[wd]
+
+    rows = packed_bpe_sequences(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert set(by_src) == set(expect_mass)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.seq_id)
+        assert [r.seq_id for r in rs] == list(range(len(rs)))
+        assert sum(r.n_ids for r in rs) == expect_mass[src]
+        for r in rs[:-1]:
+            assert r.n_ids == SEQ_LEN
+        assert len(r.ids_md5) == 32 and r.first_id >= 1
