@@ -664,3 +664,81 @@ def packed_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "input_ids", F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("ids_sum"),
     )
+
+
+@query(
+    "packed_sequence_doc_starts",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+  FROM t
+)
+SELECT source,
+       CAST(tok_offset // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_doc_starts,
+       CAST(MIN(tok_offset % {SEQ_LEN}) AS BIGINT) AS first_start,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+       md5(string_agg(CAST(tok_offset % {SEQ_LEN} AS VARCHAR), ' '
+                      ORDER BY tok_offset)) AS starts_md5
+FROM c
+GROUP BY source, tok_offset // {SEQ_LEN}
+""",
+)
+def packed_sequence_doc_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per packed sequence, the in-sequence offsets where documents
+    START — the attention/loss-mask builder's input alongside
+    packed_token_sequences (positions reset at each start; a sequence
+    absent from this table — possible only when one doc exceeds
+    SEQ_LEN — is wholly mid-document; first_start > 0 means the row
+    opens mid-document).  The offset list travels as a portable md5
+    (the packed-sequence face convention) plus cheap scalars.
+
+    Plan: pure per-doc arithmetic over the doc_pack_offsets cumsum —
+    no token explode at all; one source-partitioned window plus one
+    (source, seq)-keyed rollup of doc-COUNT-sized rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(tokenize("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn(
+        "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        c.groupBy(
+            "source",
+            F.floor(F.col("tok_offset") / SEQ_LEN).cast("bigint").alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_doc_starts"),
+            F.min(F.col("tok_offset") % SEQ_LEN)
+            .cast("bigint")
+            .alias("first_start"),
+            F.min("doc_id").cast("bigint").alias("first_doc_id"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    "tok_offset",
+                                    (F.col("tok_offset") % SEQ_LEN).alias("o"),
+                                )
+                            )
+                        ),
+                        lambda x: x.o.cast("string"),
+                    ),
+                )
+            ).alias("starts_md5"),
+        )
+    )

@@ -236,3 +236,42 @@ def test_registered_bpe_pack_face(spark, sf_dir):
         for r in rs[:-1]:
             assert r.n_ids == SEQ_LEN
         assert len(r.ids_md5) == 32 and r.first_id >= 1
+
+
+def test_doc_starts_are_consistent_with_pack_geometry(spark, sf_dir):
+    """Cross-pin against doc_pack_offsets (the per-doc face of the same
+    cumsum) and against the packed sequences' existence."""
+    from bigdatamlteamrepo_spark.queries.shards import (
+        doc_pack_offsets,
+        packed_sequence_doc_starts,
+    )
+
+    per_doc = doc_pack_offsets(spark, sf_dir).collect()
+    expect: dict[tuple, list] = {}
+    for r in per_doc:
+        expect.setdefault((r.source, r.shard_id), []).append(
+            (r.offset_in_shard, r.doc_id)
+        )
+    got = {
+        (r.source, r.seq_id): r
+        for r in packed_sequence_doc_starts(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    import hashlib
+
+    for key, starts in expect.items():
+        starts.sort()
+        r = got[key]
+        assert r.n_doc_starts == len(starts)
+        assert r.first_start == starts[0][0]
+        assert r.first_doc_id == min(d for _, d in starts)
+        joined = " ".join(str(o) for o, _ in starts)
+        assert r.starts_md5 == hashlib.md5(joined.encode()).hexdigest()
+
+    seqs = {
+        (r.source, r.seq_id)
+        for r in packed_token_sequences(spark, sf_dir).collect()
+    }
+    # fixture docs are all < SEQ_LEN tokens, so every sequence has at
+    # least one doc start and the two tables cover the same keys
+    assert seqs == set(got)
