@@ -502,8 +502,9 @@ def packed_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalars.  :func:`packed_sequence_rows` returns the actual
     input_ids arrays for the loader/tests.
 
-    Plan: one posexplode of the corpus feeds both the vocab count
-    (map-side combined, Zipf-collapsed) and the encode join (broadcast
+    Plan: ONE materialized posexplode of the corpus feeds both the
+    vocab count (map-side combined, Zipf-collapsed) and the encode
+    join (broadcast
     at driver SFs, hash join when the vocab outgrows it); per-doc
     offsets are the doc_pack_offsets cumsum (windowed per SOURCE, never
     global); the final group-by moves each id exactly once, keyed on
@@ -512,11 +513,14 @@ def packed_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     but vocab-sized (the vocab_coverage_by_lang precedent)."""
     docs = load_table(spark, sf_dir, "documents")
     t = docs.select("source", "doc_id", tokenize("text").alias("toks"))
+    # the exploded stream feeds BOTH the vocab count and the encode
+    # join — checkpoint it once (the ngram_jaccard_pairs discipline)
+    # so the corpus tokenize/posexplode runs a single time
     s = t.select(
         "source",
         "doc_id",
         F.posexplode("toks").alias("pos0", "token"),
-    )
+    ).localCheckpoint(eager=True)
     v = (
         s.groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -528,7 +532,9 @@ def packed_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("token", "tok_id")
     )
-    n = t.select("source", "doc_id", F.size("toks").alias("n_tokens"))
+    n = s.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
@@ -546,7 +552,14 @@ def packed_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_id",
         )
     )
-    rows = packed_sequence_rows(g)
+    return _md5_face(packed_sequence_rows(g))
+
+
+def _md5_face(rows: DataFrame) -> DataFrame:
+    """The driver-comparable projection of packed rows: the id array as
+    a portable md5 of the space-joined ids plus two cheap scalars.  ONE
+    definition — packed_token_sequences and packed_bpe_sequences must
+    stay directly comparable."""
     return rows.select(
         "source",
         "seq_id",
@@ -620,6 +633,8 @@ def packed_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id",
         F.posexplode(tokenize_words("text")).alias("wpos", "word"),
     )
+    # wsyms feeds both the per-doc count and the id stream — one
+    # materialization (word fan-out + two joins are the heavy stage)
     wsyms = (
         t.join(enc, "word")
         .select(
@@ -627,6 +642,7 @@ def packed_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode("symbols").alias("spos", "sym"),
         )
         .join(sym_vocab, "sym")
+        .localCheckpoint(eager=True)
     )
     per_doc = wsyms.groupBy("source", "doc_id").agg(
         F.count(F.lit(1)).alias("n_syms")
@@ -649,21 +665,7 @@ def packed_bpe_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_id",
         )
     )
-    rows = packed_sequence_rows(g)
-    return rows.select(
-        "source",
-        "seq_id",
-        "n_ids",
-        F.md5(
-            F.concat_ws(
-                " ", F.transform("input_ids", lambda x: x.cast("string"))
-            )
-        ).alias("ids_md5"),
-        F.get("input_ids", 0).cast("bigint").alias("first_id"),
-        F.aggregate(
-            "input_ids", F.lit(0).cast("bigint"), lambda a, x: a + x
-        ).alias("ids_sum"),
-    )
+    return _md5_face(packed_sequence_rows(g))
 
 
 @query(

@@ -15,13 +15,21 @@ and stream ≡ sequential-batch-fold holds by construction (pinned in
 tests/test_streaming_ingest.py).
 
 Exactly-once on an at-least-once runtime: every write lands in a
-batch-scoped subdirectory (``b<batch_id>/``) with overwrite semantics,
-and a replayed trigger first DELETES its own subdirectories — so a
-crash between the decisions write and the index fold replays cleanly:
-the partial contribution is removed before decisions are recomputed,
-and both writes land exactly once.  Tables are read with
-``recursiveFileLookup`` (plain appends from batch-mode callers and
-batch subdirectories coexist).
+batch-scoped subdirectory (``b<ns>-<batch_id>/``, ns derived from the
+checkpoint location so a fresh checkpoint can never collide with an
+older run's contributions) with overwrite semantics, and a replayed
+trigger first DELETES its own subdirectories — so a crash between the
+decisions write and the index fold replays cleanly.  Compaction
+preserves the newest batch subdirectory per table: the only batch an
+at-least-once restart can replay is the last uncommitted one, and its
+replay marker must survive the fold (see compact_ingest_indexes).
+Tables are read with ``recursiveFileLookup`` (plain appends from
+batch-mode callers and batch subdirectories coexist).
+
+All path operations go through the Hadoop FileSystem API, so
+``index_dir`` may live on any supported scheme (file://, hdfs://,
+s3a://) — never ``os.path`` probes, which read every remote path as
+absent (the silently-empty-index trap).
 
 Semantics note: sequential ingest is STRICTER than the one-shot batch
 query.  Every arriving doc joins the index (ingested = seen, the
@@ -40,8 +48,7 @@ are parquet directories — the local stand-in for the same contract.
 
 from __future__ import annotations
 
-import os
-import shutil
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,6 +69,67 @@ _EMPTY = {
     _SETS: "doc_id bigint, s array<string>",
 }
 
+#: per-table sort key for compaction (row-group min/max pruning on the
+#: probe joins)
+_SORT = {_KEYS: ("lang", "h"), _BANDS: ("band",), _SETS: ("doc_id",)}
+
+
+# --------------------------------------------------------------------------
+# Hadoop-FS path helpers (scheme-agnostic: file://, hdfs://, s3a://...)
+# --------------------------------------------------------------------------
+
+
+def _fs_path(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(hconf), p, jvm
+
+
+def _exists(spark: SparkSession, path: str) -> bool:
+    fs, p, _ = _fs_path(spark, path)
+    return fs.exists(p)
+
+
+def _delete(spark: SparkSession, path: str) -> None:
+    fs, p, _ = _fs_path(spark, path)
+    fs.delete(p, True)
+
+
+def _rename(spark: SparkSession, src: str, dst: str) -> None:
+    fs, p, jvm = _fs_path(spark, src)
+    if not fs.rename(p, jvm.org.apache.hadoop.fs.Path(dst)):
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def _join(*parts: str) -> str:
+    return "/".join(x.rstrip("/") for x in parts)
+
+
+def _list_children(spark: SparkSession, path: str):
+    """[(name, full_path, is_dir, mtime)] of a directory's children."""
+    fs, p, _ = _fs_path(spark, path)
+    out = []
+    for st in fs.listStatus(p):
+        out.append(
+            (
+                st.getPath().getName(),
+                st.getPath().toString(),
+                st.isDirectory(),
+                st.getModificationTime(),
+            )
+        )
+    return out
+
+
+def _batch_tag(batch_id: int, namespace: str = "") -> str:
+    return f"b{namespace}-{batch_id}" if namespace else f"b{batch_id}"
+
+
+# --------------------------------------------------------------------------
+# Index build / read / fold
+# --------------------------------------------------------------------------
+
 
 def _batch_frames(batch: DataFrame) -> dict[str, DataFrame]:
     """The batch's index contributions, shingle sets computed ONCE and
@@ -80,9 +148,7 @@ def build_ingest_indexes(docs: DataFrame, index_dir: str) -> None:
     (one-time backfill; after this the stream maintains them)."""
     frames = _batch_frames(docs)
     for sub in _TABLES:
-        frames[sub].write.mode("overwrite").parquet(
-            os.path.join(index_dir, sub)
-        )
+        frames[sub].write.mode("overwrite").parquet(_join(index_dir, sub))
     frames[_SETS].unpersist()
 
 
@@ -92,14 +158,14 @@ def _read_index(spark: SparkSession, index_dir: str, sub: str) -> DataFrame:
     treating a broken index as empty would accept every duplicate in
     the corpus (and an interrupted compaction leaves a recoverable
     ``.old`` sibling that must not be mistaken for 'unseeded')."""
-    path = os.path.join(index_dir, sub)
-    if not os.path.exists(path):
+    path = _join(index_dir, sub)
+    if not _exists(spark, path):
         for leftover in (path + ".old", path + ".compacting"):
-            if os.path.exists(leftover):
+            if _exists(spark, leftover):
                 raise RuntimeError(
                     f"index table {path} missing but {leftover} exists — "
-                    "interrupted compaction; restore it (mv) before "
-                    "resuming the ingest"
+                    "interrupted compaction; run compact_ingest_indexes "
+                    "(self-healing) or restore it before resuming"
                 )
         return spark.createDataFrame([], _EMPTY[sub])
     return (
@@ -149,8 +215,13 @@ def ingest_decisions(
         .alias("decision"),
     ).localCheckpoint(eager=True)
     for name, frame in stages.items():
-        if frames is None or frame is not frames.get(_SETS):
-            frame.unpersist()
+        # the shared batch-sets frame is the CALLER's to release (it
+        # still feeds append_to_indexes) — skip it by its dict key,
+        # never by object identity, which any innocuous rewrap inside
+        # batch_ingest_stages would silently break
+        if frames is not None and name == "_sets":
+            continue
+        frame.unpersist()
     return out
 
 
@@ -159,18 +230,21 @@ def append_to_indexes(
     index_dir: str,
     batch_id: int | None = None,
     frames: dict[str, DataFrame] | None = None,
+    namespace: str = "",
 ) -> None:
     """Every arriving doc joins the index — accepted or not (ingested
     = seen; a rejected doc's content still counts as known).  With a
     ``batch_id`` the contribution lands in an overwrite-semantics
-    subdirectory (replay-idempotent); without one it appends in place
-    (batch-mode callers)."""
+    subdirectory named by (namespace, batch_id) — replay-idempotent,
+    and collision-proof across checkpoint resets when the namespace
+    derives from the checkpoint location; without one it appends in
+    place (batch-mode callers)."""
     own = frames if frames is not None else _batch_frames(batch)
     for sub in _TABLES:
-        path = os.path.join(index_dir, sub)
+        path = _join(index_dir, sub)
         if batch_id is not None:
             own[sub].write.mode("overwrite").parquet(
-                os.path.join(path, f"b{batch_id}")
+                _join(path, _batch_tag(batch_id, namespace))
             )
         else:
             own[sub].write.mode("append").parquet(path)
@@ -183,22 +257,27 @@ def ingest_batch(
     spark: SparkSession,
     index_dir: str,
     batch_id: int | None = None,
+    namespace: str = "",
 ) -> DataFrame:
     """One full ingest step: decide, then fold the batch into the
     index.  Returns the decisions frame (already materialized, so the
     decisions reflect the PRE-append index state).  The batch-mode
     building block the stream applies per trigger — fold it over
     splits by hand to get the reference semantics the stream must
-    match.  On a replay (same ``batch_id``), any partial contribution
-    from a crashed attempt is removed before deciding."""
+    match.  On a replay (same namespace + batch_id), any partial
+    contribution from a crashed attempt is removed before deciding."""
     if batch_id is not None:
         for sub in _TABLES:
-            partial = os.path.join(index_dir, sub, f"b{batch_id}")
-            if os.path.exists(partial):
-                shutil.rmtree(partial)
+            partial = _join(
+                index_dir, sub, _batch_tag(batch_id, namespace)
+            )
+            if _exists(spark, partial):
+                _delete(spark, partial)
     frames = _batch_frames(batch)
     out = ingest_decisions(batch, spark, index_dir, frames=frames)
-    append_to_indexes(batch, index_dir, batch_id=batch_id, frames=frames)
+    append_to_indexes(
+        batch, index_dir, batch_id=batch_id, frames=frames, namespace=namespace
+    )
     frames[_SETS].unpersist()
     return out
 
@@ -212,40 +291,85 @@ def read_ingest_decisions(spark: SparkSession, decisions_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Compaction
+# --------------------------------------------------------------------------
+
+
+def _heal_table(spark: SparkSession, src: str) -> None:
+    """Recover any interrupted-compaction leftovers for one table:
+    a ``.compacting`` build is always discardable; a ``.old`` with the
+    table missing means the swap died mid-flight (restore it); a
+    ``.old`` alongside a live table may still hold the preserved batch
+    subdirectories (move them back, then drop it)."""
+    tmp, old = src + ".compacting", src + ".old"
+    if _exists(spark, tmp):
+        _delete(spark, tmp)
+    if _exists(spark, old):
+        if not _exists(spark, src):
+            _rename(spark, old, src)
+        else:
+            for name, full, is_dir, _ in _list_children(spark, old):
+                if is_dir and not _exists(spark, _join(src, name)):
+                    _rename(spark, full, _join(src, name))
+            _delete(spark, old)
+
+
 def compact_ingest_indexes(
-    spark: SparkSession, index_dir: str, target_mb: int = 128
+    spark: SparkSession,
+    index_dir: str,
+    target_mb: int = 128,
+    keep_last: int = 1,
 ) -> dict[str, int]:
     """Compact the per-trigger subdirectory writes into ~``target_mb``
-    files, sorted within files on the probe key so row-group min/max
-    stats prune the next batch's joins — the OPTIMIZE half of running
-    this ingest indefinitely.  Run it between triggers (the swap is
-    rename-based: the original is moved aside, the compacted tree
-    moved in, THEN the original deleted — an interruption leaves a
-    ``.old`` sibling that :func:`_read_index` refuses to ignore, never
-    a silently-empty table).  Returns the output file count per table."""
-    from bigdatamlteamrepo_spark.sources.layout import compact_parquet
-
+    files sorted on the probe key (row-group min/max pruning for the
+    next batch's joins) — the OPTIMIZE half of running this ingest
+    indefinitely.  Safe to run between triggers of a LIVE checkpoint:
+    the ``keep_last`` NEWEST batch subdirectories per table are
+    preserved as-is, because the only batch an at-least-once restart
+    can replay is the last uncommitted one and its replay marker must
+    survive the fold — folding it would make the replay judge the
+    batch against its own contribution.  The swap is rename-based and
+    self-healing (:func:`_heal_table` runs first; an interruption
+    leaves recoverable ``.old``/``.compacting`` siblings, never a
+    silently-empty table).  Returns the output file count per table."""
     out = {}
-    for sub, sort_cols in (
-        (_KEYS, ("lang", "h")),
-        (_BANDS, ("band",)),
-        (_SETS, ("doc_id",)),
-    ):
-        src = os.path.join(index_dir, sub)
-        if not os.path.exists(src):
+    for sub in _TABLES:
+        src = _join(index_dir, sub)
+        _heal_table(spark, src)
+        if not _exists(spark, src):
             continue
-        tmp, old = src + ".compacting", src + ".old"
-        out[sub] = compact_parquet(
-            spark,
-            src,
-            tmp,
-            target_mb,
-            sort_within_by=sort_cols,
-            recursive=True,
+        children = _list_children(spark, src)
+        subdirs = sorted(
+            [c for c in children if c[2]], key=lambda c: (c[3], c[0])
         )
-        os.rename(src, old)
-        os.rename(tmp, src)
-        shutil.rmtree(old)
+        kept = {c[0] for c in subdirs[len(subdirs) - keep_last :]} if keep_last else set()
+        fold = [c[1] for c in children if c[0] not in kept]
+        if not fold:
+            continue
+        fs, _, _jvm = _fs_path(spark, src)
+        total = 0
+        for path in fold:
+            total += fs.getContentSummary(
+                _jvm.org.apache.hadoop.fs.Path(path)
+            ).getLength()
+        n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
+        tmp, old = src + ".compacting", src + ".old"
+        (
+            spark.read.schema(_EMPTY[sub])
+            .option("recursiveFileLookup", "true")
+            .parquet(*fold)
+            .repartition(int(n_files))
+            .sortWithinPartitions(*_SORT[sub])
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        _rename(spark, src, old)
+        _rename(spark, tmp, src)
+        for name in kept:
+            _rename(spark, _join(old, name), _join(src, name))
+        _delete(spark, old)
+        out[sub] = int(n_files)
     return out
 
 
@@ -258,14 +382,19 @@ def incremental_ingest_stream(
     """Wire a streaming documents source into the ingest: per trigger,
     write this micro-batch's decisions to ``decisions_dir`` and fold
     the batch into the index tables — both into batch-scoped overwrite
-    subdirectories, so an at-least-once replay lands exactly once.
-    Returns the started query."""
+    subdirectories namespaced by the checkpoint location, so an
+    at-least-once replay lands exactly once and a RESTARTED stream
+    with a fresh checkpoint can never clobber an older run's
+    contributions.  Returns the started query."""
     spark = stream_docs.sparkSession
+    ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def _process(batch: DataFrame, batch_id: int) -> None:
-        ingest_batch(batch, spark, index_dir, batch_id=batch_id).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(decisions_dir, f"b{batch_id}"))
+        ingest_batch(
+            batch, spark, index_dir, batch_id=batch_id, namespace=ns
+        ).write.mode("overwrite").parquet(
+            _join(decisions_dir, _batch_tag(batch_id, ns))
+        )
 
     return (
         stream_docs.writeStream.foreachBatch(_process)

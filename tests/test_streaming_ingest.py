@@ -186,3 +186,73 @@ def test_index_compaction_preserves_decisions(spark, tmp_path, split):
     for s in counts:
         assert after_files[s] < before_files[s]
         assert after_files[s] == counts[s]
+
+
+def test_compaction_preserves_newest_batch_marker(spark, tmp_path, split):
+    """keep_last=1: the newest batch subdirectory survives the fold
+    (its replay marker must outlive compaction), older ones fold in,
+    and a replay of the newest batch still lands exactly once."""
+    import glob
+
+    from bigdatamlteamrepo_spark.streaming.ingest import (
+        compact_ingest_indexes,
+        ingest_batch,
+    )
+
+    index, (b1, b2) = split
+    idx = str(tmp_path / "keep_idx")
+    build_ingest_indexes(index, idx)
+    d1 = {r.doc_id: r.decision for r in ingest_batch(b1, spark, idx, batch_id=0).collect()}
+    d2 = {r.doc_id: r.decision for r in ingest_batch(b2, spark, idx, batch_id=1).collect()}
+    compact_ingest_indexes(spark, idx)
+    for sub in ("keys", "bands", "sets"):
+        assert os.path.isdir(tmp_path / "keep_idx" / sub / "b1"), sub
+        assert not os.path.isdir(tmp_path / "keep_idx" / sub / "b0"), sub
+    # replay of the STILL-MARKED newest batch reproduces its decisions
+    d2r = {r.doc_id: r.decision for r in ingest_batch(b2, spark, idx, batch_id=1).collect()}
+    assert d2r == d2
+    # and the index state afterwards equals one clean fold (no dup rows)
+    n_keys = (
+        spark.read.schema("lang string, h string")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "keep_idx" / "keys"))
+        .count()
+    )
+    assert n_keys == index.count() + b1.count() + b2.count()
+    assert d1  # silence unused warning
+
+
+def test_compaction_self_heals_interrupted_swap(spark, tmp_path, split):
+    """A crash between the two renames (table missing, .old present)
+    and a crash before .old deletion (both present) both recover on
+    the next compaction run, with no data loss."""
+    import shutil
+
+    from bigdatamlteamrepo_spark.streaming.ingest import (
+        compact_ingest_indexes,
+        ingest_decisions,
+    )
+
+    index, (b1, _) = split
+    idx = str(tmp_path / "heal_idx")
+    build_ingest_indexes(index, idx)
+    probe = b1.withColumn("doc_id", F.col("doc_id") + 70_000_000)
+    before = {
+        r.doc_id: r.decision
+        for r in ingest_decisions(probe, spark, idx).collect()
+    }
+
+    keys = os.path.join(idx, "keys")
+    # crash window 1: src renamed aside, replacement never landed
+    os.rename(keys, keys + ".old")
+    compact_ingest_indexes(spark, idx)
+    assert os.path.isdir(keys) and not os.path.exists(keys + ".old")
+    # crash window 2: both live and .old exist (old swap not cleaned)
+    shutil.copytree(keys, keys + ".old")
+    compact_ingest_indexes(spark, idx)
+    assert os.path.isdir(keys) and not os.path.exists(keys + ".old")
+    after = {
+        r.doc_id: r.decision
+        for r in ingest_decisions(probe, spark, idx).collect()
+    }
+    assert after == before
