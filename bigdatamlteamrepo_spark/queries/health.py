@@ -269,9 +269,12 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's vocabulary.  No source×vocab fan-out; the big shuffles are
     the (source, token) count and the vocab-sized token join.
 
-    KL is finite by construction (source support ⊆ corpus support).
-    ln-derived term sums go through the decimal dsum convention
-    (order-free, scale 12 for the ~1e-6-sized terms).
+    KL is finite by construction (source support ⊆ corpus support —
+    the reference IS the corpus here; the frame-parameterized core
+    :func:`unigram_divergence_against_ref` handles novel tokens for
+    the streaming drift monitor).  ln-derived term sums go through the
+    decimal dsum convention (order-free, scale 12 for the
+    ~1e-6-sized terms).
 
     At 100 TB: the (source, token) frame is Zipf-collapsed (vocab ≪
     corpus), the token join keys are high-cardinality (no skew beyond
@@ -279,16 +282,48 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     per source.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("source", F.explode(tokenize("text")).alias("token"))
-    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c_st"))
+    st = unigram_counts(docs)
     ct = st.groupBy("token").agg(F.sum("c_st").cast("bigint").alias("c_t"))
-    totals = ct.agg(F.sum("c_t").cast("bigint").alias("t_all"))
+    return unigram_divergence_against_ref(st, ct).select(
+        "source",
+        "n_tokens",
+        "n_distinct_tokens",
+        "covered_corpus_tokens",
+        "kl_nats",
+        "js_nats",
+    )
+
+
+def unigram_counts(docs: DataFrame) -> DataFrame:
+    """(source, token, c_st) unigram counts of a documents frame — the
+    additive sufficient statistic the drift monitor folds per batch."""
+    return (
+        docs.select("source", F.explode(tokenize("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_st"))
+    )
+
+
+def unigram_divergence_against_ref(st: DataFrame, ref: DataFrame) -> DataFrame:
+    """Per-source KL/JS of ``st`` (source, token, c_st) against a
+    reference distribution ``ref`` (token, c_t) — the shared core of
+    the registered corpus query and the streaming drift monitor.
+
+    Tokens absent from the reference ("novel") would make KL infinite;
+    the standard monitoring semantics apply: KL is reported over the
+    ref-covered tokens only, while JS stays *exact* — a novel token's
+    term degenerates to ``½·p·ln 2``, so the whole novel tail folds to
+    ``½·ln2·(novel_mass_s / T_s)`` with novel_mass an exact BIGINT
+    sum.  ``novel_tokens`` / ``novel_token_mass`` are emitted so a
+    monitor can alert on them directly.
+    """
+    totals = ref.agg(F.sum("c_t").cast("bigint").alias("t_all"))
     src_tot = st.groupBy("source").agg(
         F.sum("c_st").cast("bigint").alias("t_s"),
         F.count(F.lit(1)).alias("n_distinct"),
     )
     terms = (
-        st.join(ct, "token")
+        st.join(ref, "token", "left")
         .join(F.broadcast(src_tot), "source")
         .crossJoin(F.broadcast(totals))
         .select(
@@ -296,21 +331,34 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_s",
             "n_distinct",
             "t_all",
+            "c_st",
             (F.col("c_st").cast("double") / F.col("t_s")).alias("p"),
             (F.col("c_t").cast("double") / F.col("t_all")).alias("q"),
             "c_t",
         )
     )
     p, q = F.col("p"), F.col("q")
+    covered = F.col("c_t").isNotNull()
     js_present = 0.5 * (
         p * F.log(2.0 * p / (p + q)) + q * F.log(2.0 * q / (p + q))
     )
+    zero = F.lit(0.0)
     return (
         terms.groupBy("source", "t_s", "n_distinct")
         .agg(
             F.sum("c_t").cast("bigint").alias("covered_corpus_tokens"),
-            dsum(p * F.log(p / q), 12, 30).alias("kl_nats"),
-            dsum(js_present, 12, 30).alias("js_present"),
+            F.sum(F.when(~covered, 1).otherwise(0)).cast("bigint").alias(
+                "novel_tokens"
+            ),
+            F.sum(F.when(~covered, F.col("c_st")).otherwise(0))
+            .cast("bigint")
+            .alias("novel_token_mass"),
+            dsum(F.when(covered, p * F.log(p / q)).otherwise(zero), 12, 30).alias(
+                "kl_nats"
+            ),
+            dsum(F.when(covered, js_present).otherwise(zero), 12, 30).alias(
+                "js_present"
+            ),
             F.max("t_all").alias("t_all"),
         )
         .select(
@@ -318,6 +366,8 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_s").alias("n_tokens"),
             F.col("n_distinct").cast("bigint").alias("n_distinct_tokens"),
             "covered_corpus_tokens",
+            "novel_tokens",
+            "novel_token_mass",
             "kl_nats",
             (
                 F.col("js_present")
@@ -328,6 +378,9 @@ def source_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - F.col("covered_corpus_tokens").cast("double")
                     / F.col("t_all")
                 )
+                + 0.5
+                * _LN2
+                * (F.col("novel_token_mass").cast("double") / F.col("t_s"))
             ).alias("js_nats"),
         )
     )

@@ -1,0 +1,192 @@
+"""Streaming drift monitor: the per-trigger snapshots must equal the
+batch divergence core on the same prefix of the corpus, and the final
+snapshot against a full-corpus reference must reproduce the registered
+``source_unigram_divergence`` numbers exactly."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.queries.health import (
+    source_unigram_divergence,
+    unigram_counts,
+    unigram_divergence_against_ref,
+)
+from bigdatamlteamrepo_spark.streaming.drift import (
+    build_reference_distribution,
+    drift_monitor_stream,
+    drift_snapshot,
+    read_running_counts,
+)
+
+_DOC_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def _rows(df):
+    return {r["source"]: r.asDict() for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def waves(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    mid = docs.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    return docs, docs.filter(F.col("doc_id") < mid), docs.filter(
+        F.col("doc_id") >= mid
+    )
+
+
+def test_stream_snapshots_equal_batch_core(spark, sf_dir, tmp_path, waves):
+    docs, w1, w2 = waves
+    ref_dir = str(tmp_path / "ref")
+    build_reference_distribution(docs, ref_dir)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    w1.coalesce(1).write.mode("append").parquet(src)
+    w2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = drift_monitor_stream(
+        stream,
+        ref_dir,
+        str(tmp_path / "counts"),
+        str(tmp_path / "snaps"),
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    assert n_batches >= 2, "waves must arrive in separate micro-batches"
+
+    # final folded state = whole corpus; snapshot must equal the batch
+    # core bit-for-bit (both go through the same deterministic sums)
+    final = _rows(drift_snapshot(spark, str(tmp_path / "counts"), ref_dir))
+    ref = spark.read.parquet(ref_dir)
+    expect_all = _rows(unigram_divergence_against_ref(unigram_counts(docs), ref))
+    assert final == expect_all
+
+    # and, since the reference IS the full corpus, the registered
+    # query's columns are reproduced exactly (novel columns all zero)
+    reg = _rows(source_unigram_divergence(spark, sf_dir))
+    for s, r in final.items():
+        assert r["novel_tokens"] == 0 and r["novel_token_mass"] == 0
+        for k in ("n_tokens", "n_distinct_tokens", "covered_corpus_tokens"):
+            assert r[k] == reg[s][k], (s, k)
+        assert math.isclose(r["kl_nats"], reg[s]["kl_nats"], rel_tol=0, abs_tol=0)
+        assert math.isclose(r["js_nats"], reg[s]["js_nats"], rel_tol=0, abs_tol=0)
+
+
+def test_midstream_snapshot_is_prefix_divergence(spark, tmp_path, waves):
+    docs, w1, w2 = waves
+    ref_dir = str(tmp_path / "ref")
+    build_reference_distribution(docs, ref_dir)
+    ref = spark.read.parquet(ref_dir)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    w1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    counts_dir = str(tmp_path / "counts")
+    q = drift_monitor_stream(
+        stream, ref_dir, counts_dir, str(tmp_path / "snaps"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = _rows(drift_snapshot(spark, counts_dir, ref_dir))
+    expect = _rows(unigram_divergence_against_ref(unigram_counts(w1), ref))
+    assert got == expect
+    # a strict prefix against the full-corpus reference must show
+    # positive drift somewhere (the prefix is not the whole corpus)
+    assert any(r["js_nats"] > 0 for r in got.values())
+
+
+def test_novel_tokens_exact_js(spark):
+    """Constructed case: a batch containing tokens absent from the
+    reference — JS must fold the novel tail exactly (pinned vs an
+    independent Python computation), KL covers the ref-supported part."""
+    ref_docs = spark.createDataFrame(
+        [(0, "aa bb aa cc", "en", "s0", 11)],
+        _DOC_SCHEMA,
+    )
+    batch = spark.createDataFrame(
+        [(1, "aa zznovel zznovel bb", "en", "s0", 21)],
+        _DOC_SCHEMA,
+    )
+    ref = (
+        unigram_counts(ref_docs)
+        .groupBy("token")
+        .agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    )
+    r = unigram_divergence_against_ref(unigram_counts(batch), ref).collect()[0]
+    assert r["novel_tokens"] == 1 and r["novel_token_mass"] == 2
+
+    # independent computation: P = {aa:1/4, bb:1/4, zznovel:2/4},
+    # Q = {aa:2/4, bb:1/4, cc:1/4}
+    P = {"aa": 0.25, "bb": 0.25, "zznovel": 0.5}
+    Q = {"aa": 0.5, "bb": 0.25, "cc": 0.25}
+    js = 0.0
+    for t in set(P) | set(Q):
+        p, q = P.get(t, 0.0), Q.get(t, 0.0)
+        if p:
+            js += 0.5 * p * math.log(2 * p / (p + q))
+        if q:
+            js += 0.5 * q * math.log(2 * q / (p + q))
+    kl_covered = sum(
+        p * math.log(p / Q[t]) for t, p in P.items() if t in Q
+    )
+    assert abs(r["js_nats"] - js) < 1e-9
+    assert abs(r["kl_nats"] - kl_covered) < 1e-9
+    # covered corpus mass: aa + bb = 3 of 4 reference tokens
+    assert r["covered_corpus_tokens"] == 3
+
+
+def test_replay_idempotent_counts(spark, tmp_path, waves):
+    """Re-running the same checkpointed stream (fresh checkpoint, same
+    namespace derivation) against the same counts dir must not double
+    any contribution: batch-scoped overwrite subdirectories."""
+    docs, w1, _ = waves
+    ref_dir = str(tmp_path / "ref")
+    build_reference_distribution(docs, ref_dir)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    w1.coalesce(1).write.mode("append").parquet(src)
+    counts_dir = str(tmp_path / "counts")
+
+    for _ in range(2):  # same checkpoint dir -> same namespace + ids
+        stream = spark.readStream.schema(_DOC_SCHEMA).parquet(src)
+        q = drift_monitor_stream(
+            stream,
+            ref_dir,
+            counts_dir,
+            str(tmp_path / "snaps"),
+            str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        # force re-delivery on the second pass
+        import shutil
+
+        shutil.rmtree(str(tmp_path / "ckpt"), ignore_errors=True)
+
+    total = read_running_counts(spark, counts_dir).agg(
+        F.sum("c_st")
+    ).collect()[0][0]
+    expect = unigram_counts(w1).agg(F.sum("c_st")).collect()[0][0]
+    assert total == expect
