@@ -49,7 +49,7 @@ from pyspark.sql import functions as F
 from bigdatamlteamrepo_spark.catalog import load_table
 from bigdatamlteamrepo_spark.functions.numeric import dsum, dsum_expr
 from bigdatamlteamrepo_spark.functions.text import tokenize
-from bigdatamlteamrepo_spark.queries.registry import query
+from bigdatamlteamrepo_spark.queries.registry import PRI_EXTRA, query
 from bigdatamlteamrepo_spark.queries.shards import MIX_ALPHA
 from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
 
@@ -384,6 +384,37 @@ def unigram_divergence_against_ref(st: DataFrame, ref: DataFrame) -> DataFrame:
             ).alias("js_nats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Model-based quality scores (rows-only driver face of ml/quality.py).
+# --------------------------------------------------------------------------
+
+
+@query("doc_quality_model_scores", priority=PRI_EXTRA)
+def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the CCNet-style quality classifier (ml/quality.py: n-gram
+    CountVectorizer + weighted LR on Gopher pseudo-labels) on the
+    deterministic 4/5 split and score the 1/5 holdout through the
+    pure-expression path (broadcast (term, weight) join — no vectors,
+    no UDFs at scoring time).
+
+    Rows-only by design: LBFGS coefficient values are partitioning-
+    sensitive at the ULP level, so there is no cross-engine value
+    oracle; the expression path is pinned ≡ the MLlib transform (and
+    the model's holdout AUC floor asserted) in tests/test_ml_quality.py.
+    Registered at the demoted priority so it never occupies a driver
+    correctness-window slot (rows-only rows read as non-green — the
+    r03 ann_ivf_topk lesson)."""
+    from bigdatamlteamrepo_spark.ml.quality import (
+        holdout_split,
+        score_documents_expr,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train, hold = holdout_split(docs)
+    return score_documents_expr(train_quality_classifier(train), hold)
 
 
 # --------------------------------------------------------------------------
