@@ -123,3 +123,60 @@ def class_weights(df: DataFrame, label_col: str, weight_col: str = "classWeightC
         ),
     )
     return df.join(F.broadcast(weights), on=label_col, how="inner")
+
+
+def score_threshold(
+    df: DataFrame,
+    score_col: str,
+    top_frac: float,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> float:
+    """The score value at the ``1 - top_frac`` quantile of ``score_col``
+    — the cut line for "ship the top ``top_frac`` of the corpus by
+    score" without ever sorting the corpus.
+
+    ``approx=False`` uses exact ``percentile`` (full sort of the score
+    COLUMN within the aggregate — fine at test/driver SFs, and the
+    cross-engine-reproducible anchor: linear interpolation, same as
+    DuckDB's ``quantile_cont``).  ``approx=True`` is the 100 TB path:
+    ``approx_percentile`` (Greenwald-Khanna, one pass, bounded memory
+    per partition, error ≤ 1/accuracy of the rank) — the threshold may
+    sit a few rank-ppm off the exact cut, which moves the boundary
+    docs only.  Returns a driver-side float (1-row bounded collect —
+    the threshold is a scalar PARAMETER of the downstream filter, and
+    baking it in as a literal keeps the selection plan a codegen
+    scan-filter instead of a window/join).
+    """
+    if not 0.0 < top_frac <= 1.0:
+        raise ValueError(f"top_frac must be in (0, 1]: {top_frac}")
+    q = 1.0 - top_frac
+    expr = (
+        F.expr(f"approx_percentile({score_col}, {q!r}, {accuracy})")
+        if approx
+        else F.expr(f"percentile({score_col}, {q!r})")
+    )
+    row = df.agg(expr.alias("__thr")).collect()[0]
+    if row["__thr"] is None:
+        raise ValueError("score_threshold on an empty frame")
+    return float(row["__thr"])
+
+
+def select_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    top_frac: float,
+    approx: bool = False,
+) -> DataFrame:
+    """Keep the rows whose ``score_col`` is ≥ the ``1 - top_frac``
+    quantile — quantile-threshold selection, the scale-safe form of
+    "take the best p% of 100 TB": one aggregate to learn the cut, one
+    codegen filter to apply it.  No global sort, no window over the
+    corpus, no driver-side ranking.
+
+    Ties AT the threshold are all kept (the filter is ``>=``), so the
+    selected fraction can exceed ``top_frac`` on plateaued scores —
+    deterministic and engine-independent, unlike any tie-breaking rank.
+    """
+    thr = score_threshold(df, score_col, top_frac, approx=approx)
+    return df.filter(F.col(score_col) >= thr)

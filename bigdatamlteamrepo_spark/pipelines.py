@@ -12,6 +12,9 @@ materializing run with per-stage accounting.
                                       any exact 8-gram with ``eval_docs``
                                       — broadcast gram join, the
                                       doc_eval_contamination plan)
+      → model quality selection      (optional: ml/quality.py n-gram LR
+                                      scored via the expression path,
+                                      threshold or top-fraction cut)
       → LM perplexity selection      (queries/textmodel.doc_lm_perplexity,
                                       tercile ≤ 2 — CCNet head/middle)
       → deterministic shard write    (sources/shard_writer)
@@ -48,6 +51,10 @@ def build_training_corpus(
     eval_docs: DataFrame | None = None,
     cut_dup_spans: bool = False,
     decon_mode: str = "drop",
+    quality_model=None,
+    quality_threshold: float | None = None,
+    quality_top_frac: float | None = None,
+    quality_approx: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full build; write shards to ``out_dir``; return
     ``{"report": per-source stage accounting, "manifest": shard
@@ -72,6 +79,25 @@ def build_training_corpus(
     keep-the-data-lose-the-leak trade.  Either way the removal happens
     (decontamination) before the LM stage, so the selection
     model never trains on leaked eval content either.
+
+    ``quality_threshold`` / ``quality_top_frac`` (mutually exclusive)
+    enable the MODEL-BASED quality stage (ml/quality.py): score every
+    decon survivor through the pure-expression path (broadcast
+    (term, weight) join — no vectors at corpus scale) and keep docs
+    with ``quality_prob >= quality_threshold``, or the top fraction by
+    score via quantile-threshold selection
+    (operators/sampling.select_top_fraction; ``quality_approx=True``
+    switches the cut to one-pass ``approx_percentile`` — the 100 TB
+    path).  ``quality_model`` accepts a prefit
+    :class:`~bigdatamlteamrepo_spark.ml.quality.QualityModel`; by
+    default one is trained on the RAW input corpus — the Gopher
+    pseudo-labels are degenerate on post-Gopher survivors (all
+    positive), so the classifier must see the full label distribution.
+    Docs whose text yields zero terms never reach the scorer and are
+    conservatively dropped by this stage (the <2-bigram LM convention).
+    The stage runs after decontamination and before LM selection, so
+    the perplexity model trains on quality-passing text only.  When
+    active, the report gains an ``n_quality`` column.
     """
     from bigdatamlteamrepo_spark.operators.graph import connected_components
     from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
@@ -191,15 +217,48 @@ def build_training_corpus(
     else:
         s35 = s3cut
 
+    # ---- stage 3.75 (optional): model-based quality selection —
+    # score the decon survivors with the n-gram LR classifier through
+    # the expression path (ml/quality.py: one scan + broadcast weights
+    # join + doc-keyed sum, codegen end to end) and keep by absolute
+    # threshold or top-fraction quantile cut.  Trained on the RAW
+    # corpus (see docstring: survivor-only labels are degenerate).
+    if quality_threshold is not None and quality_top_frac is not None:
+        raise ValueError(
+            "quality_threshold and quality_top_frac are mutually exclusive"
+        )
+    if quality_threshold is not None or quality_top_frac is not None:
+        from bigdatamlteamrepo_spark.ml.quality import (
+            score_documents_expr,
+            train_quality_classifier,
+        )
+        from bigdatamlteamrepo_spark.operators.sampling import (
+            select_top_fraction,
+        )
+
+        qm = quality_model or train_quality_classifier(docs)
+        scores = score_documents_expr(qm, s35)
+        if quality_threshold is not None:
+            q_keep = scores.filter(F.col("quality_prob") >= quality_threshold)
+        else:
+            q_keep = select_top_fraction(
+                scores, "quality_prob", quality_top_frac, approx=quality_approx
+            )
+        s375 = s35.join(
+            q_keep.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint(eager=True)
+    else:
+        s375 = s35
+
     # ---- stage 4: LM perplexity selection (head/middle terciles).
     # Train on the deduped survivors by default: build the LM frame
     # from s35's text unless a precomputed one is passed in.
     if lm is None:
         # the SAME registered plan (queries/textmodel.doc_lm_perplexity)
         # scores the survivor frame directly — no temp-table round-trip
-        lm = lm_perplexity_frame(s35.select("doc_id", "lang", "text"))
+        lm = lm_perplexity_frame(s375.select("doc_id", "lang", "text"))
     keep_lm = lm.filter(F.col("ppl_tercile") <= 2).select("doc_id")
-    selected = s35.join(keep_lm, "doc_id", "left_semi").localCheckpoint(
+    selected = s375.join(keep_lm, "doc_id", "left_semi").localCheckpoint(
         eager=True
     )
 
@@ -216,7 +275,11 @@ def build_training_corpus(
         .join(stage_counts(s2, "n_exact"), "source", "left")
         .join(stage_counts(s3, "n_neardup"), "source", "left")
         .join(stage_counts(s35, "n_decontam"), "source", "left")
-        .join(stage_counts(selected, "n_selected"), "source", "left")
+    )
+    if s375 is not s35:
+        report = report.join(stage_counts(s375, "n_quality"), "source", "left")
+    report = (
+        report.join(stage_counts(selected, "n_selected"), "source", "left")
         .join(
             selected.groupBy("source").agg(
                 F.sum("n_chars").cast("bigint").alias("chars_shipped")

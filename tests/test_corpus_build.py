@@ -207,3 +207,87 @@ def test_decontamination_cut_mode_ships_cleaned_docs(spark, sf_dir, tmp_path):
     )
     hits = [r for r in ship_grams.collect() if r["g"] in ev]
     assert not hits, hits[:3]
+
+
+def test_quality_stage_threshold_and_accounting(spark, sf_dir, tmp_path):
+    from bigdatamlteamrepo_spark.ml.quality import (
+        score_documents_expr,
+        train_quality_classifier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qm = train_quality_classifier(docs)  # raw corpus: both label classes
+
+    base = build_training_corpus(spark, sf_dir, str(tmp_path / "qb"), n_shards=2)
+    assert "n_quality" not in base["report"].columns
+
+    res = build_training_corpus(
+        spark,
+        sf_dir,
+        str(tmp_path / "qt"),
+        n_shards=2,
+        quality_model=qm,
+        quality_threshold=0.5,
+    )
+    report = res["report"].collect()
+    assert "n_quality" in res["report"].columns
+    for r in report:
+        assert r["n_decontam"] >= r["n_quality"] >= r["n_selected"], r
+
+    # exact pin: with no eval set / span cuts, the quality stage's input
+    # is the near-dup survivor set (s3); n_quality must equal the count
+    # of s3 docs scoring >= the threshold under the same model.  (At
+    # threshold 0.5 this may be ALL of them — the classifier was trained
+    # to generalize the very rules the survivors already passed.)
+    from bigdatamlteamrepo_spark.queries.textmodel import corpus_stage_frames
+
+    stages = corpus_stage_frames(spark, sf_dir)
+    s3_docs = docs.join(stages["s3"], "doc_id", "left_semi")
+    expected = (
+        score_documents_expr(qm, s3_docs)
+        .filter(F.col("quality_prob") >= 0.5)
+        .count()
+    )
+    for frame in stages.values():
+        frame.unpersist()
+    assert sum(r["n_quality"] for r in report) == expected
+
+    # every shipped doc scores >= the threshold under the same model
+    sel_scores = score_documents_expr(qm, res["selected"]).collect()
+    assert sel_scores and all(r["quality_prob"] >= 0.5 for r in sel_scores)
+
+
+def test_quality_stage_top_fraction(spark, sf_dir, tmp_path):
+    from bigdatamlteamrepo_spark.ml.quality import train_quality_classifier
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qm = train_quality_classifier(docs)
+    res = build_training_corpus(
+        spark,
+        sf_dir,
+        str(tmp_path / "qf"),
+        n_shards=2,
+        quality_model=qm,
+        quality_top_frac=0.5,
+    )
+    report = res["report"].collect()
+    tot_q = sum(r["n_quality"] for r in report)
+    tot_decon = sum(r["n_decontam"] for r in report)
+    # quantile cut keeps about half the scored survivors (ties and the
+    # zero-term conservative drop move the boundary only)
+    assert 0.3 * tot_decon <= tot_q <= 0.7 * tot_decon
+    for r in report:
+        assert r["n_decontam"] >= r["n_quality"] >= r["n_selected"], r
+
+
+def test_quality_stage_mutually_exclusive_knobs(spark, sf_dir, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        build_training_corpus(
+            spark,
+            sf_dir,
+            str(tmp_path / "qx"),
+            quality_threshold=0.5,
+            quality_top_frac=0.5,
+        )

@@ -3,6 +3,7 @@ seed-dependent ops are checked structurally, not value-hashed)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdatamlteamrepo_spark.catalog import load_table
@@ -83,3 +84,54 @@ def test_class_weights(spark, sf_dir):
     # majority class has weight exactly 1.0
     maj_label = max(by_label, key=lambda k: by_label[k][1])
     assert by_label[maj_label][0] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Quantile-threshold selection (select_top_fraction / score_threshold)
+# ---------------------------------------------------------------------------
+
+
+def test_select_top_fraction_exact_unique_scores(spark):
+    df = spark.range(100).withColumn("score", F.col("id").cast("double"))
+    top = sampling.select_top_fraction(df, "score", 0.1)
+    got = {r["id"] for r in top.collect()}
+    # percentile(score, 0.9) over 0..99 interpolates to 89.1 → ids ≥ 90
+    assert got == set(range(90, 100))
+
+
+def test_select_top_fraction_keeps_threshold_ties(spark):
+    # 90 rows at score 1.0, 10 rows at 2.0 — asking for the top 5%
+    # cuts inside the 2.0 plateau; every tied row must survive
+    df = spark.range(100).withColumn(
+        "score", F.when(F.col("id") >= 90, 2.0).otherwise(1.0)
+    )
+    top = sampling.select_top_fraction(df, "score", 0.05)
+    assert top.count() == 10
+    assert top.agg(F.min("score")).collect()[0][0] == 2.0
+
+
+def test_select_top_fraction_whole_frame(spark):
+    df = spark.range(50).withColumn("score", F.col("id").cast("double"))
+    assert sampling.select_top_fraction(df, "score", 1.0).count() == 50
+
+
+def test_select_top_fraction_approx_close_to_exact(spark):
+    df = spark.range(10000).withColumn(
+        "score", (F.col("id") * F.col("id")).cast("double")
+    )
+    exact = sampling.score_threshold(df, "score", 0.25)
+    approx = sampling.score_threshold(df, "score", 0.25, approx=True)
+    # GK with accuracy=10000 on 10k rows: rank error ≤ ~1 row
+    n_exact = df.filter(F.col("score") >= exact).count()
+    n_approx = df.filter(F.col("score") >= approx).count()
+    assert abs(n_exact - n_approx) <= 10
+
+
+def test_score_threshold_invalid_inputs(spark):
+    df = spark.range(10).withColumn("score", F.col("id").cast("double"))
+    with pytest.raises(ValueError):
+        sampling.score_threshold(df, "score", 0.0)
+    with pytest.raises(ValueError):
+        sampling.score_threshold(df, "score", 1.5)
+    with pytest.raises(ValueError):
+        sampling.score_threshold(df.filter("id < 0"), "score", 0.5)
