@@ -168,8 +168,19 @@ def score_documents_expr(model: QualityModel, docs: DataFrame) -> DataFrame:
     Docs whose terms all miss the vocabulary (or with zero terms)
     score ``sigmoid(b)`` exactly like the MLlib dense transform (an
     all-zero vector)."""
-    spark = docs.sparkSession
-    w = model.weights_frame(spark)
+    return score_with_weights(
+        docs, model.weights_frame(docs.sparkSession), model.intercept
+    )
+
+
+def score_with_weights(
+    docs: DataFrame, weights: DataFrame, intercept: float
+) -> DataFrame:
+    """The expression-scoring core against an explicit ``(term,
+    weight)`` frame + intercept — the model AS data, so a fitted
+    classifier persisted as a parquet table scores any frame (batch or
+    a foreachBatch micro-batch) without the Python model object."""
+    w = weights
     terms = quality_terms(docs)
     tf = (
         terms.select("doc_id", F.explode("terms").alias("term"))
@@ -192,12 +203,45 @@ def score_documents_expr(model: QualityModel, docs: DataFrame) -> DataFrame:
                 / (
                     F.lit(1.0)
                     + F.exp(
-                        -(F.coalesce(F.col("dot"), F.lit(0.0)) + model.intercept)
+                        -(F.coalesce(F.col("dot"), F.lit(0.0)) + intercept)
                     )
                 )
             ).alias("quality_prob"),
         )
     )
+
+
+def save_quality_weights(model: QualityModel, weights_dir: str) -> None:
+    """Persist the fitted classifier as a parquet TABLE: the (term,
+    weight) rows plus one ``term IS NULL`` row carrying the intercept
+    (exploded terms are never NULL, so the sentinel cannot collide).
+    A few-thousand-row file — the deployable artifact a scoring
+    cluster (or a streaming monitor) broadcast-joins, with no
+    MLlib/Python model object on the scoring side."""
+    w = model.weights_frame(_active_spark())
+    w.unionByName(
+        _active_spark().createDataFrame(
+            [(None, model.intercept)], "term string, weight double"
+        )
+    ).coalesce(1).write.mode("overwrite").parquet(weights_dir)
+
+
+def _active_spark():
+    from pyspark.sql import SparkSession
+
+    return SparkSession.active()
+
+
+def load_quality_weights(spark, weights_dir: str) -> tuple[DataFrame, float]:
+    """Read back ``save_quality_weights`` output → (weights_frame,
+    intercept) for :func:`score_with_weights`."""
+    tbl = spark.read.parquet(weights_dir)
+    inter = tbl.filter(F.col("term").isNull()).collect()
+    if len(inter) != 1:
+        raise ValueError(
+            f"{weights_dir}: expected exactly one intercept row, got {len(inter)}"
+        )
+    return tbl.filter(F.col("term").isNotNull()), float(inter[0]["weight"])
 
 
 def holdout_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
