@@ -1063,3 +1063,79 @@ def events_value_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for q in _HQ_QS
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-suite contamination matrix: one corpus scan audited against
+# SEVERAL eval suites at once.  Real decontamination never runs against
+# a single benchmark — it's a battery (MMLU, GSM8K, ...), and scanning
+# 100 TB once per suite is the naive plan this query exists to avoid:
+# the per-suite gram tables are unioned into ONE tiny broadcast
+# (suite, gram) table, so every suite's audit rides the same single
+# explode of the corpus.  Per-gram join fan-out is bounded by the
+# number of suites containing that gram (≤ n_suites).
+# --------------------------------------------------------------------------
+
+_SUITE_N = 60  # eval stand-in: doc_id < 60, split into 3 suites
+_N_SUITES = 3
+
+
+@query(
+    "eval_suite_contamination_matrix",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id, source, unnest({_DECON_GRAMS_SQL}) AS gram
+  FROM t WHERE len(toks) >= {_DECON_W}
+),
+ev AS (
+  SELECT DISTINCT doc_id % {_N_SUITES} AS suite, gram
+  FROM g WHERE doc_id < {_SUITE_N}
+)
+SELECT ev.suite, g.source,
+       CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_contaminated_docs,
+       CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_distinct_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_gram_hits
+FROM g JOIN ev USING (gram)
+WHERE g.doc_id >= {_SUITE_N}
+GROUP BY ev.suite, g.source
+""",
+)
+def eval_suite_contamination_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-(suite, source) contamination: training docs (doc_id ≥ 60)
+    sharing any exact 8-token gram with each of three pseudo-suites
+    (doc_id < 60, suite = doc_id mod 3 — the eval stand-in convention
+    of doc_eval_contamination, widened to a battery).
+
+    Plan: the corpus explodes its 8-gram stream ONCE; the union of all
+    suites' distinct (suite, gram) rows is benchmark-sized and
+    broadcast, so the matrix costs the same single scan as a one-suite
+    audit plus a ≤ n_suites fan-out on matched grams.  The rollup keys
+    on (suite, source) — constant cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.withColumn("toks", tokenize("text"))
+        .filter(F.size("toks") >= _DECON_W)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(shingles(F.col("toks"), _DECON_W)).alias("gram"),
+        )
+    )
+    ev = (
+        g.filter(F.col("doc_id") < _SUITE_N)
+        .select((F.col("doc_id") % _N_SUITES).alias("suite"), "gram")
+        .distinct()
+    )
+    return (
+        g.filter(F.col("doc_id") >= _SUITE_N)
+        .join(F.broadcast(ev), "gram")
+        .groupBy("suite", "source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_contaminated_docs"),
+            F.countDistinct("gram").alias("n_distinct_grams"),
+            F.count(F.lit(1)).alias("n_gram_hits"),
+        )
+    )

@@ -1705,3 +1705,78 @@ def doc_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.crossJoin(F.broadcast(n_docs)).select(
         "term", "total_count", "n_docs_with", "sum_c2", vmr.alias("vmr_micro")
     )
+
+
+# --------------------------------------------------------------------------
+# Heuristic × model signal calibration: the full contingency of the
+# Gopher rule gate against the LM perplexity terciles — not just the
+# "kept" AND-corner that training_corpus_selection reports, but every
+# cell, so a curator can SEE where the two signals disagree (rule-pass
+# but perplexity-tail = fluent-looking junk the rules miss; rule-fail
+# but perplexity-head = formatting-odd docs the LM likes) before
+# choosing thresholds.
+# --------------------------------------------------------------------------
+
+
+def _calibration_oracle() -> str:
+    return f"""
+WITH g AS ({_gopher_doc_sql()}),
+lmq AS (SELECT doc_id, ppl_tercile FROM ({_LM_ORACLE}))
+SELECT g.source, g.pass_gopher,
+       COALESCE(l.ppl_tercile, 0) AS ppl_tercile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+FROM g
+JOIN documents d ON g.doc_id = d.doc_id
+LEFT JOIN lmq l ON g.doc_id = l.doc_id
+GROUP BY g.source, g.pass_gopher, COALESCE(l.ppl_tercile, 0)
+"""
+
+
+@query("quality_ppl_calibration", oracle=_calibration_oracle())
+def quality_ppl_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contingency of (Gopher pass flag × LM perplexity tercile) per
+    source: doc counts and char mass in every cell.  ``ppl_tercile = 0``
+    is the unscored bucket (docs with < 2 bigrams — they have no
+    perplexity, which is itself a signal; empty-token docs are outside
+    the gate's domain and excluded, mirroring the rules query).
+
+    Plan: the two signal frames are both per-doc_id aggregates the
+    engine already proves independently (row-local rule flags; the
+    one-shuffle bigram-LM score); here they meet in a single doc_id
+    hash join followed by a low-cardinality rollup (sources × 2 × 4
+    cells).  At 100 TB nothing new shuffles: the join key is the same
+    doc_id both frames are already keyed by, and the output is
+    constant-sized."""
+    from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_rule_flags(docs, "doc_id", "source", "n_chars")
+    pass_g = (
+        (
+            F.col("f_words")
+            + F.col("f_mwl")
+            + F.col("f_alpha")
+            + F.col("f_stop")
+            + F.col("f_longword")
+        )
+        == 0
+    ).cast("int")
+    lm = lm_perplexity_frame(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "ppl_tercile"
+    )
+    return (
+        flags.select(
+            "doc_id", "source", "n_chars", pass_g.alias("pass_gopher")
+        )
+        .join(lm, "doc_id", "left")
+        .groupBy(
+            "source",
+            "pass_gopher",
+            F.coalesce(F.col("ppl_tercile"), F.lit(0)).alias("ppl_tercile"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
