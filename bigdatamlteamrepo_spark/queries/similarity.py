@@ -211,3 +211,168 @@ def embedding_covariance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# Contrastive-training pair mining: for each anchor, the hardest
+# positives (same label, most similar — the pairs a metric learner must
+# keep together) and the hardest negatives (different label, most
+# similar — the pairs it must push apart).  Mining against the WHOLE
+# corpus per anchor is the exactness baseline; production mining at
+# 100 TB runs each training minibatch's anchors against the IVF-PQ
+# index (operators/pq.build_ivfpq_index) and exact-re-ranks the
+# survivors — this brute-force face is that path's recall oracle, the
+# same relationship knn_cosine_topk has to ann_ivfpq_topk.
+# --------------------------------------------------------------------------
+
+_N_ANCHORS = 8
+_N_POS = 3
+_N_NEG = 5
+_TRIPLET_MARGIN = 0.05
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle=f"""
+WITH pairs AS (
+  SELECT q.vec_id AS anchor_id,
+         c.vec_id AS neighbor_id,
+         CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS kind,
+         {_COS_SQL} AS cosine_sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_ANCHORS}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY anchor_id, kind
+           ORDER BY cosine_sim DESC, neighbor_id
+         ) AS rank
+  FROM pairs
+)
+SELECT anchor_id, neighbor_id, kind, rank, cosine_sim
+FROM ranked
+WHERE (kind = 'pos' AND rank <= {_N_POS})
+   OR (kind = 'neg' AND rank <= {_N_NEG})
+""",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardest-positive / hardest-negative mining for the anchor set
+    (``vec_id < 8``): per anchor, the top-3 most-cosine-similar
+    same-label vectors (``kind = 'pos'``) and the top-5 most-similar
+    different-label vectors (``kind = 'neg'``), ranked within kind.
+
+    Plan: the anchor set is minibatch-sized and broadcast, so the
+    corpus scan is embarrassingly parallel — each partition scores its
+    vectors against every anchor row-locally (sequential-fold cosine,
+    no UDF) and only (anchor, kind)-ranked survivors shuffle for the
+    window.  Nothing about the plan changes with corpus size; at
+    100 TB the candidate stage swaps to the IVF-PQ index (see module
+    note) with this exact face as its recall pin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("label").alias("a_label"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "label"
+    )
+    sim = cosine_similarity(F.col("a_emb"), F.col("embedding"))
+    kind = F.when(F.col("label") == F.col("a_label"), "pos").otherwise("neg")
+    w = Window.partitionBy("anchor_id", "kind").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(
+            F.broadcast(anchors), F.col("neighbor_id") != F.col("anchor_id")
+        )
+        .select(
+            "anchor_id",
+            "neighbor_id",
+            kind.alias("kind"),
+            sim.alias("cosine_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(
+            ((F.col("kind") == "pos") & (F.col("rank") <= _N_POS))
+            | ((F.col("kind") == "neg") & (F.col("rank") <= _N_NEG))
+        )
+        .select("anchor_id", "neighbor_id", "kind", "rank", "cosine_sim")
+    )
+
+
+@query(
+    "triplet_margin_stats",
+    oracle=f"""
+WITH pairs AS (
+  SELECT q.vec_id AS anchor_id, q.label AS label,
+         CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS kind,
+         {_COS_SQL} AS cosine_sim,
+         c.vec_id AS neighbor_id
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {_N_ANCHORS}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY anchor_id, kind
+           ORDER BY cosine_sim DESC, neighbor_id
+         ) AS rank
+  FROM pairs
+),
+mined AS (
+  SELECT * FROM ranked
+  WHERE (kind = 'pos' AND rank <= {_N_POS})
+     OR (kind = 'neg' AND rank <= {_N_NEG})
+),
+per_anchor AS (
+  SELECT anchor_id, label,
+         MIN(CASE WHEN kind = 'pos' THEN cosine_sim END) AS hardest_pos,
+         MAX(CASE WHEN kind = 'neg' THEN cosine_sim END) AS hardest_neg
+  FROM mined GROUP BY anchor_id, label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_anchors,
+       CAST(SUM(CASE WHEN hardest_neg > hardest_pos - {_TRIPLET_MARGIN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_margin_violations,
+       MIN(hardest_pos - hardest_neg) AS min_margin
+FROM per_anchor
+GROUP BY label
+""",
+)
+def triplet_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label audit of the mined triplets: how many anchors violate
+    the triplet margin (their hardest in-corpus negative sits within
+    0.05 cosine of their hardest mined positive) and the worst margin.
+    A metric-learning curator reads this BEFORE training: labels whose
+    anchors all violate are the ones the current embedding cannot
+    separate.
+
+    Only order statistics (min/max) leave the float domain — no float
+    summation, so the result is reduction-order-free.  Same broadcast
+    scan as :func:`embedding_hard_negatives`; the rollup key (label)
+    is constant-cardinality."""
+    mined = embedding_hard_negatives(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.filter(F.col("vec_id") < _N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"), "label"
+    )
+    per_anchor = (
+        mined.join(F.broadcast(labels), "anchor_id")
+        .groupBy("anchor_id", "label")
+        .agg(
+            F.min(
+                F.when(F.col("kind") == "pos", F.col("cosine_sim"))
+            ).alias("hardest_pos"),
+            F.max(
+                F.when(F.col("kind") == "neg", F.col("cosine_sim"))
+            ).alias("hardest_neg"),
+        )
+    )
+    viol = (
+        F.col("hardest_neg") > F.col("hardest_pos") - F.lit(_TRIPLET_MARGIN)
+    ).cast("int")
+    return per_anchor.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        F.sum(viol).cast("bigint").alias("n_margin_violations"),
+        F.min(F.col("hardest_pos") - F.col("hardest_neg")).alias("min_margin"),
+    )
