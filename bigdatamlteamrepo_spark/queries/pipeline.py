@@ -302,12 +302,13 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "neardup_dedup_summary",
-    bench=True,
-    oracle=f"""
-WITH RECURSIVE
-{lsh_pairs_ctes()},
+def neardup_rep_ctes() -> str:
+    """Shared oracle CTE chain (requires ``WITH RECURSIVE``) ending in
+    ``__m(source, doc_id, n_chars, rep)`` — every document labeled with
+    its near-dup-cluster representative (min reachable doc_id over the
+    verified-Jaccard graph; singletons are their own rep).  The DuckDB
+    twin of ``ngram_jaccard_pairs`` → ``connected_components``."""
+    return f"""{lsh_pairs_ctes()},
 __sets AS (SELECT doc_id, list_distinct(sh) AS s FROM __sh),
 __ver AS (
   SELECT p.doc_a, p.doc_b
@@ -330,9 +331,17 @@ __rep AS (
   SELECT src AS doc_id, LEAST(src, MIN(dst)) AS rep FROM __reach GROUP BY src
 ),
 __m AS (
-  SELECT d.source, d.doc_id, COALESCE(r.rep, d.doc_id) AS rep
+  SELECT d.source, d.doc_id, d.n_chars, COALESCE(r.rep, d.doc_id) AS rep
   FROM documents d LEFT JOIN __rep r ON r.doc_id = d.doc_id
-)
+)"""
+
+
+@query(
+    "neardup_dedup_summary",
+    bench=True,
+    oracle=f"""
+WITH RECURSIVE
+{neardup_rep_ctes()}
 SELECT source,
        COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN doc_id = rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
@@ -346,18 +355,102 @@ def neardup_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     components (operators/graph.py) keep the round count O(log² n) at
     any cluster diameter; the recursive oracle computes the identical
     min-reachable-id labeling."""
-    from bigdatamlteamrepo_spark.operators.graph import connected_components
-
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, src="doc_a", dst="doc_b")
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    merged = docs.join(
-        labels.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
-    ).withColumn("rep", F.coalesce("component", "doc_id"))
+    merged = neardup_rep_frame(spark, sf_dir)
     return merged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("doc_id") == F.col("rep")).cast("long")).alias("n_kept"),
         F.sum((F.col("doc_id") != F.col("rep")).cast("long")).alias("n_removed"),
+    )
+
+
+def neardup_rep_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document labeled with its near-dup-cluster representative:
+    ``(doc_id, source, n_chars, rep)`` where rep = min doc_id reachable
+    over the verified-Jaccard graph (singletons: rep = doc_id).  The
+    Spark twin of :func:`neardup_rep_ctes`' ``__m``."""
+    from bigdatamlteamrepo_spark.operators.graph import connected_components
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return docs.join(
+        labels.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    ).withColumn("rep", F.coalesce("component", "doc_id"))
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/val/test split: hash-split at near-dup-CLUSTER
+# granularity, not document granularity.  A doc-level hash split puts
+# ~18% of every near-dup pair across the train/eval boundary — the
+# val loss is then scored on paraphrases of training docs and reads
+# optimistically low.  Assigning every doc its cluster representative's
+# hash makes cross-split near-dup leakage structurally zero (docs in
+# one component share rep, hence split); tests/test_leakage_split.py
+# pins both that guarantee and the naive split's non-zero leakage.
+# --------------------------------------------------------------------------
+
+_SPLIT_MOD = 10
+_SPLIT_TRAIN = 8  # h%10 in [0,8) → train
+_SPLIT_VAL = 9  # 8 → val, 9 → test
+
+
+def _split_case_sql(expr: str) -> str:
+    h = f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % {_SPLIT_MOD})"
+    return (
+        f"CASE WHEN {h} < {_SPLIT_TRAIN} THEN 'train' "
+        f"WHEN {h} < {_SPLIT_VAL} THEN 'val' ELSE 'test' END"
+    )
+
+
+def split_of(col) -> F.Column:
+    """Deterministic split name from an id column — Spark twin of
+    :func:`_split_case_sql` (same md5-prefix hash as queries/shards.py
+    ``hash32``, so split and shard deals stay consistent)."""
+    from bigdatamlteamrepo_spark.queries.shards import hash32
+
+    h = hash32(col) % _SPLIT_MOD
+    return (
+        F.when(h < _SPLIT_TRAIN, "train")
+        .when(h < _SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+
+
+@query(
+    "leakage_safe_split_summary",
+    oracle=f"""
+WITH RECURSIVE
+{neardup_rep_ctes()}
+SELECT source, {_split_case_sql('rep')} AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM __m GROUP BY source, {_split_case_sql('rep')}
+""",
+)
+def leakage_safe_split_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-granularity 80/10/10 split accounting per (source,
+    split): docs, distinct clusters, char mass.  The split of a doc is
+    the portable 32-bit hash of its near-dup-cluster REPRESENTATIVE, so
+    no verified near-dup pair ever crosses splits (both endpoints share
+    rep ⇒ share split).
+
+    Plan at 100 TB: rep labeling is the dedup capstone's existing
+    linear-shuffle chain (LSH candidates → verify → star-contraction);
+    the split itself adds zero shuffles — a row-local hash on the rep
+    column — and the rollup keys on (source, split), constant
+    cardinality."""
+    merged = neardup_rep_frame(spark, sf_dir)
+    return merged.withColumn("split", split_of(F.col("rep"))).groupBy(
+        "source", "split"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("rep").cast("bigint").alias("n_clusters"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
 
 
