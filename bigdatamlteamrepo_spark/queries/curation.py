@@ -839,3 +839,130 @@ def diversity_sample_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Distinct-n diversity: per-source type/token ratios at n = 1, 2, 3 —
+# the "distinct-n" metrics generation and corpus papers report (Li et
+# al. 2016).  A source whose distinct-2/3 ratios sit far below its
+# peers is template-heavy (the same constructions repeated), which
+# repetition metrics at DOCUMENT granularity miss when each individual
+# doc looks clean.  One scan: each doc emits its 1/2/3-gram streams
+# tagged with n, and the rollup is a single (source, n, gram)-keyed
+# distinct count — map-side combine collapses the Zipf head before the
+# shuffle, so shuffled bytes track DISTINCT grams, not corpus tokens.
+# --------------------------------------------------------------------------
+
+
+def _ngram_sql(n: int) -> str:
+    """DuckDB n-gram stream over ``toks`` (twin of functions/text.py
+    ``shingles``: space-joined, empty when the doc is shorter than n)."""
+    if n == 1:
+        return "toks"
+    joined = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(1, len(toks) - {n - 1} + 1), i -> {joined}) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+@query(
+    "source_distinct_ngrams",
+    oracle=f"""
+WITH t AS (SELECT source, {_TOKENS_SQL} AS toks FROM documents),
+sz AS (
+  SELECT source, n, CAST(SUM(c) AS BIGINT) AS total_ngrams
+  FROM (
+    SELECT source, 1 AS n, greatest(len(toks), 0) AS c FROM t
+    UNION ALL
+    SELECT source, 2 AS n, greatest(len(toks) - 1, 0) AS c FROM t
+    UNION ALL
+    SELECT source, 3 AS n, greatest(len(toks) - 2, 0) AS c FROM t
+  ) GROUP BY source, n
+),
+h AS (
+  SELECT source, 1 AS n,
+         unnest(list_distinct(list_transform({_ngram_sql(1)}, g -> md5(g)))) AS gh
+  FROM t
+  UNION ALL
+  SELECT source, 2 AS n,
+         unnest(list_distinct(list_transform({_ngram_sql(2)}, g -> md5(g)))) AS gh
+  FROM t
+  UNION ALL
+  SELECT source, 3 AS n,
+         unnest(list_distinct(list_transform({_ngram_sql(3)}, g -> md5(g)))) AS gh
+  FROM t
+),
+ty AS (
+  SELECT source, n, CAST(COUNT(DISTINCT gh) AS BIGINT) AS distinct_ngrams
+  FROM h GROUP BY source, n
+)
+SELECT sz.source, sz.n, sz.total_ngrams, ty.distinct_ngrams,
+       CAST(ty.distinct_ngrams AS DOUBLE) / sz.total_ngrams AS distinct_ratio
+FROM sz JOIN ty ON sz.source = ty.source AND sz.n = ty.n
+""",
+)
+def source_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, n) distinct-n diversity for n ∈ {1, 2, 3}: total
+    n-gram tokens, distinct n-gram types, and the type/token ratio.
+
+    Plan: totals never explode — per-doc gram counts are the arithmetic
+    ``max(len - n + 1, 0)``, aggregated in one row-local-width shuffle.
+    The type counts shuffle only per-doc-DISTINCT md5 gram hashes
+    (row-local distinct first, the novelty-query discipline), two-level
+    grouped so map-side combine collapses the Zipf head; shuffled bytes
+    track distinct types, never corpus tokens.  The ratio is
+    integer-over-integer, bit-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    t = docs.select("source", toks.alias("toks"))
+
+    def _tag(n: int):
+        # NB: a 2-arg lambda to F.transform receives (element, index),
+        # so n is bound via this closure factory, never a default arg
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gh"))
+
+    sz_parts = [
+        t.select(
+            "source",
+            F.lit(n).alias("n"),
+            F.greatest(
+                F.size("toks") - F.lit(n - 1), F.lit(0)
+            ).alias("c"),
+        )
+        for n in (1, 2, 3)
+    ]
+    sz = sz_parts[0].unionAll(sz_parts[1]).unionAll(sz_parts[2])
+    totals = sz.groupBy("source", "n").agg(
+        F.sum("c").cast("bigint").alias("total_ngrams")
+    )
+    streams = [
+        F.transform(
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col("toks"), n), lambda g: F.md5(g)
+                )
+            ),
+            _tag(n),
+        )
+        for n in (1, 2, 3)
+    ]
+    h = t.select("source", F.explode(F.concat(*streams)).alias("x")).select(
+        "source", F.col("x.n").alias("n"), F.col("x.gh").alias("gh")
+    )
+    types = (
+        h.groupBy("source", "n", "gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"))
+    )
+    return totals.join(types, ["source", "n"]).select(
+        "source",
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        (
+            F.col("distinct_ngrams").cast("double") / F.col("total_ngrams")
+        ).alias("distinct_ratio"),
+    )
