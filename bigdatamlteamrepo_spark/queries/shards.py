@@ -744,3 +744,107 @@ def packed_sequence_doc_starts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("starts_md5"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pack-efficiency sweep: the SEQ_LEN decision, quantified before any
+# tokens are materialized.  For each candidate sequence length the two
+# packing regimes trade off differently — concat-and-chop wastes zero
+# padding but fragments documents across sequence boundaries (attention
+# masks then cross documents or truncate context); doc-respecting
+# padding keeps every document whole but pays padding waste.  Both
+# costs are pure arithmetic over ONE per-source offset cumsum (the
+# offsets don't depend on seq_len), so the whole sweep is the existing
+# pack window plus a 4× row-local fan-out.
+# --------------------------------------------------------------------------
+
+_SWEEP_LENS = [512, 1024, 2048, 4096]
+
+
+@query(
+    "pack_efficiency_by_seqlen",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id, len({_TOKENS_SQL}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+  FROM t
+),
+l AS (SELECT unnest([{", ".join(str(x) for x in _SWEEP_LENS)}]) AS seq_len),
+x AS (SELECT * FROM c CROSS JOIN l),
+a AS (
+  SELECT source, seq_len,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN tok_offset % seq_len + n_tokens > seq_len
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_frag_docs,
+         CAST(SUM((n_tokens + seq_len - 1) // seq_len) AS BIGINT) AS n_seqs_pad
+  FROM x GROUP BY source, seq_len
+)
+SELECT source, seq_len, n_docs, total_tokens,
+       CAST((total_tokens + seq_len - 1) // seq_len AS BIGINT) AS n_seqs_chop,
+       n_frag_docs, n_seqs_pad,
+       1.0 - CAST(total_tokens AS DOUBLE) / (n_seqs_pad * seq_len)
+         AS pad_waste_frac
+FROM a
+""",
+)
+def pack_efficiency_by_seqlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, seq_len ∈ {512, 1024, 2048, 4096}): sequence counts
+    and costs under both packing regimes — ``n_seqs_chop`` /
+    ``n_frag_docs`` (concat-and-chop: zero padding, fragmented docs)
+    vs ``n_seqs_pad`` / ``pad_waste_frac`` (doc-respecting one-doc-
+    per-ceil(len/L)-sequences padding: whole docs, wasted tokens).
+
+    Plan: the offset cumsum is seq_len-independent, so it runs ONCE
+    (same window as doc_pack_plan — per-source parallelism, bucketed
+    variant available for single-source corpora); the sweep is a
+    4-element literal explode and a constant-cardinality rollup.  All
+    outputs are integer arithmetic except the final ratio —
+    integer-over-integer, bit-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id", F.size(tokenize("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn(
+        "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    x = c.withColumn(
+        "seq_len", F.explode(F.array(*[F.lit(L) for L in _SWEEP_LENS]))
+    )
+    frag = (
+        F.col("tok_offset") % F.col("seq_len") + F.col("n_tokens")
+        > F.col("seq_len")
+    ).cast("long")
+    a = x.groupBy("source", "seq_len").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(frag).cast("bigint").alias("n_frag_docs"),
+        F.sum(
+            F.expr("(n_tokens + seq_len - 1) div seq_len")
+        ).cast("bigint").alias("n_seqs_pad"),
+    )
+    return a.select(
+        "source",
+        "seq_len",
+        "n_docs",
+        "total_tokens",
+        F.expr(
+            "CAST((total_tokens + seq_len - 1) div seq_len AS BIGINT)"
+        ).alias("n_seqs_chop"),
+        "n_frag_docs",
+        "n_seqs_pad",
+        (
+            F.lit(1.0)
+            - F.col("total_tokens").cast("double")
+            / (F.col("n_seqs_pad") * F.col("seq_len"))
+        ).alias("pad_waste_frac"),
+    )
