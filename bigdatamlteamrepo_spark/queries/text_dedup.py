@@ -1182,3 +1182,62 @@ def bbit_minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", n_agree.alias("n_agree"))
         .select("doc_a", "doc_b", "n_agree", est.alias("est_jaccard"))
     )
+
+
+# --------------------------------------------------------------------------
+# Normalization-robust exact dedup: raw md5 misses duplicates that
+# differ only by case, whitespace runs, or punctuation — the trivial
+# reformattings crawls are full of (CCNet/RefinedWeb normalize before
+# hashing for exactly this reason).  The canonical form lowercases,
+# maps every non-alphanumeric run to a single space, and trims; the
+# summary reports how many extra merges canonicalization finds over
+# raw hashing, per source.  Driver word-salad is already near-canonical
+# so the delta is ~0 here; the merge behavior on real variants is
+# pinned by fixture tests (tests/test_canonical_dedup.py) — the
+# doc_pii_scan precedent.
+# --------------------------------------------------------------------------
+
+
+def canonical_text(col) -> F.Column:
+    """Lowercase, non-alphanumeric runs → single space, trimmed."""
+    c = F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+_CANON_SQL = (
+    "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+)
+
+
+@query(
+    "dedup_canonical_summary",
+    oracle=f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_raw_clusters,
+       CAST(COUNT(DISTINCT md5({_CANON_SQL})) AS BIGINT) AS n_canon_clusters,
+       CAST(COUNT(DISTINCT md5(text))
+            - COUNT(DISTINCT md5({_CANON_SQL})) AS BIGINT) AS n_extra_merged
+FROM documents GROUP BY source
+""",
+)
+def dedup_canonical_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dedup cluster counts under raw vs canonical
+    hashing, and the extra merges canonicalization finds
+    (``n_extra_merged`` = raw clusters − canonical clusters: docs that
+    are duplicates after normalization but not before).
+
+    Plan: one scan, row-local canonicalization (regex + md5 inside
+    codegen), one grouped distinct-hash agg — hash-for-hash the
+    standard exact-dedup shuffle, shuffled rows bounded by docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw_h = F.md5("text")
+    canon_h = F.md5(canonical_text(F.col("text")))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(raw_h).cast("bigint").alias("n_raw_clusters"),
+        F.countDistinct(canon_h).cast("bigint").alias("n_canon_clusters"),
+        (F.countDistinct(raw_h) - F.countDistinct(canon_h))
+        .cast("bigint")
+        .alias("n_extra_merged"),
+    )
