@@ -614,6 +614,20 @@ def doc_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eval_gram_frame(docs: DataFrame) -> DataFrame:
+    """Distinct 8-token grams of the eval stand-in (``doc_id <
+    _EVAL_N``) as a one-column ``gram`` frame — the broadcast side of
+    every contamination check (benchmark-suite-sized: thousands of
+    rows, never corpus-scaled)."""
+    return (
+        docs.filter(F.col("doc_id") < _EVAL_N)
+        .withColumn("toks", tokenize("text"))
+        .filter(F.size("toks") >= _DECON_W)
+        .select(F.explode(shingles(F.col("toks"), _DECON_W)).alias("gram"))
+        .distinct()
+    )
+
+
 def _decon_spans_oracle() -> str:
     from bigdatamlteamrepo_spark.queries.passages import span_merge_sql
 

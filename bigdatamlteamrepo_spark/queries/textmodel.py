@@ -896,7 +896,11 @@ def corpus_build_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report
 
 
-def _incremental_build_oracle() -> str:
+def _incremental_ctes() -> str:
+    """Oracle CTE chain of the incremental ingest (batch = doc_id %
+    _INCR_MOD == 0 curated against the other docs), ending in
+    ``__is1``/``__is2``/``__is3`` — the per-stage batch-survivor sets.
+    Shared by the build summary and the decon-summary faces."""
     from bigdatamlteamrepo_spark.queries.text_dedup import (
         _INCR_MOD,
         _JAC_SQL,
@@ -904,8 +908,7 @@ def _incremental_build_oracle() -> str:
         lsh_pairs_ctes,
     )
 
-    return f"""
-WITH {lsh_pairs_ctes()},
+    return f"""{lsh_pairs_ctes()},
 __sets AS (SELECT doc_id, list_distinct(sh) AS s FROM __sh),
 __ig AS ({_gopher_doc_sql()}),
 __is1 AS (
@@ -942,7 +945,14 @@ __idrop AS (
 __is3 AS (
   SELECT doc_id FROM __is2
   WHERE doc_id NOT IN (SELECT doc_id FROM __idrop)
-)
+)"""
+
+
+def _incremental_build_oracle() -> str:
+    from bigdatamlteamrepo_spark.queries.text_dedup import _INCR_MOD
+
+    return f"""
+WITH {_incremental_ctes()}
 SELECT d.source,
        CAST(COUNT(*) AS BIGINT) AS n_batch,
        CAST(SUM(CASE WHEN s1.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -1018,6 +1028,90 @@ def corpus_incremental_build_summary(
     return report
 
 
+def _ingest_decon_oracle() -> str:
+    from bigdatamlteamrepo_spark.queries.pipeline import (
+        _DECON_GRAMS_SQL,
+        _DECON_W,
+        _EVAL_N,
+    )
+    from bigdatamlteamrepo_spark.queries.text_dedup import _INCR_MOD
+
+    return f"""
+WITH {_incremental_ctes()},
+__dt AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+__dg AS (
+  SELECT doc_id, unnest({_DECON_GRAMS_SQL}) AS gram
+  FROM __dt WHERE len(toks) >= {_DECON_W}
+),
+__dev AS (SELECT DISTINCT gram FROM __dg WHERE doc_id < {_EVAL_N}),
+__dcon AS (
+  SELECT DISTINCT g.doc_id FROM __dg g JOIN __dev USING (gram)
+  WHERE g.doc_id IN (SELECT doc_id FROM __is3)
+),
+__is4 AS (
+  SELECT doc_id FROM __is3
+  WHERE doc_id NOT IN (SELECT doc_id FROM __dcon)
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN s3.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_neardup_new,
+       CAST(SUM(CASE WHEN s4.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_decon_clean,
+       CAST(SUM(CASE WHEN s4.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END)
+            AS BIGINT) AS chars_appended
+FROM documents d
+LEFT JOIN __is3 s3 ON d.doc_id = s3.doc_id
+LEFT JOIN __is4 s4 ON d.doc_id = s4.doc_id
+WHERE d.doc_id % {_INCR_MOD} = 0
+GROUP BY d.source
+"""
+
+
+@query("ingest_decon_summary", oracle=_ingest_decon_oracle())
+def ingest_decon_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`corpus_incremental_build_summary` with the
+    decontamination gate applied AT INGEST: near-dup survivors that
+    share any exact 8-token gram with the eval stand-in (``doc_id <
+    _EVAL_N``) are rejected before they ever enter the corpus —
+    contamination prevention, vs the build-time cut/drop remediation
+    (eval_decontamination_spans / build_training_corpus decon modes).
+    Reports per-source batch size, pre-decon survivors, decon-clean
+    acceptances, and appended char mass.
+
+    Scale: the eval gram set is benchmark-sized and broadcast; only
+    the batch's SURVIVORS explode their gram streams (O(|batch|)
+    tokens), so the gate adds no index-side work at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    from bigdatamlteamrepo_spark.queries.pipeline import eval_gram_frame
+    from bigdatamlteamrepo_spark.queries.text_dedup import _INCR_MOD
+
+    is_new = F.col("doc_id") % _INCR_MOD == 0
+    stages = incremental_stage_frames(
+        docs, eval_grams=eval_gram_frame(docs)
+    )
+    base = docs.filter(is_new).select("doc_id", "source", "n_chars")
+    for name in ("s3", "s4"):
+        base = base.join(
+            stages[name].withColumn(f"__{name}", F.lit(1)), "doc_id", "left"
+        )
+    report = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.sum(F.coalesce("__s3", F.lit(0)))
+        .cast("bigint")
+        .alias("n_neardup_new"),
+        F.sum(F.coalesce("__s4", F.lit(0)))
+        .cast("bigint")
+        .alias("n_decon_clean"),
+        F.sum(F.when(F.col("__s4") == 1, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("chars_appended"),
+    ).localCheckpoint(eager=True)
+    for frame in stages.values():
+        frame.unpersist()
+    return report
+
+
 def batch_ingest_stages(
     batch: DataFrame,
     index_keys: DataFrame,
@@ -1025,6 +1119,7 @@ def batch_ingest_stages(
     index_sets: DataFrame,
     bsets: DataFrame | None = None,
     bbands: DataFrame | None = None,
+    eval_grams: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Per-stage batch-survivor doc_id sets of one ingest step against
     arbitrary index tables: ``{"s1": gopher pass, "s2": exact-new,
@@ -1044,6 +1139,14 @@ def batch_ingest_stages(
     shingle sets / band rows (callers that also fold the batch into the
     index — streaming/ingest.py — compute them once and share; the
     frames must cover exactly ``batch``'s doc_ids).
+
+    ``eval_grams``: optionally a one-column ``gram`` frame of the eval
+    battery's distinct 8-token grams (queries/pipeline.eval_gram_frame)
+    — adds an ``"s4"`` entry: near-dup survivors that also share NO
+    exact 8-gram with the eval set (the decontamination gate applied at
+    ingest, so contaminated docs never enter the corpus instead of
+    being cut at build time).  The gram frame is benchmark-sized and
+    broadcast; only s3 survivors explode their gram streams.
 
     Shared by the registered batch query
     (:func:`corpus_incremental_build_summary`) and the streaming
@@ -1121,14 +1224,36 @@ def batch_ingest_stages(
         .distinct()
     )
     s3 = s2.join(dropped, "doc_id", "left_anti").persist()
-    return {"s1": s1, "s2": s2, "s3": s3, "_sets": bsets, "_bands": bnew}
+    out = {"s1": s1, "s2": s2, "s3": s3, "_sets": bsets, "_bands": bnew}
+    if eval_grams is not None:
+        from bigdatamlteamrepo_spark.queries.pipeline import _DECON_W
+
+        bg = (
+            batch.join(s3, "doc_id", "left_semi")
+            .withColumn("toks", tokenize("text"))
+            .filter(F.size("toks") >= _DECON_W)
+            .select(
+                "doc_id",
+                F.explode(shingles(F.col("toks"), _DECON_W)).alias("gram"),
+            )
+        )
+        contaminated = (
+            bg.join(F.broadcast(eval_grams), "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        out["s4"] = s3.join(contaminated, "doc_id", "left_anti").persist()
+    return out
 
 
-def incremental_stage_frames(docs: DataFrame) -> dict[str, DataFrame]:
+def incremental_stage_frames(
+    docs: DataFrame, eval_grams: DataFrame | None = None
+) -> dict[str, DataFrame]:
     """:func:`batch_ingest_stages` over the registered 20/80 split:
     batch = ``doc_id % 5 == 0``, index tables derived from the other
     80% (in production these are the PERSISTED key/band/set tables;
-    see streaming/ingest.py for the maintained-index path)."""
+    see streaming/ingest.py for the maintained-index path).
+    ``eval_grams`` is passed through (adds the ``"s4"`` decon stage)."""
     from bigdatamlteamrepo_spark.queries.text_dedup import (
         _INCR_MOD,
         doc_shingle_sets,
@@ -1143,7 +1268,11 @@ def incremental_stage_frames(docs: DataFrame) -> dict[str, DataFrame]:
     index_sets = doc_shingle_sets(index).persist()
     index_bands = lsh_band_rows(index_sets, F.col("s")).persist()
     stages = batch_ingest_stages(
-        docs.filter(is_new), index_keys, index_bands, index_sets
+        docs.filter(is_new),
+        index_keys,
+        index_bands,
+        index_sets,
+        eval_grams=eval_grams,
     )
     stages["_index_keys"] = index_keys
     stages["_index_sets"] = index_sets

@@ -180,11 +180,15 @@ def ingest_decisions(
     spark: SparkSession,
     index_dir: str,
     frames: dict[str, DataFrame] | None = None,
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, source, n_chars, decision) for one batch of arriving
     docs against the CURRENT index tables.  ``decision``:
     ``gopher_fail`` | ``exact_dup`` | ``near_dup`` | ``accepted``
-    (first failing stage, the doc_quality_filter routing convention).
+    (first failing stage, the doc_quality_filter routing convention);
+    with ``eval_grams`` (the broadcast eval-suite gram frame,
+    queries/pipeline.eval_gram_frame) an ``eval_contaminated`` decision
+    gates survivors sharing any exact 8-gram with the eval set.
     Pure read — index maintenance is :func:`append_to_indexes`.
     ``frames`` optionally carries :func:`_batch_frames` output so the
     batch's sets/bands are computed once per trigger."""
@@ -198,21 +202,32 @@ def ingest_decisions(
         index_sets,
         bsets=frames[_SETS] if frames else None,
         bbands=frames[_BANDS] if frames else None,
+        eval_grams=eval_grams,
+    )
+    stage_names = ("s1", "s2", "s3", "s4") if eval_grams is not None else (
+        "s1",
+        "s2",
+        "s3",
     )
     base = batch.select("doc_id", "source", "n_chars")
-    for name in ("s1", "s2", "s3"):
+    for name in stage_names:
         base = base.join(
             stages[name].withColumn(f"__{name}", F.lit(1)), "doc_id", "left"
+        )
+    decision = (
+        F.when(F.col("__s1").isNull(), "gopher_fail")
+        .when(F.col("__s2").isNull(), "exact_dup")
+        .when(F.col("__s3").isNull(), "near_dup")
+    )
+    if eval_grams is not None:
+        decision = decision.when(
+            F.col("__s4").isNull(), "eval_contaminated"
         )
     out = base.select(
         "doc_id",
         "source",
         "n_chars",
-        F.when(F.col("__s1").isNull(), "gopher_fail")
-        .when(F.col("__s2").isNull(), "exact_dup")
-        .when(F.col("__s3").isNull(), "near_dup")
-        .otherwise("accepted")
-        .alias("decision"),
+        decision.otherwise("accepted").alias("decision"),
     ).localCheckpoint(eager=True)
     for name, frame in stages.items():
         # the shared batch-sets frame is the CALLER's to release (it
@@ -258,6 +273,7 @@ def ingest_batch(
     index_dir: str,
     batch_id: int | None = None,
     namespace: str = "",
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """One full ingest step: decide, then fold the batch into the
     index.  Returns the decisions frame (already materialized, so the
@@ -274,7 +290,9 @@ def ingest_batch(
             if _exists(spark, partial):
                 _delete(spark, partial)
     frames = _batch_frames(batch)
-    out = ingest_decisions(batch, spark, index_dir, frames=frames)
+    out = ingest_decisions(
+        batch, spark, index_dir, frames=frames, eval_grams=eval_grams
+    )
     append_to_indexes(
         batch, index_dir, batch_id=batch_id, frames=frames, namespace=namespace
     )
@@ -378,6 +396,7 @@ def incremental_ingest_stream(
     index_dir: str,
     decisions_dir: str,
     checkpoint_dir: str,
+    eval_grams: DataFrame | None = None,
 ):
     """Wire a streaming documents source into the ingest: per trigger,
     write this micro-batch's decisions to ``decisions_dir`` and fold
@@ -385,13 +404,20 @@ def incremental_ingest_stream(
     subdirectories namespaced by the checkpoint location, so an
     at-least-once replay lands exactly once and a RESTARTED stream
     with a fresh checkpoint can never clobber an older run's
-    contributions.  Returns the started query."""
+    contributions.  ``eval_grams`` (a STATIC frame — the eval suite
+    doesn't stream) turns on the per-trigger decontamination gate.
+    Returns the started query."""
     spark = stream_docs.sparkSession
     ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         ingest_batch(
-            batch, spark, index_dir, batch_id=batch_id, namespace=ns
+            batch,
+            spark,
+            index_dir,
+            batch_id=batch_id,
+            namespace=ns,
+            eval_grams=eval_grams,
         ).write.mode("overwrite").parquet(
             _join(decisions_dir, _batch_tag(batch_id, ns))
         )

@@ -256,3 +256,72 @@ def test_compaction_self_heals_interrupted_swap(spark, tmp_path, split):
         for r in ingest_decisions(probe, spark, idx).collect()
     }
     assert after == before
+
+
+def test_stream_decon_gate_equals_batch_fold(spark, sf_dir, tmp_path, split):
+    """With eval_grams the stream must reproduce the sequential batch
+    fold AND the registered ingest_decon_summary's s4 semantics — and
+    the gate must be non-vacuous on the driver corpus (eval stand-in
+    members arriving in the batch flag as eval_contaminated)."""
+    from bigdatamlteamrepo_spark.queries.pipeline import eval_gram_frame
+    from bigdatamlteamrepo_spark.queries.textmodel import (
+        incremental_stage_frames,
+    )
+    from bigdatamlteamrepo_spark.streaming.ingest import (
+        read_ingest_decisions,
+    )
+
+    index, (b1, b2) = split
+    docs = load_table(spark, sf_dir, "documents")
+    ev = eval_gram_frame(docs).localCheckpoint(eager=True)
+
+    idx = str(tmp_path / "dfold_idx")
+    build_ingest_indexes(index, idx)
+    expect = {}
+    for b in (b1, b2):
+        for r in ingest_batch(b, spark, idx, eval_grams=ev).collect():
+            expect[r.doc_id] = r.decision
+
+    sidx = str(tmp_path / "dstream_idx")
+    build_ingest_indexes(index, sidx)
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = incremental_ingest_stream(
+        stream,
+        sidx,
+        str(tmp_path / "ddecisions"),
+        str(tmp_path / "dckpt"),
+        eval_grams=ev,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id: r.decision
+        for r in read_ingest_decisions(
+            spark, str(tmp_path / "ddecisions")
+        ).collect()
+    }
+    assert got == expect
+    assert "eval_contaminated" in set(got.values())
+
+    # the all-at-once fold's accepted set == the registered s4 stage
+    frames = incremental_stage_frames(docs, eval_grams=ev)
+    s4 = {r.doc_id for r in frames["s4"].collect()}
+    for v in frames.values():
+        v.unpersist()
+    oidx = str(tmp_path / "donce_idx")
+    build_ingest_indexes(index, oidx)
+    once = {
+        r.doc_id: r.decision
+        for r in ingest_batch(
+            b1.unionByName(b2), spark, oidx, eval_grams=ev
+        ).collect()
+    }
+    assert {d for d, v in once.items() if v == "accepted"} == s4
