@@ -1028,3 +1028,118 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_q",
         seg.alias("segment"),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus data card: the per-source release summary a dataset ships —
+# size, token mass, quality-gate pass rate, exact-dup fraction, lexical
+# stats — as ONE long-format frame.  Everything derives from a single
+# corpus scan (row-local token/flag work) + per-source agg + stack();
+# the expensive tiers (near-dup rates, contamination) publish through
+# their own capstones (neardup_dedup_summary, corpus_build_summary)
+# rather than re-running here, so the card stays a cheap one-pass
+# artifact a release job can regenerate per snapshot.
+# --------------------------------------------------------------------------
+
+
+def _datacard_oracle() -> str:
+    from bigdatamlteamrepo_spark.functions.numeric import davg_expr
+    from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
+    from bigdatamlteamrepo_spark.queries.textmodel import _gopher_doc_sql
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, n_chars, md5(text) AS h,
+         len({_TOKENS_SQL}) AS n_tokens,
+         CAST(len(list_distinct({_TOKENS_SQL})) AS DOUBLE)
+           / greatest(len({_TOKENS_SQL}), 1) AS ttr
+  FROM documents
+),
+g AS ({_gopher_doc_sql()}),
+a AS (
+  SELECT t.source,
+         CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(t.n_chars) AS DOUBLE) AS total_chars,
+         CAST(SUM(t.n_tokens) AS DOUBLE) AS total_tokens,
+         CAST(SUM(t.n_tokens) AS DOUBLE) / COUNT(*) AS mean_doc_tokens,
+         CAST(SUM(g.pass_gopher) AS DOUBLE) / COUNT(*) AS gopher_pass_rate,
+         1.0 - CAST(COUNT(DISTINCT t.h) AS DOUBLE) / COUNT(*)
+           AS exact_dup_frac,
+         {davg_expr('t.ttr', 9)} AS mean_type_token_ratio
+  FROM t JOIN g ON t.doc_id = g.doc_id
+  GROUP BY t.source
+)
+SELECT source, metric, value FROM a
+UNPIVOT (value FOR metric IN (
+  n_docs, total_chars, total_tokens, mean_doc_tokens,
+  gopher_pass_rate, exact_dup_frac, mean_type_token_ratio
+))
+"""
+
+
+@query("corpus_datacard", oracle=_datacard_oracle())
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release data card, long format (source, metric, value): doc /
+    char / token mass, mean doc length, Gopher pass rate, exact-dup
+    fraction, mean type-token ratio.  All values as DOUBLE for the
+    uniform long-format schema (counts are exact well past 2^50).
+
+    Float discipline: the only true float mean (type-token ratio) sums
+    decimal-quantized values (functions/numeric.dsum), so the card is
+    reduction-order-free.  Plan: one scan, one per-source agg, one
+    stack() projection — no joins between heavyweight tiers."""
+    from bigdatamlteamrepo_spark.functions.text import tokenize
+    from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_rule_flags(docs, "doc_id")
+    pass_g = (
+        (
+            F.col("f_words")
+            + F.col("f_mwl")
+            + F.col("f_alpha")
+            + F.col("f_stop")
+            + F.col("f_longword")
+        )
+        == 0
+    ).cast("int")
+    toks = tokenize("text")
+    t = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("ttr"),
+    ).join(flags.select("doc_id", pass_g.alias("pass_gopher")), "doc_id")
+    a = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        (
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1))
+        ).alias("mean_doc_tokens"),
+        (
+            F.sum("pass_gopher").cast("double") / F.count(F.lit(1))
+        ).alias("gopher_pass_rate"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("h").cast("double") / F.count(F.lit(1))
+        ).alias("exact_dup_frac"),
+        (dsum("ttr", 9) / F.count(F.lit(1))).alias("mean_type_token_ratio"),
+    )
+    return a.selectExpr(
+        "source",
+        "stack(7, "
+        "'n_docs', n_docs, "
+        "'total_chars', total_chars, "
+        "'total_tokens', total_tokens, "
+        "'mean_doc_tokens', mean_doc_tokens, "
+        "'gopher_pass_rate', gopher_pass_rate, "
+        "'exact_dup_frac', exact_dup_frac, "
+        "'mean_type_token_ratio', mean_type_token_ratio"
+        ") AS (metric, value)",
+    )

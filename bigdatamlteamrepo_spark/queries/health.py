@@ -414,6 +414,11 @@ def doc_quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     train, hold = holdout_split(docs)
+    # MLlib refuses an empty fit ("nothing added to this summarizer");
+    # no data -> no model -> nothing scored (limit(1) probe, the
+    # pq_codebooks_kmeans discipline)
+    if train.select("doc_id").limit(1).count() == 0:
+        return spark.createDataFrame([], "doc_id bigint, quality_prob double")
     return score_documents_expr(train_quality_classifier(train), hold)
 
 
