@@ -421,6 +421,49 @@ def split_of(col) -> F.Column:
 
 
 @query(
+    "soft_dedup_weights",
+    oracle=f"""
+WITH RECURSIVE
+{neardup_rep_ctes()},
+__cs AS (SELECT rep, COUNT(*) AS csize FROM __m GROUP BY rep)
+SELECT m.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT m.rep) AS BIGINT) AS n_clusters,
+       CAST(SUM(CAST(1.0 / c.csize AS DECIMAL(30,9))) AS DOUBLE)
+         AS effective_docs
+FROM __m m JOIN __cs c ON m.rep = c.rep
+GROUP BY m.source
+""",
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (SoftDeDup-style): instead of DROPPING near-dup
+    cluster members, weight each document ``1 / cluster_size`` so a
+    cluster contributes one doc's worth of training loss however many
+    copies it has — the drop-free alternative when near-dups carry
+    legitimate variation.  Per source: docs, clusters, and the
+    effective (weighted) document count the loss actually sees.
+
+    Cluster size is GLOBAL (a cluster spanning sources weights all its
+    members by the combined size).  The weight sum is
+    decimal-quantized (functions/numeric discipline), so the rollup is
+    reduction-order-free.  Plan: the rep labeling chain (linear LSH
+    shuffles) + one rep-keyed count + one broadcast-sized join back —
+    no new scale shape."""
+    merged = neardup_rep_frame(spark, sf_dir)
+    csize = merged.groupBy("rep").agg(F.count(F.lit(1)).alias("csize"))
+    w = (F.lit(1.0) / F.col("csize").cast("double")).cast("decimal(30,9)")
+    return (
+        merged.join(csize, "rep")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("rep").cast("bigint").alias("n_clusters"),
+            F.sum(w).cast("double").alias("effective_docs"),
+        )
+    )
+
+
+@query(
     "leakage_safe_split_summary",
     oracle=f"""
 WITH RECURSIVE
