@@ -966,3 +966,116 @@ def source_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("distinct_ngrams").cast("double") / F.col("total_ngrams")
         ).alias("distinct_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Contamination width sensitivity: the 8-token decontamination window
+# is a judgment call (WMDP/GPT-3-style audits use 8–13; shorter windows
+# over-flag common phrases, longer ones miss partial quotes).  This
+# sweep reports, per (gram width, source), how many training docs the
+# audit would flag — the evidence a curator reads before pinning the
+# production width.  One tagged pass like source_distinct_ngrams: each
+# doc emits its per-width DISTINCT md5'd gram streams; each width's
+# eval gram set is benchmark-sized and broadcast.
+# --------------------------------------------------------------------------
+
+_CW_WIDTHS = [6, 8, 13]
+_CW_EVAL_N = 20  # eval stand-in convention (queries/pipeline._EVAL_N)
+
+
+@query(
+    "contamination_width_sweep",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents),
+h AS (
+  {" UNION ALL ".join(
+    f'''SELECT doc_id, source, {w} AS width,
+       unnest(list_distinct(list_transform({_ngram_sql(w)}, g -> md5(g)))) AS gh
+  FROM t'''
+    for w in _CW_WIDTHS
+  )}
+),
+ev AS (
+  SELECT DISTINCT width, gh FROM h WHERE doc_id < {_CW_EVAL_N}
+),
+c AS (
+  SELECT DISTINCT h.width, h.doc_id, h.source
+  FROM h JOIN ev ON h.width = ev.width AND h.gh = ev.gh
+  WHERE h.doc_id >= {_CW_EVAL_N}
+),
+n AS (
+  SELECT source, COUNT(*) AS n_train_docs FROM documents
+  WHERE doc_id >= {_CW_EVAL_N} GROUP BY source
+)
+SELECT c.width, c.source, n.n_train_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+       CAST(COUNT(*) AS DOUBLE) / n.n_train_docs AS contam_frac
+FROM c JOIN n ON c.source = n.source
+GROUP BY c.width, c.source, n.n_train_docs
+""",
+)
+def contamination_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(gram width ∈ {6, 8, 13}, source): training docs (doc_id ≥
+    20) sharing at least one exact width-token gram with the eval
+    stand-in, with the per-source training-doc denominator and rate.
+    Sources with zero flagged docs at a width simply have no row for
+    it (the audit reports hits, not a dense grid).
+
+    Plan: each width's eval gram set stays benchmark-sized (broadcast);
+    the corpus emits per-doc-distinct md5 gram hashes for all widths in
+    ONE tagged scan, so the sweep costs one corpus pass regardless of
+    how many widths it audits.  Counts are exact; the rate is
+    integer-over-integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", tokenize("text").alias("toks"))
+
+    def _tag(w: int):
+        # 2-arg transform lambdas receive (element, index) — bind w
+        # via closure, never a default arg
+        return lambda g: F.struct(F.lit(w).alias("width"), g.alias("gh"))
+
+    streams = [
+        F.transform(
+            F.array_distinct(
+                F.transform(shingles(F.col("toks"), w), lambda g: F.md5(g))
+            ),
+            _tag(w),
+        )
+        for w in _CW_WIDTHS
+    ]
+    h = t.select(
+        "doc_id", "source", F.explode(F.concat(*streams)).alias("x")
+    ).select(
+        "doc_id", "source", F.col("x.width").alias("width"), F.col("x.gh").alias("gh")
+    )
+    ev = (
+        h.filter(F.col("doc_id") < _CW_EVAL_N)
+        .select("width", "gh")
+        .distinct()
+    )
+    c = (
+        h.filter(F.col("doc_id") >= _CW_EVAL_N)
+        .join(F.broadcast(ev), ["width", "gh"], "left_semi")
+        .select("width", "doc_id", "source")
+        .distinct()
+    )
+    n = (
+        docs.filter(F.col("doc_id") >= _CW_EVAL_N)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_train_docs"))
+    )
+    return (
+        c.groupBy("width", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated"))
+        .join(F.broadcast(n), "source")
+        .select(
+            "width",
+            "source",
+            "n_train_docs",
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_train_docs")
+            ).alias("contam_frac"),
+        )
+    )
