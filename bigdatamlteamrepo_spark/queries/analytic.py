@@ -1077,7 +1077,7 @@ UNPIVOT (value FOR metric IN (
 """
 
 
-@query("corpus_datacard", oracle=_datacard_oracle())
+@query("corpus_datacard", bench=True, oracle=_datacard_oracle())
 def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Release data card, long format (source, metric, value): doc /
     char / token mass, mean doc length, Gopher pass rate, exact-dup

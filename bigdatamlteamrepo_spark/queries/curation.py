@@ -869,6 +869,7 @@ def _ngram_sql(n: int) -> str:
 
 @query(
     "source_distinct_ngrams",
+    bench=True,
     oracle=f"""
 WITH t AS (SELECT source, {_TOKENS_SQL} AS toks FROM documents),
 sz AS (
