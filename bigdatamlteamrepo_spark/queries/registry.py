@@ -72,6 +72,21 @@ PRI_EXTRA = 90
 #:     r07 rotation's first picks.
 #: Every r04/r05 green keeps local parity coverage and rotates back in
 #: future windows.
+#:
+#: r07 first picks (in order): (1) the 12 never-driver-checked
+#: oracle-paired queries added after this window froze —
+#: eval_suite_contamination_matrix, quality_ppl_calibration,
+#: embedding_hard_negatives, triplet_margin_stats,
+#: leakage_safe_split_summary, soft_dedup_weights,
+#: source_distinct_ngrams, pack_efficiency_by_seqlen,
+#: dedup_canonical_summary, ingest_decon_summary, corpus_datacard,
+#: contamination_width_sweep, plus any r07 additions (first row
+#: outranks re-verification); (2) the six r06-displaced entries
+#: (ann_rp_lsh_multiprobe_topk, bpe_pair_counts, cms_heavy_suppliers,
+#: doc_stratified_sample, hybrid_rrf_retrieval, events_sliding_by_type)
+#: and the four round-5 deferrals (order_priority_status_crosstab,
+#: kmv_distinct_parts, hll_orders_by_flag, doc_pack_plan_bucketed);
+#: (3) r04 greens, oldest first.
 ROTATE_IN: frozenset[str] = frozenset(
     {
         # --- latest green = r03 (39 of 47; 4 deferred round 5, 4 more
