@@ -376,3 +376,137 @@ def triplet_margin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(viol).cast("bigint").alias("n_margin_violations"),
         F.min(F.col("hardest_pos") - F.col("hardest_neg")).alias("min_margin"),
     )
+
+
+# --------------------------------------------------------------------------
+# Geometric mislabel / out-of-distribution audit: every vector scored
+# against its OWN label centroid and the nearest OTHER centroid.  A
+# vector closer to another label's centroid than to its own is the
+# confident-learning-style suspect an embedding-corpus curator reviews
+# (mislabeled row, or a region where labels genuinely overlap); a
+# vector far from EVERY centroid is OOD.  Centroids are label-count
+# many (constant) and broadcast; each partition scores its vectors
+# row-locally — the same shape as the anchor-mining scan.
+# --------------------------------------------------------------------------
+
+
+def _centroid_cos_sql(v: str, c: str) -> str:
+    """DuckDB cosine between a float[] column and a DOUBLE[] centroid
+    (same sequential list fold as functions/vectors.dot_expr)."""
+    dot = (
+        f"list_sum(list_transform(range(1, len({v}) + 1), "
+        f"i -> CAST({v}[i] AS DOUBLE) * {c}[i]))"
+    )
+    nv = f"sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nc = f"sqrt(list_sum(list_transform({c}, x -> x * x)))"
+    return f"CASE WHEN {nv} > 0 AND {nc} > 0 THEN {dot} / ({nv} * {nc}) END"
+
+
+@query(
+    "embedding_mislabel_scores",
+    oracle=f"""
+WITH e AS (
+  SELECT label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+),
+c AS (
+  SELECT label, dim,
+         CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,9))) AS DOUBLE) / COUNT(*) AS cv
+  FROM e GROUP BY label, dim
+),
+cent AS (
+  SELECT label AS c_label, list(cv ORDER BY dim) AS c_vec FROM c GROUP BY label
+),
+sims AS (
+  SELECT m.vec_id, m.label, cent.c_label,
+         {_centroid_cos_sql('m.embedding', 'cent.c_vec')} AS sim
+  FROM embeddings m CROSS JOIN cent
+),
+own AS (
+  SELECT vec_id, label, sim AS own_sim FROM sims WHERE label = c_label
+),
+oth AS (
+  SELECT vec_id, c_label AS best_other_label, sim AS best_other_sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, c_label) AS rk
+  FROM sims WHERE label <> c_label
+)
+SELECT own.vec_id, own.label,
+       CAST(round(own.own_sim * 1000000) AS BIGINT) AS own_sim_micro,
+       oth.best_other_label,
+       CAST(round(oth.best_other_sim * 1000000) AS BIGINT)
+         AS best_other_sim_micro,
+       CAST(CASE WHEN oth.best_other_sim > own.own_sim
+                 THEN 1 ELSE 0 END AS INT) AS mislabel_flag
+FROM own JOIN oth ON own.vec_id = oth.vec_id AND oth.rk = 1
+""",
+)
+def embedding_mislabel_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector (own-centroid cosine, best other-centroid cosine,
+    mislabel flag).  ``mislabel_flag = 1`` when some other label's
+    centroid is strictly more similar than the vector's own.
+
+    Sims publish micro-quantized (×1e6 BIGINT, the sketch-tier
+    convention): the raw doubles agree across engines to ~1 ulp, and
+    at sf0.1 a handful of the 6,400 values straddled the comparator's
+    1e-9 rounding boundary — ranking and the flag still use the full
+    doubles.
+
+    Determinism: centroid values are decimal-quantized means (the
+    embedding_label_centroids discipline — bit-identical across
+    engines and partitionings); every cosine is a fixed-order
+    sequential fold; the best-other argmax tie-breaks on label.
+
+    Plan at 100 TB: centroids are one grouped agg (label × dim rows,
+    constant), collected into label-count broadcast arrays; the corpus
+    scan scores each vector against all centroids row-locally and
+    keeps a constant number of columns — no per-vector shuffle at
+    all beyond the centroid agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).withColumnsRenamed({"pos": "dim", "col": "v"})
+    c = ex.groupBy("label", "dim").agg(
+        (dsum("v", 9) / F.count(F.lit(1))).alias("cv")
+    )
+    cent = c.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "cv"))),
+            lambda s: s.cv,
+        ).alias("c_vec")
+    )
+    sims = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        cosine_similarity(F.col("embedding"), F.col("c_vec")).alias("sim"),
+    )
+    own = sims.filter(F.col("label") == F.col("c_label")).select(
+        "vec_id", "label", F.col("sim").alias("own_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_label"))
+    oth = (
+        sims.filter(F.col("label") != F.col("c_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("c_label").alias("best_other_label"),
+            F.col("sim").alias("best_other_sim"),
+        )
+    )
+    return own.join(oth, "vec_id").select(
+        "vec_id",
+        "label",
+        F.round(F.col("own_sim") * 1_000_000)
+        .cast("bigint")
+        .alias("own_sim_micro"),
+        "best_other_label",
+        F.round(F.col("best_other_sim") * 1_000_000)
+        .cast("bigint")
+        .alias("best_other_sim_micro"),
+        (F.col("best_other_sim") > F.col("own_sim"))
+        .cast("int")
+        .alias("mislabel_flag"),
+    )
