@@ -884,15 +884,15 @@ sz AS (
 ),
 h AS (
   SELECT source, 1 AS n,
-         unnest(list_distinct(list_transform({_ngram_sql(1)}, g -> md5(g)))) AS gh
+         unnest(list_distinct(list_transform({_ngram_sql(1)}, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS gh
   FROM t
   UNION ALL
   SELECT source, 2 AS n,
-         unnest(list_distinct(list_transform({_ngram_sql(2)}, g -> md5(g)))) AS gh
+         unnest(list_distinct(list_transform({_ngram_sql(2)}, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS gh
   FROM t
   UNION ALL
   SELECT source, 3 AS n,
-         unnest(list_distinct(list_transform({_ngram_sql(3)}, g -> md5(g)))) AS gh
+         unnest(list_distinct(list_transform({_ngram_sql(3)}, g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS gh
   FROM t
 ),
 ty AS (
@@ -942,7 +942,12 @@ def source_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(
             F.array_distinct(
                 F.transform(
-                    shingles(F.col("toks"), n), lambda g: F.md5(g)
+                    shingles(F.col("toks"), n),
+                    # 60-bit md5-prefix BIGINT (operators/sketches.h60):
+                    # 8-byte shuffle keys instead of 32-hex strings
+                    lambda g: F.conv(
+                        F.substring(F.md5(g), 1, 15), 16, 10
+                    ).cast("long"),
                 )
             ),
             _tag(n),
