@@ -55,6 +55,7 @@ def build_training_corpus(
     quality_threshold: float | None = None,
     quality_top_frac: float | None = None,
     quality_approx: bool = False,
+    assign_splits: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full build; write shards to ``out_dir``; return
     ``{"report": per-source stage accounting, "manifest": shard
@@ -98,6 +99,11 @@ def build_training_corpus(
     The stage runs after decontamination and before LM selection, so
     the perplexity model trains on quality-passing text only.  When
     active, the report gains an ``n_quality`` column.
+
+    ``assign_splits``: when True the shipped docs (and shards) carry a
+    ``split`` column — train/val/test hashed on the near-dup-cluster
+    representative, so no verified near-dup pair straddles the eval
+    boundary (the leakage_safe_split_summary guarantee, materialized).
     """
     from bigdatamlteamrepo_spark.operators.graph import connected_components
     from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
@@ -261,6 +267,28 @@ def build_training_corpus(
     selected = s375.join(keep_lm, "doc_id", "left_semi").localCheckpoint(
         eager=True
     )
+
+    # ---- stage 4.5 (optional): leakage-safe split labels — every
+    # shipped doc carries train/val/test hashed on its near-dup-cluster
+    # representative (queries/pipeline.leakage_safe_split_summary), so
+    # no verified near-dup pair can straddle the eval boundary.  The
+    # component labels from stage 3 are reused (zero extra shuffles);
+    # rep = corpus-global component min, singletons their own rep —
+    # the split of a doc never depends on which cluster members
+    # survived, so re-running the build with different gates can never
+    # move a doc across splits.
+    if assign_splits:
+        from bigdatamlteamrepo_spark.queries.pipeline import split_of
+
+        rep = labels.select(F.col("node").alias("doc_id"), "component")
+        selected = (
+            selected.join(rep, "doc_id", "left")
+            .withColumn(
+                "split",
+                split_of(F.coalesce(F.col("component"), F.col("doc_id"))),
+            )
+            .drop("component")
+        )
 
     # ---- stage 5: deterministic shard write + manifest
     manifest = write_training_shards(selected, out_dir, n_shards=n_shards)

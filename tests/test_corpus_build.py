@@ -291,3 +291,45 @@ def test_quality_stage_mutually_exclusive_knobs(spark, sf_dir, tmp_path):
             quality_threshold=0.5,
             quality_top_frac=0.5,
         )
+
+
+def test_assign_splits_is_leakage_safe_and_gate_stable(spark, sf_dir, tmp_path):
+    """assign_splits=True: every shipped doc carries train/val/test;
+    no verified near-dup pair among shipped docs crosses splits; and a
+    doc's split is invariant to which gates ran (the rep hash depends
+    on the corpus-global cluster, not on survivorship)."""
+    from pyspark.sql import functions as F
+
+    from bigdatamlteamrepo_spark.queries.text_dedup import ngram_jaccard_pairs
+
+    res = build_training_corpus(
+        spark, sf_dir, str(tmp_path / "sp1"), n_shards=2, assign_splits=True
+    )
+    sel = res["selected"].select("doc_id", "split")
+    rows = {r.doc_id: r.split for r in sel.collect()}
+    assert rows and set(rows.values()) <= {"train", "val", "test"}
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").collect()
+    for p in pairs:
+        if p.doc_a in rows and p.doc_b in rows:
+            assert rows[p.doc_a] == rows[p.doc_b]
+
+    # splits survive into the written shards
+    shards = spark.read.parquet(str(tmp_path / "sp1"))
+    assert "split" in shards.columns
+    got = {r.doc_id: r.split for r in shards.select("doc_id", "split").collect()}
+    assert got == rows
+
+    # gate-stability: a stricter build never relabels a shipped doc
+    res2 = build_training_corpus(
+        spark,
+        sf_dir,
+        str(tmp_path / "sp2"),
+        n_shards=2,
+        quality_top_frac=0.8,
+        assign_splits=True,
+    )
+    rows2 = {r.doc_id: r.split for r in res2["selected"].select("doc_id", "split").collect()}
+    for d, s in rows2.items():
+        if d in rows:
+            assert s == rows[d]
