@@ -867,6 +867,36 @@ def _ngram_sql(n: int) -> str:
     )
 
 
+def _tagged_gram_hashes(t: DataFrame) -> DataFrame:
+    """(source, n, gh) for n ∈ {1, 2, 3}: each doc's per-width DISTINCT
+    grams as 60-bit md5-prefix BIGINTs (operators/sketches.h60 form —
+    8-byte shuffle keys instead of 32-hex strings), all widths tagged
+    in ONE pass.  ``t`` is (source, toks)."""
+
+    def _tag(n: int):
+        # NB: a 2-arg lambda to F.transform receives (element, index),
+        # so n is bound via this closure factory, never a default arg
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gh"))
+
+    streams = [
+        F.transform(
+            F.array_distinct(
+                F.transform(
+                    shingles(F.col("toks"), n),
+                    lambda g: F.conv(
+                        F.substring(F.md5(g), 1, 15), 16, 10
+                    ).cast("long"),
+                )
+            ),
+            _tag(n),
+        )
+        for n in (1, 2, 3)
+    ]
+    return t.select(
+        "source", F.explode(F.concat(*streams)).alias("x")
+    ).select("source", F.col("x.n").alias("n"), F.col("x.gh").alias("gh"))
+
+
 @query(
     "source_distinct_ngrams",
     bench=True,
@@ -918,12 +948,6 @@ def source_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = tokenize("text")
     t = docs.select("source", toks.alias("toks"))
-
-    def _tag(n: int):
-        # NB: a 2-arg lambda to F.transform receives (element, index),
-        # so n is bound via this closure factory, never a default arg
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gh"))
-
     sz_parts = [
         t.select(
             "source",
@@ -938,25 +962,7 @@ def source_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = sz.groupBy("source", "n").agg(
         F.sum("c").cast("bigint").alias("total_ngrams")
     )
-    streams = [
-        F.transform(
-            F.array_distinct(
-                F.transform(
-                    shingles(F.col("toks"), n),
-                    # 60-bit md5-prefix BIGINT (operators/sketches.h60):
-                    # 8-byte shuffle keys instead of 32-hex strings
-                    lambda g: F.conv(
-                        F.substring(F.md5(g), 1, 15), 16, 10
-                    ).cast("long"),
-                )
-            ),
-            _tag(n),
-        )
-        for n in (1, 2, 3)
-    ]
-    h = t.select("source", F.explode(F.concat(*streams)).alias("x")).select(
-        "source", F.col("x.n").alias("n"), F.col("x.gh").alias("gh")
-    )
+    h = _tagged_gram_hashes(t)
     types = (
         h.groupBy("source", "n", "gh")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1084,4 +1090,68 @@ def contamination_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("n_train_docs")
             ).alias("contam_frac"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# HLL twin of the distinct-n type counts: at 100 TB the EXACT type
+# count shuffles every distinct gram once (fine when the audit is the
+# point); the monitoring path wants the 2^p-register estimate — one
+# wide agg whose state per (source, n) is 64 small ints, no distinct
+# shuffle at all.  p=6 (not 8): DuckDB's expression binder recursion
+# cap (128) cannot hold a 256-term nested addition, and the oracle
+# mirrors the finalize term-for-term — rse 1.04/√64 ≈ 13%, fine for a
+# monitor.  Registers are deterministic (conditional MAX over the
+# same 60-bit hashes), so the ESTIMATE is oracle-exact; accuracy vs
+# the exact counts is pinned separately (test_curation.py).
+# --------------------------------------------------------------------------
+
+_DN_HLL_P = 6
+
+
+@query(
+    "source_distinct_ngrams_hll",
+    oracle=f"""
+WITH t AS (SELECT source, {_TOKENS_SQL} AS toks FROM documents),
+h AS (
+  {" UNION ALL ".join(
+    f'''SELECT source, {n} AS n,
+       unnest(list_distinct(list_transform({_ngram_sql(n)},
+         g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS gh
+  FROM t'''
+    for n in (1, 2, 3)
+  )}
+),
+regs AS (
+  SELECT source, n, {", ".join(__import__('bigdatamlteamrepo_spark.operators.sketches', fromlist=['hll_agg_exprs_sql']).hll_agg_exprs_sql('gh', _DN_HLL_P))}
+  FROM h GROUP BY source, n
+)
+SELECT source, n,
+       {__import__('bigdatamlteamrepo_spark.operators.sketches', fromlist=['hll_agg_finalize_sql']).hll_agg_finalize_sql(_DN_HLL_P)} AS approx_distinct_ngrams
+FROM regs
+""",
+)
+def source_distinct_ngrams_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, n ∈ {1, 2, 3}) APPROXIMATE distinct n-gram types:
+    64-register HLL over the same 60-bit gram hashes the exact query
+    shuffles.  The monitoring face for corpora where the exact distinct
+    shuffle is the dominant cost; also the single-aggregation shape a
+    streaming diversity monitor needs.  Estimate accuracy vs the exact
+    counts: |err| ≤ 3σ ≈ 40% at p=6, pinned in tests/test_curation.py.
+    """
+    from bigdatamlteamrepo_spark.operators.sketches import (
+        hll_agg_exprs,
+        hll_agg_finalize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", tokenize("text").alias("toks"))
+    h = _tagged_gram_hashes(t)
+    regs = h.groupBy("source", "n").agg(
+        *hll_agg_exprs(F.col("gh"), _DN_HLL_P)
+    )
+    return regs.select(
+        "source",
+        "n",
+        hll_agg_finalize(_DN_HLL_P).alias("approx_distinct_ngrams"),
     )

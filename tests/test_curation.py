@@ -423,3 +423,25 @@ def test_diversity_sample_is_single_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange") <= 2, plan[:600]  # partial+final agg pair
+
+
+def test_distinct_ngrams_hll_within_error_envelope(spark, sf_dir):
+    """The HLL estimate must sit within 3σ (p=6 → rse ≈ 13%) of the
+    exact distinct count for every (source, n) cell."""
+    from bigdatamlteamrepo_spark.queries.curation import (
+        source_distinct_ngrams,
+        source_distinct_ngrams_hll,
+    )
+
+    exact = {
+        (r.source, r.n): r.distinct_ngrams
+        for r in source_distinct_ngrams(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.source, r.n): r.approx_distinct_ngrams
+        for r in source_distinct_ngrams_hll(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        true = exact[k]
+        assert abs(est - true) <= max(3, 0.4 * true), (k, est, true)
