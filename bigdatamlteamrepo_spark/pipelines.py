@@ -290,8 +290,14 @@ def build_training_corpus(
             .drop("component")
         )
 
-    # ---- stage 5: deterministic shard write + manifest
-    manifest = write_training_shards(selected, out_dir, n_shards=n_shards)
+    # ---- stage 5: deterministic shard write + manifest (split-aware
+    # layout when splits were assigned: loaders list only their split)
+    manifest = write_training_shards(
+        selected,
+        out_dir,
+        n_shards=n_shards,
+        split_col="split" if assign_splits else None,
+    )
 
     # ---- per-source stage accounting
     def stage_counts(df: DataFrame, name: str) -> DataFrame:

@@ -29,6 +29,7 @@ def write_training_shards(
     out_dir: str,
     n_shards: int = N_SHARDS,
     id_col: str = "doc_id",
+    split_col: str | None = None,
 ) -> DataFrame:
     """Write ``docs`` to ``out_dir`` partitioned by deterministic shard;
     return the manifest (shard, n_docs, min/max id, id_checksum).
@@ -36,27 +37,34 @@ def write_training_shards(
     The manifest checksum (sum of 32-bit id hashes mod 2^63) lets an
     independent reader re-derive and verify shard membership without
     re-listing files.
-    """
+
+    ``split_col``: when the frame carries split labels (the
+    build_training_corpus ``assign_splits`` path), partition the layout
+    by (split, shard) so a loader opens ONLY its split's directories —
+    train never lists val/test files — and key the manifest the same
+    way.  Shard membership stays a pure function of the id hash, so a
+    doc keeps its shard number whichever split it lands in."""
     assigned = docs.withColumn("__h", hash32(F.col(id_col))).withColumn(
         "shard", F.col("__h") % n_shards
     )
+    parts = [split_col, "shard"] if split_col else ["shard"]
     (
         assigned.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "__h", id_col)
+        .sortWithinPartitions(*parts, "__h", id_col)
         .drop("__h")
         .write.mode("overwrite")
-        .partitionBy("shard")
+        .partitionBy(*parts)
         .parquet(out_dir)
     )
     manifest = (
-        assigned.groupBy("shard")
+        assigned.groupBy(*parts)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min(id_col).alias("min_id"),
             F.max(id_col).alias("max_id"),
             (F.sum("__h") % F.lit(2**63 - 1)).alias("id_checksum"),
         )
-        .orderBy("shard")
+        .orderBy(*parts)
     )
     manifest.coalesce(1).write.mode("overwrite").json(out_dir + "/_manifest")
     return manifest

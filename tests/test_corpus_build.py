@@ -333,3 +333,47 @@ def test_assign_splits_is_leakage_safe_and_gate_stable(spark, sf_dir, tmp_path):
     for d, s in rows2.items():
         if d in rows:
             assert s == rows[d]
+
+
+def test_split_aware_shard_layout(spark, sf_dir, tmp_path):
+    """assign_splits partitions the written layout by (split, shard):
+    reading one split's directory yields exactly that split's docs, and
+    the manifest keys and checksums verify per (split, shard)."""
+    from pyspark.sql import functions as F
+
+    from bigdatamlteamrepo_spark.queries.shards import hash32
+
+    out = str(tmp_path / "spl")
+    res = build_training_corpus(
+        spark, sf_dir, out, n_shards=2, assign_splits=True
+    )
+    sel = {
+        r.doc_id: r.split
+        for r in res["selected"].select("doc_id", "split").collect()
+    }
+    man = res["manifest"].collect()
+    assert {"split", "shard"} <= set(res["manifest"].columns)
+    assert sum(r.n_docs for r in man) == len(sel)
+
+    val_ids = {
+        r.doc_id
+        for r in spark.read.parquet(out)
+        .filter(F.col("split") == "val")
+        .select("doc_id")
+        .collect()
+    }
+    assert val_ids == {d for d, s in sel.items() if s == "val"}
+
+    # checksum re-derivation: an independent reader can verify a cell
+    cell = man[0]
+    cell_df = (
+        spark.read.parquet(out)
+        .filter(
+            (F.col("split") == cell.split) & (F.col("shard") == cell.shard)
+        )
+        .select("doc_id")
+    )
+    got = cell_df.select(
+        (F.sum(hash32(F.col("doc_id"))) % F.lit(2**63 - 1)).alias("c")
+    ).collect()[0].c
+    assert got == cell.id_checksum
