@@ -445,3 +445,44 @@ def test_distinct_ngrams_hll_within_error_envelope(spark, sf_dir):
     for k, est in approx.items():
         true = exact[k]
         assert abs(est - true) <= max(3, 0.4 * true), (k, est, true)
+
+
+def test_contamination_width_monotone(spark, sf_dir):
+    """A shared w-gram contains shared (w-1)-grams, so the flagged-doc
+    set must shrink (weakly) as the audit width grows: flagged(13) ⊆
+    flagged(8) ⊆ flagged(6)."""
+    from bigdatamlteamrepo_spark.queries.curation import (
+        contamination_width_sweep,
+    )
+    from bigdatamlteamrepo_spark.queries.pipeline import _EVAL_N
+    from bigdatamlteamrepo_spark.functions.text import shingles, tokenize
+    from bigdatamlteamrepo_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    # recompute flagged doc SETS per width (the registered query rolls
+    # up to counts; the invariant lives at doc granularity)
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = {}
+    for w in (6, 8, 13):
+        g = (
+            docs.withColumn("toks", tokenize("text"))
+            .filter(F.size("toks") >= w)
+            .select("doc_id", F.explode(shingles(F.col("toks"), w)).alias("gram"))
+        )
+        ev = g.filter(F.col("doc_id") < _EVAL_N).select("gram").distinct()
+        flagged[w] = {
+            r.doc_id
+            for r in g.filter(F.col("doc_id") >= _EVAL_N)
+            .join(F.broadcast(ev), "gram", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+    assert flagged[13] <= flagged[8] <= flagged[6]
+
+    # and the registered rollup agrees with the recomputed sets
+    counts = {}
+    for r in contamination_width_sweep(spark, sf_dir).collect():
+        counts[r.width] = counts.get(r.width, 0) + r.n_contaminated
+    for w in (6, 8, 13):
+        assert counts.get(w, 0) == len(flagged[w])
