@@ -158,3 +158,36 @@ def run_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return agg.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def tumbling_cms_counters(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str = "30 minutes",
+    key: str = "user_id",
+) -> DataFrame:
+    """Count-min counter grid per tumbling window — the heavy-hitters
+    sketch maintained over a stream.  Each event contributes one
+    (depth, bucket) cell per hash row via a row-local 4-way posexplode,
+    so the whole sketch is ONE legal streaming aggregation with state
+    ≤ 4·1024 rows per open window (the CMS contract: memory independent
+    of key cardinality — an exact streaming top-k would hold every
+    distinct key).  The batch twin is operators/sketches.cms_counters
+    grouped by the same window (pinned stream ≡ batch in
+    tests/test_streaming_cms.py); estimates read the grid offline with
+    the usual min-over-depths probe, inflate-only."""
+    from bigdatamlteamrepo_spark.operators.sketches import (
+        cms_bucket,
+        cms_constants,
+        h32,
+    )
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    h = h32(F.col(key))
+    buckets = F.array(*[cms_bucket(h, a, b) for a, b in cms_constants()])
+    return (
+        src.select("ts", F.posexplode(buckets).alias("j", "bucket"))
+        .groupBy(F.window("ts", width).alias("win"), "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("window_start"), "j", "bucket", "cnt")
+    )
