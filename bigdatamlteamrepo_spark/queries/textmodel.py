@@ -1909,3 +1909,88 @@ def quality_ppl_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-curriculum phase plan: order training data so the highest-
+# quality text is seen LAST (the annealing/midtraining schedule —
+# final-phase data dominates what the model retains).  Phases come
+# from the LM perplexity terciles the selection stage already
+# computes: phase 1 = unscored + worst kept tercile, ..., final phase
+# = the perplexity head.  This is the plan a trainer consumes BEFORE
+# shard ordering; it adds zero new corpus passes (the tercile frame is
+# the registered doc_lm_perplexity plan).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curriculum_phase_plan",
+    oracle=f"""
+WITH lmq AS (SELECT doc_id, ppl_tercile FROM ({_LM_ORACLE})),
+t AS (
+  SELECT d.source, len({_TOKENS_SQL}) AS n_tokens,
+         CASE COALESCE(l.ppl_tercile, 3)
+              WHEN 3 THEN 1 WHEN 2 THEN 2 ELSE 3 END AS phase
+  FROM documents d LEFT JOIN lmq l ON d.doc_id = l.doc_id
+),
+a AS (
+  SELECT phase, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens
+  FROM t GROUP BY phase, source
+)
+SELECT phase, source, n_docs, phase_tokens,
+       CAST(SUM(phase_tokens) OVER (PARTITION BY source ORDER BY phase
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / SUM(phase_tokens) OVER (PARTITION BY source)
+         AS cum_token_frac
+FROM a
+""",
+)
+def curriculum_phase_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (phase, source): docs, token mass, and the cumulative token
+    fraction a trainer has consumed by the END of that phase.  Phase 1
+    = highest-perplexity tercile plus unscored (< 2-bigram) docs,
+    phase 3 = the perplexity head — worst first, best last.
+
+    Plan: the tercile frame is the existing one-shuffle LM scoring
+    plan; phases are a row-local CASE, the rollup keys on (phase,
+    source) — constant cardinality — and the cumulative fraction is a
+    window over ≤ 3 rows per source.  Integer-over-integer division,
+    bit-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    lm = lm_perplexity_frame(docs.select("doc_id", "lang", "text")).select(
+        "doc_id", "ppl_tercile"
+    )
+    phase = (
+        F.when(F.coalesce(F.col("ppl_tercile"), F.lit(3)) == 3, 1)
+        .when(F.col("ppl_tercile") == 2, 2)
+        .otherwise(3)
+    )
+    t = (
+        docs.select(
+            "doc_id", "source", F.size(tokenize("text")).alias("n_tokens")
+        )
+        .join(lm, "doc_id", "left")
+        .select("source", "n_tokens", phase.alias("phase"))
+    )
+    a = t.groupBy("phase", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("phase_tokens"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("phase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("source")
+    return a.select(
+        "phase",
+        "source",
+        "n_docs",
+        "phase_tokens",
+        (
+            F.sum("phase_tokens").over(w_cum).cast("double")
+            / F.sum("phase_tokens").over(w_all)
+        ).alias("cum_token_frac"),
+    )
