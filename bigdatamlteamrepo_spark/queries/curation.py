@@ -940,7 +940,7 @@ def source_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: totals never explode — per-doc gram counts are the arithmetic
     ``max(len - n + 1, 0)``, aggregated in one row-local-width shuffle.
-    The type counts shuffle only per-doc-DISTINCT md5 gram hashes
+    The type counts shuffle only per-doc-DISTINCT 60-bit gram hashes
     (row-local distinct first, the novelty-query discipline), two-level
     grouped so map-side combine collapses the Zipf head; shuffled bytes
     track distinct types, never corpus tokens.  The ratio is

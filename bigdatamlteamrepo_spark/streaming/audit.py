@@ -73,7 +73,10 @@ def datacard_running(docs: DataFrame, p: int = 6) -> DataFrame:
     unbounded per-source state; the registers are conditional MAXes —
     associative, fold-safe), and the domain is Gopher's (docs with ≥ 1
     token) because the pass flags ride the same single agg.  Sums and
-    the decimal-quantized TTR mean are exact in both modes."""
+    the decimal-quantized TTR mean are exact in both modes.  (Each row
+    tokenizes twice — once for the local stats, once inside
+    gopher_rule_flags; row-local, and the monitor's per-trigger input
+    is micro-batch-sized.)"""
     from bigdatamlteamrepo_spark.functions.numeric import dsum
     from bigdatamlteamrepo_spark.functions.text import tokenize
     from bigdatamlteamrepo_spark.operators.sketches import (
