@@ -700,3 +700,103 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed count-min heavy hitters: the CMS analogue of
+# hll_hourly_users — per-hour top users with their sketch estimate,
+# the batch face of the streaming counter grid
+# (streaming/windows.tumbling_cms_counters, pinned stream ≡ batch in
+# test_streaming_cms).  State per window is the 4×1024 grid however
+# many users the hour sees; estimates are min-over-depths, inflate-only.
+# --------------------------------------------------------------------------
+
+_HU32 = h32_sql("user_id")
+_CMS_EV_BUCKETS_SQL = " UNION ALL ".join(
+    f"SELECT date_trunc('hour', ts) AS window_start, {j} AS j, "
+    f"{cms_bucket_sql(_HU32, a, b)} AS bucket FROM events"
+    for j, (a, b) in enumerate(cms_constants())
+)
+_CMS_EV_KEY_BUCKETS_SQL = " UNION ALL ".join(
+    f"SELECT window_start, user_id, {j} AS j, "
+    f"{cms_bucket_sql(_HU32, a, b)} AS bucket FROM keys"
+    for j, (a, b) in enumerate(cms_constants())
+)
+_CMS_EV_TOPK = 5
+
+
+@query(
+    "events_cms_hourly_heavy_users",
+    oracle=f"""
+WITH counters AS (
+  SELECT window_start, j, bucket, COUNT(*) AS cnt
+  FROM ({_CMS_EV_BUCKETS_SQL}) GROUP BY window_start, j, bucket
+),
+keys AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS window_start, user_id FROM events
+),
+est AS (
+  SELECT kb.window_start, kb.user_id, MIN(c.cnt) AS cms_estimate
+  FROM ({_CMS_EV_KEY_BUCKETS_SQL}) kb
+  JOIN counters c USING (window_start, j, bucket)
+  GROUP BY kb.window_start, kb.user_id
+),
+truth AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id,
+         CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT t.window_start, t.user_id, t.true_count,
+         CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+         ROW_NUMBER() OVER (PARTITION BY t.window_start
+                            ORDER BY t.true_count DESC, t.user_id) AS rank
+  FROM truth t JOIN est e
+    ON t.window_start = e.window_start AND t.user_id = e.user_id
+)
+SELECT window_start, user_id, true_count, cms_estimate, rank
+FROM ranked WHERE rank <= {_CMS_EV_TOPK}
+""",
+)
+def events_cms_hourly_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour top-5 users by event count with their count-min
+    estimate — the query a monitor answers FROM the maintained
+    streaming grid without holding per-user state.  The grid builder
+    is shared with the stream verbatim; CMS estimates dominate truth
+    (inflate-only) by construction."""
+    from bigdatamlteamrepo_spark.streaming.windows import (
+        tumbling_cms_counters,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    counters = tumbling_cms_counters(events)
+    kh = h32(F.col("user_id"))
+    keys = events.select(
+        F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+    ).distinct()
+    kb = keys.select(
+        "window_start",
+        "user_id",
+        F.posexplode(
+            F.array(*[cms_bucket(kh, a, b) for a, b in cms_constants()])
+        ).alias("j", "bucket"),
+    )
+    est = (
+        kb.join(F.broadcast(counters), ["window_start", "j", "bucket"])
+        .groupBy("window_start", "user_id")
+        .agg(F.min("cnt").cast("bigint").alias("cms_estimate"))
+    )
+    truth = (
+        events.select(F.date_trunc("hour", "ts").alias("window_start"), "user_id")
+        .groupBy("window_start", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("true_count"), F.asc("user_id")
+    )
+    return (
+        truth.join(est, ["window_start", "user_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CMS_EV_TOPK)
+        .select("window_start", "user_id", "true_count", "cms_estimate", "rank")
+    )
