@@ -1290,3 +1290,24 @@ def eval_suite_contamination_matrix(
             F.count(F.lit(1)).alias("n_gram_hits"),
         )
     )
+
+
+@query(
+    "leakage_safe_split_assignments",
+    oracle=f"""
+WITH RECURSIVE
+{neardup_rep_ctes()}
+SELECT doc_id, rep, {_split_case_sql('rep')} AS split
+FROM __m
+""",
+)
+def leakage_safe_split_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level face of the leakage-safe split: every document with
+    its cluster representative and assigned split — what a loader
+    actually consumes (and what build_training_corpus(assign_splits=
+    True) materializes onto the shipped shards).  Same rep chain and
+    hash as the summary; the driver row pins the assignment itself,
+    not just its rollup."""
+    return neardup_rep_frame(spark, sf_dir).select(
+        "doc_id", "rep", split_of(F.col("rep")).alias("split")
+    )
