@@ -1155,3 +1155,78 @@ def source_distinct_ngrams_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         hll_agg_finalize(_DN_HLL_P).alias("approx_distinct_ngrams"),
     )
+
+
+# --------------------------------------------------------------------------
+# Heavy-hitter phrases per source: WHICH recurring 8-grams dominate a
+# source — the face a curator actually reads when the repetition /
+# novelty numbers look bad (headers, disclaimers, navigation chrome).
+# One grouped count over the gram stream (map-side combine collapses
+# the Zipf head, so shuffled rows track distinct (source, gram)s) and
+# a per-source top-k window over the already-aggregated table.
+# --------------------------------------------------------------------------
+
+_TOPG_K = 5
+
+
+@query(
+    "source_top_ngrams",
+    oracle=f"""
+WITH t AS (SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents),
+g AS (
+  SELECT doc_id, source, unnest({_ngram_sql(_NG)}) AS gram FROM t
+),
+a AS (
+  SELECT source, gram,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM g GROUP BY source, gram
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY n_occurrences DESC, gram) AS rank
+  FROM a
+)
+SELECT source, rank, gram, n_occurrences, n_docs
+FROM r WHERE rank <= {_TOPG_K}
+""",
+)
+def source_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 8-grams per source by occurrence count (ties broken on
+    gram text), with the number of distinct docs carrying each — the
+    "what exactly is repeated" report behind the repetition metrics.
+
+    Plan: one gram explode → (source, gram) hash agg (the partial agg
+    eats the Zipf head before the shuffle) → per-source top-k window
+    over the aggregated table (rows = distinct grams, not tokens).
+    The output carries gram TEXT because a human reads it; the
+    counting itself never compares more than the aggregated rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.explode(shingles(tokenize("text"), _NG)).alias("gram"),
+    )
+    # two-level agg, not count+countDistinct in one (that plans an
+    # Expand that doubles the token-level gram stream): collapse to
+    # (source, gram, doc) counts first — map-side combined — then the
+    # distinct-doc count is a plain count over the collapsed table
+    a = (
+        g.groupBy("source", "gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source", "gram")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_occurrences"), F.asc("gram")
+    )
+    return (
+        a.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPG_K)
+        .select("source", "rank", "gram", "n_occurrences", "n_docs")
+    )
