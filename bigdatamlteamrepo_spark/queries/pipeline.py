@@ -1311,3 +1311,62 @@ def leakage_safe_split_assignments(spark: SparkSession, sf_dir: str) -> DataFram
     return neardup_rep_frame(spark, sf_dir).select(
         "doc_id", "rep", split_of(F.col("rep")).alias("split")
     )
+
+
+@query(
+    "eval_fuzzy_contamination",
+    oracle=f"""
+WITH {lsh_pairs_ctes()},
+__sets AS (SELECT doc_id, list_distinct(sh) AS s FROM __sh),
+__ver AS (
+  SELECT p.doc_a, p.doc_b, {_JAC_SQL} AS jaccard
+  FROM __lsh_pairs p
+  JOIN __sets a ON a.doc_id = p.doc_a
+  JOIN __sets b ON b.doc_id = p.doc_b
+  WHERE {_JAC_SQL} >= {_JACCARD_MIN}
+),
+__x AS (
+  SELECT CASE WHEN doc_a >= {_EVAL_N} THEN doc_a ELSE doc_b END AS doc_id,
+         jaccard
+  FROM __ver
+  WHERE (doc_a < {_EVAL_N}) <> (doc_b < {_EVAL_N})
+)
+SELECT x.doc_id, d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+       MAX(x.jaccard) AS max_jaccard
+FROM __x x JOIN documents d ON x.doc_id = d.doc_id
+GROUP BY x.doc_id, d.source
+""",
+)
+def eval_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAPHRASE-level contamination: training docs whose 3-token
+    shingle-set Jaccard with any eval stand-in doc reaches the near-dup
+    threshold (0.5) — rewordings and partial rewrites that exact-8-gram
+    decon (doc_eval_contamination / the ingest s4 gate) cannot see.
+    The decon ladder is: exact grams (cheap, catches quotes) → span
+    surgery (keeps the doc) → THIS fuzzy tier (catches paraphrases).
+
+    Plan: the registered LSH→verify pair plan does all the work; this
+    face filters verified pairs to those crossing the eval boundary and
+    rolls up per training doc.  The eval side is benchmark-sized, so at
+    100 TB the candidate stage degenerates to a broadcast band join
+    against the eval docs' band rows (the ingest-index shape) — never
+    a corpus self-join for this audit alone."""
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    is_eval_a = F.col("doc_a") < _EVAL_N
+    is_eval_b = F.col("doc_b") < _EVAL_N
+    x = pairs.filter(is_eval_a != is_eval_b).select(
+        F.when(F.col("doc_a") >= _EVAL_N, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id"),
+        "jaccard",
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        x.join(docs, "doc_id")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
