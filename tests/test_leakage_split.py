@@ -84,3 +84,20 @@ def test_split_of_total_and_deterministic(spark):
     assert counts["val"] + counts["test"] < 300
     again = {r.s: r.c for r in df.groupBy("s").agg(F.count("*").alias("c")).collect()}
     assert counts == again
+
+
+def test_soft_dedup_weights_conserve_clusters(spark, sf_dir):
+    """Σ 1/|C| over a cluster's members is exactly 1, so the global
+    effective-doc mass must equal the global cluster count (decimal
+    quantization leaves ≤ 1e-9 per doc)."""
+    from bigdatamlteamrepo_spark.queries.pipeline import soft_dedup_weights
+
+    rows = soft_dedup_weights(spark, sf_dir).collect()
+    rep = neardup_rep_frame(spark, sf_dir)
+    n_clusters_global = rep.select("rep").distinct().count()
+    total_eff = sum(r.effective_docs for r in rows)
+    n_docs = sum(r.n_docs for r in rows)
+    assert abs(total_eff - n_clusters_global) <= 1e-9 * n_docs + 1e-6
+    # weights never exceed 1 per doc
+    for r in rows:
+        assert r.effective_docs <= r.n_docs + 1e-9
