@@ -508,3 +508,81 @@ def substring_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div total_tokens AS BIGINT)"
         ).alias("retained_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Overlapping retrieval chunks: the sliding-window chunk plan a RAG /
+# retrieval indexer consumes (stride < width so no boundary sentence is
+# ever split across BOTH of its chunks' edges).  Pure row-local
+# arithmetic — one sequence explode per doc, no shuffle at all until a
+# consumer aggregates; the chunk hash pins the exact token content so
+# an independent chunker can verify byte-for-byte.
+# --------------------------------------------------------------------------
+
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+
+@query(
+    "doc_chunks_overlap",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+n AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= {_CHUNK_W} THEN 1
+              ELSE 1 + (len(toks) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+         END AS n_chunks
+  FROM t WHERE len(toks) >= 1
+),
+c AS (
+  SELECT doc_id, n, unnest(range(0, n_chunks)) AS i FROM n
+)
+SELECT c.doc_id,
+       CAST(c.i AS BIGINT) AS chunk_id,
+       CAST(c.i * {_CHUNK_S} + 1 AS BIGINT) AS start_tok,
+       CAST(least({_CHUNK_W}, c.n - c.i * {_CHUNK_S}) AS BIGINT) AS chunk_len,
+       md5(array_to_string(
+         n.toks[c.i * {_CHUNK_S} + 1 :
+                c.i * {_CHUNK_S} + least({_CHUNK_W}, c.n - c.i * {_CHUNK_S})],
+         ' ')) AS chunk_md5
+FROM c JOIN n ON c.doc_id = n.doc_id
+""",
+)
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk plan (width 64 tokens, stride 48 → 16-token
+    overlap): per chunk its 1-based start, length, and the md5 of its
+    space-joined tokens.  Every token lands in ≥ 1 chunk; interior
+    chunk boundaries are covered by the overlap.
+
+    Plan: chunk count and offsets are row-local arithmetic over the
+    token count; the sequence explode emits ~n/stride rows per doc and
+    nothing shuffles — the embedding/BM25 indexer downstream decides
+    the first exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize("text").alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    n = F.size("toks")
+    n_chunks = F.when(n <= _CHUNK_W, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.expr(
+            f"(size(toks) - {_CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S}"
+        )
+    )
+    c = t.select(
+        "doc_id",
+        "toks",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+    )
+    start = F.col("i") * _CHUNK_S + 1
+    clen = F.least(F.lit(_CHUNK_W), F.col("n") - F.col("i") * _CHUNK_S)
+    return c.select(
+        "doc_id",
+        F.col("i").cast("bigint").alias("chunk_id"),
+        start.cast("bigint").alias("start_tok"),
+        clen.cast("bigint").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", F.slice("toks", start, clen))).alias(
+            "chunk_md5"
+        ),
+    )
