@@ -586,3 +586,164 @@ def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_md5"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Chunk-granularity BM25: retrieval scores the CHUNK stream, not whole
+# documents — a long doc with one relevant paragraph ranks by that
+# paragraph.  Same literal term set and (k1, b) as doc_bm25_scores;
+# corpus stats (N, avgdl, df) recomputed at chunk granularity (the
+# correct IDF for the unit being ranked).  avgdl derives from an exact
+# BIGINT token sum (not a float AVG), so every score is a fixed-order
+# IEEE expression in both engines and the global top-k cutoff is
+# deterministic.
+# --------------------------------------------------------------------------
+
+_CBM_TOPK = 20
+
+
+#: mirrors queries/pipeline.py's BM25 config — imported lazily would
+#: still run at decoration time (pipeline imports passages mid-init via
+#: its decon-span oracle), so the values are pinned here and equality
+#: is asserted in tests/test_chunk_bm25.py
+_CBM_TERMS = ("spark", "join", "stream", "window")
+_CBM_K1 = 1.2
+_CBM_B = 0.75
+
+
+def _chunk_bm25_oracle() -> str:
+    terms = _CBM_TERMS
+    _BM25_K1, _BM25_B = _CBM_K1, _CBM_B
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+nn AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= {_CHUNK_W} THEN 1
+              ELSE 1 + (len(toks) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S}
+         END AS n_chunks
+  FROM t WHERE len(toks) >= 1
+),
+ch AS (
+  SELECT nn.doc_id, i AS chunk_id,
+         nn.toks[i * {_CHUNK_S} + 1 :
+                 i * {_CHUNK_S} + least({_CHUNK_W}, nn.n - i * {_CHUNK_S})]
+           AS ctoks
+  FROM nn, unnest(range(0, nn.n_chunks)) AS u(i)
+),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ch,
+             CAST(SUM(len(ctoks)) AS BIGINT) AS tot_dl FROM ch),
+df AS (
+  SELECT {", ".join(
+    f"SUM(CASE WHEN list_contains(ctoks, '{w}') THEN 1 ELSE 0 END) AS df_{i}"
+    for i, w in enumerate(terms))}
+  FROM ch
+),
+s AS (
+  SELECT doc_id, chunk_id, len(ctoks) AS dl,
+         {", ".join(
+    f"CAST(len(list_filter(ctoks, x -> x = '{w}')) AS DOUBLE) AS tf_{i}"
+    for i, w in enumerate(terms))}
+  FROM ch
+)
+SELECT doc_id, chunk_id,
+       {" + ".join(
+    f"ln((n_ch - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+    f" * tf_{i} * ({_BM25_K1} + 1.0)"
+    f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl"
+    f" / (CAST(tot_dl AS DOUBLE) / n_ch)))"
+    for i in range(len(terms)))} AS bm25
+FROM s, g, df
+WHERE {" + ".join(f"tf_{i}" for i in range(len(terms)))} > 0
+ORDER BY bm25 DESC, doc_id, chunk_id
+LIMIT {_CBM_TOPK}
+"""
+
+
+@query("chunk_bm25_topk", oracle=_chunk_bm25_oracle())
+def chunk_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 chunks by Okapi BM25 against the shared literal term set
+    — the retrieval face over the sliding-window chunk plan.
+
+    Plan: one chunk explode (row-local) feeds a single global stats agg
+    (1 broadcast row: chunk count, exact token sum, per-term df) and a
+    row-local score; the ORDER BY + LIMIT compiles to TakeOrdered (a
+    per-partition top-k fold, never a global sort).  Term contributions
+    add in tuple order in both engines — bit-stable floats, so the
+    cutoff is deterministic."""
+    _BM25_TERMS, _BM25_K1, _BM25_B = _CBM_TERMS, _CBM_K1, _CBM_B
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize("text").alias("toks")).filter(
+        F.size("toks") >= 1
+    )
+    n = F.size("toks")
+    n_chunks = F.when(n <= _CHUNK_W, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.expr(f"(size(toks) - {_CHUNK_W} + {_CHUNK_S} - 1) div {_CHUNK_S}")
+    )
+    start = F.col("i") * _CHUNK_S + 1
+    clen = F.least(F.lit(_CHUNK_W), F.size("toks") - F.col("i") * _CHUNK_S)
+    ch = (
+        t.select(
+            "doc_id", "toks", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i")
+        )
+        .select(
+            "doc_id",
+            F.col("i").alias("chunk_id"),
+            F.slice("toks", start, clen).alias("ctoks"),
+        )
+    )
+    stats = ch.agg(
+        F.count(F.lit(1)).alias("n_ch"),
+        F.sum(F.size("ctoks")).cast("bigint").alias("tot_dl"),
+        *[
+            F.sum(F.array_contains("ctoks", w).cast("int")).alias(f"df_{i}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    )
+    def _tf(w: str):
+        # 2-arg lambdas to F.filter receive (element, index) — bind w
+        # via closure, never a default arg
+        return lambda x: x == F.lit(w)
+
+    s = ch.select(
+        "doc_id",
+        "chunk_id",
+        F.size("ctoks").alias("dl"),
+        *[
+            F.size(F.filter("ctoks", _tf(w)))
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    ).crossJoin(F.broadcast(stats))
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_ch")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            (F.col("n_ch") - F.col(f"df_{i}") + 0.5)
+            / (F.col(f"df_{i}") + 0.5)
+            + 1.0
+        )
+        term = (
+            idf
+            * F.col(f"tf_{i}")
+            * (_BM25_K1 + 1.0)
+            / (
+                F.col(f"tf_{i}")
+                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+            )
+        )
+        score = term if score is None else score + term
+    any_tf = None
+    for i in range(len(_BM25_TERMS)):
+        any_tf = (
+            F.col(f"tf_{i}")
+            if any_tf is None
+            else any_tf + F.col(f"tf_{i}")
+        )
+    return (
+        s.filter(any_tf > 0)
+        .select("doc_id", "chunk_id", score.alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"), F.asc("chunk_id"))
+        .limit(_CBM_TOPK)
+    )
