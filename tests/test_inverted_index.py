@@ -1,0 +1,55 @@
+"""Inverted index: build once, answer from the index — results must be
+BIT-identical to the one-pass chunk scorer, and the query plan must
+prune to the terms' pbucket partitions (non-vacuous, the IVF-PQ
+discipline)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.operators.retrieval import (
+    bm25_from_index,
+    build_inverted_index,
+)
+from bigdatamlteamrepo_spark.queries.passages import (
+    _CBM_TERMS,
+    _CBM_TOPK,
+    chunk_bm25_topk,
+)
+
+
+def test_index_reproduces_one_pass_scorer(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "inv")
+    build_inverted_index(load_table(spark, sf_dir, "documents"), idx)
+    got = bm25_from_index(spark, idx, _CBM_TERMS, k=_CBM_TOPK)
+    expect = chunk_bm25_topk(spark, sf_dir)
+    g = [(r.doc_id, r.chunk_id, r.bm25) for r in got.collect()]
+    e = [(r.doc_id, r.chunk_id, r.bm25) for r in expect.collect()]
+    assert g == e  # exact floats, exact order
+
+
+def test_query_prunes_to_term_partitions(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "inv2")
+    build_inverted_index(load_table(spark, sf_dir, "documents"), idx)
+    out = bm25_from_index(spark, idx, ("spark",), k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln
+        and "pbucket" in ln.split("PartitionFilters", 1)[1]
+    ]
+    assert len(pruned) >= 2, plan[:800]
+    # and the term equality predicate reaches the postings scan
+    assert "PushedFilters" in plan and "term" in plan
+
+
+def test_single_term_scores_positive_and_ranked(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "inv3")
+    build_inverted_index(load_table(spark, sf_dir, "documents"), idx)
+    rows = bm25_from_index(spark, idx, ("spark",), k=10).collect()
+    assert rows
+    scores = [r.bm25 for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
