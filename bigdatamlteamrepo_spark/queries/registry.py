@@ -73,14 +73,18 @@ PRI_EXTRA = 90
 #: Every r04/r05 green keeps local parity coverage and rotates back in
 #: future windows.
 #:
-#: r07 first picks (in order): (1) the 12 never-driver-checked
+#: r07 first picks (in order): (1) the 21 never-driver-checked
 #: oracle-paired queries added after this window froze —
 #: eval_suite_contamination_matrix, quality_ppl_calibration,
 #: embedding_hard_negatives, triplet_margin_stats,
-#: leakage_safe_split_summary, soft_dedup_weights,
-#: source_distinct_ngrams, pack_efficiency_by_seqlen,
+#: leakage_safe_split_summary, leakage_safe_split_assignments,
+#: soft_dedup_weights, source_distinct_ngrams,
+#: source_distinct_ngrams_hll, pack_efficiency_by_seqlen,
 #: dedup_canonical_summary, ingest_decon_summary, corpus_datacard,
-#: contamination_width_sweep, plus any r07 additions (first row
+#: contamination_width_sweep, embedding_mislabel_scores,
+#: curriculum_phase_plan, events_cms_hourly_heavy_users,
+#: source_top_ngrams, eval_fuzzy_contamination, doc_chunks_overlap,
+#: chunk_bm25_topk — plus any r07 additions (first row
 #: outranks re-verification); (2) the six r06-displaced entries
 #: (ann_rp_lsh_multiprobe_topk, bpe_pair_counts, cms_heavy_suppliers,
 #: doc_stratified_sample, hybrid_rrf_retrieval, events_sliding_by_type)
