@@ -97,6 +97,46 @@ def build_inverted_index(docs: DataFrame, index_dir: str) -> None:
     ch.unpersist()
 
 
+def append_to_inverted_index(docs: DataFrame, index_dir: str) -> None:
+    """Fold a NEW batch of documents into an existing index: postings
+    rows land in their pbucket partitions (append mode), df and stats
+    contributions append as additional rows — the read path folds them
+    (SUM), so incremental maintenance answers exactly like a full
+    rebuild over the union (pinned).  Per-batch cost is O(batch
+    tokens); the existing index is never read or rewritten.  (For
+    at-least-once streaming delivery, wrap writes in the batch-scoped
+    overwrite-subdirectory scheme of streaming/ingest.py — plain
+    append is exactly-once only under batch orchestration.)"""
+    ch = _chunk_stream(docs).persist()
+    postings = (
+        ch.select(
+            "doc_id",
+            "chunk_id",
+            F.size("ctoks").alias("dl"),
+            F.explode("ctoks").alias("term"),
+        )
+        .groupBy("term", "doc_id", "chunk_id", "dl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .withColumn("pbucket", hash32(F.col("term")) % N_PBUCKETS)
+    )
+    postings.write.mode("append").partitionBy("pbucket").parquet(
+        index_dir + "/postings"
+    )
+    (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .withColumn("pbucket", hash32(F.col("term")) % N_PBUCKETS)
+        .write.mode("append")
+        .partitionBy("pbucket")
+        .parquet(index_dir + "/df")
+    )
+    ch.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ch"),
+        F.sum(F.size("ctoks")).cast("bigint").alias("tot_dl"),
+    ).coalesce(1).write.mode("append").parquet(index_dir + "/stats")
+    ch.unpersist()
+
+
 def bm25_from_index(
     spark: SparkSession,
     index_dir: str,
@@ -124,13 +164,20 @@ def bm25_from_index(
         .filter(F.col("pbucket").isin(pbuckets))
         .filter(F.col("term").isin(list(terms)))
     )
+    # df and stats are FOLDED at read: each build/append contributes
+    # rows, and the fold makes incremental maintenance exact —
+    # build(A∪B) ≡ build(A); append(B) (pinned in tests)
     dfs = (
         spark.read.parquet(index_dir + "/df")
         .filter(F.col("pbucket").isin(pbuckets))
         .filter(F.col("term").isin(list(terms)))
-        .select("term", "df")
+        .groupBy("term")
+        .agg(F.sum("df").cast("bigint").alias("df"))
     )
-    stats = spark.read.parquet(index_dir + "/stats")
+    stats = spark.read.parquet(index_dir + "/stats").agg(
+        F.sum("n_ch").cast("bigint").alias("n_ch"),
+        F.sum("tot_dl").cast("bigint").alias("tot_dl"),
+    )
     # pivot tf and df into fixed-order columns (conditional MAX — one
     # value per (chunk, term) by construction, so MAX is exact)
     tf_cols = [

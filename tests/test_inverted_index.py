@@ -53,3 +53,33 @@ def test_single_term_scores_positive_and_ranked(spark, sf_dir, tmp_path):
     scores = [r.bm25 for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_incremental_append_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """build(A) + append(B) must answer every query exactly like
+    build(A ∪ B) — postings are disjoint rows, df/stats fold at read."""
+    from bigdatamlteamrepo_spark.operators.retrieval import (
+        append_to_inverted_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc = str(tmp_path / "inc")
+    build_inverted_index(a, inc)
+    append_to_inverted_index(b, inc)
+
+    full = str(tmp_path / "full")
+    build_inverted_index(docs, full)
+
+    for terms in [_CBM_TERMS, ("spark",), ("join", "window")]:
+        gi = [
+            (r.doc_id, r.chunk_id, r.bm25)
+            for r in bm25_from_index(spark, inc, terms, k=15).collect()
+        ]
+        gf = [
+            (r.doc_id, r.chunk_id, r.bm25)
+            for r in bm25_from_index(spark, full, terms, k=15).collect()
+        ]
+        assert gi == gf, terms
