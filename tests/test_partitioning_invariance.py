@@ -34,6 +34,11 @@ REPRESENTATIVES = [
     "doc_term_burstiness",         # integer VMR, half-away division
     "passage_neardup_pairs",       # passage-LSH band join + verify rollup
     "doc_ngram_novelty",           # first-occurrence min attribution
+    "soft_dedup_weights",          # decimal 1/|C| sums over the rep chain
+    "source_distinct_ngrams",      # two-level hashed distinct-type agg
+    "corpus_datacard",             # decimal TTR mean + stack long format
+    "embedding_mislabel_scores",   # broadcast centroids + micro-quantized sims
+    "chunk_bm25_topk",             # global-stats BM25 + TakeOrdered float cutoff
 ]
 
 
