@@ -621,3 +621,115 @@ def embedding_health_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cos_c").alias("max_cos_centroid"),
         qmean("norm_d").alias("mean_norm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split representativeness: unigram KL/JS of each leakage-safe split
+# against the TRAIN split.  A val set whose distribution drifts from
+# train measures the wrong thing; this is the check a team runs after
+# cutting splits (and the train-vs-train row is the built-in zero
+# control).  Reuses the drift core verbatim — split labels are just a
+# different grouping column, and novel-token handling (val tokens
+# absent from train) is exactly the streaming monitor's semantics.
+# --------------------------------------------------------------------------
+
+
+def _split_divergence_oracle() -> str:
+    from bigdatamlteamrepo_spark.queries.pipeline import (
+        _split_case_sql,
+        neardup_rep_ctes,
+    )
+
+    return f"""
+WITH RECURSIVE
+{neardup_rep_ctes()},
+__sp AS (SELECT doc_id, {_split_case_sql('rep')} AS split FROM __m),
+tok AS (
+  SELECT s.split, unnest({_TOKENS_SQL}) AS token
+  FROM documents d JOIN __sp s ON d.doc_id = s.doc_id
+),
+st AS (SELECT split, token, COUNT(*) AS c_st FROM tok GROUP BY split, token),
+ct AS (
+  SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t
+  FROM st WHERE split = 'train' GROUP BY token
+),
+totals AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_all FROM ct),
+sp_tot AS (
+  SELECT split, CAST(SUM(c_st) AS BIGINT) AS t_s, COUNT(*) AS n_distinct
+  FROM st GROUP BY split
+),
+terms AS (
+  SELECT st.split, st.c_st, ct.c_t,
+         CAST(st.c_st AS DOUBLE) / s.t_s AS p,
+         CAST(ct.c_t AS DOUBLE) / totals.t_all AS q
+  FROM st
+  LEFT JOIN ct ON st.token = ct.token
+  JOIN sp_tot s ON st.split = s.split
+  CROSS JOIN totals
+)
+SELECT t.split,
+       s.t_s AS n_tokens,
+       CAST(s.n_distinct AS BIGINT) AS n_distinct_tokens,
+       CAST(COALESCE(SUM(t.c_t), 0) AS BIGINT) AS covered_corpus_tokens,
+       CAST(SUM(CASE WHEN t.c_t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_tokens,
+       CAST(SUM(CASE WHEN t.c_t IS NULL THEN t.c_st ELSE 0 END) AS BIGINT)
+         AS novel_token_mass,
+       {dsum_expr(
+           "CASE WHEN t.c_t IS NOT NULL THEN t.p * ln(t.p / t.q) "
+           "ELSE 0.0 END", 12, 30)} AS kl_nats,
+       {dsum_expr(
+           "CASE WHEN t.c_t IS NOT NULL THEN 0.5 * (t.p * ln(2.0 * t.p"
+           " / (t.p + t.q)) + t.q * ln(2.0 * t.q / (t.p + t.q))) "
+           "ELSE 0.0 END", 12, 30)}
+         + 0.5 * {_LN2}
+           * (1.0 - CAST(COALESCE(SUM(t.c_t), 0) AS DOUBLE) / MAX(tt.t_all))
+         + 0.5 * {_LN2}
+           * (CAST(SUM(CASE WHEN t.c_t IS NULL THEN t.c_st ELSE 0 END)
+              AS DOUBLE) / s.t_s) AS js_nats
+FROM terms t
+JOIN sp_tot s ON t.split = s.split
+CROSS JOIN totals tt
+GROUP BY t.split, s.t_s, s.n_distinct
+"""
+
+
+@query("split_unigram_divergence", oracle=_split_divergence_oracle())
+def split_unigram_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram KL/JS of every leakage-safe split against the TRAIN
+    split's distribution (train vs itself reports 0 — the control
+    row).  Novel tokens (val/test types absent from train) fold into
+    JS exactly and are emitted as counts; KL covers the train-covered
+    tokens (the drift-monitor semantics).
+
+    Plan: the split labels ride the existing rep chain; the divergence
+    is the registered drift core (Zipf-collapsed (split, token) counts,
+    one vocab join, decimal-quantized ln-term sums)."""
+    from bigdatamlteamrepo_spark.queries.pipeline import (
+        neardup_rep_frame,
+        split_of,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = neardup_rep_frame(spark, sf_dir).select(
+        "doc_id", split_of(F.col("rep")).alias("split")
+    )
+    labeled = docs.join(sp, "doc_id").select(
+        F.col("split").alias("source"), "text"
+    )
+    st = unigram_counts(labeled)
+    ref = (
+        st.filter(F.col("source") == "train")
+        .groupBy("token")
+        .agg(F.sum("c_st").cast("bigint").alias("c_t"))
+    )
+    return unigram_divergence_against_ref(st, ref).select(
+        F.col("source").alias("split"),
+        "n_tokens",
+        "n_distinct_tokens",
+        "covered_corpus_tokens",
+        "novel_tokens",
+        "novel_token_mass",
+        "kl_nats",
+        "js_nats",
+    )
