@@ -1143,3 +1143,107 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'mean_type_token_ratio', mean_type_token_ratio"
         ") AS (metric, value)",
     )
+
+
+# --------------------------------------------------------------------------
+# Per-split data card: the release card cut by the leakage-safe split —
+# the "is val the same corpus as train" table reviewers read next to
+# the divergence numbers (queries/health.split_unigram_divergence).
+# Same one-scan metrics as corpus_datacard, grouped by split instead
+# of source; split labels ride the near-dup rep chain.
+# --------------------------------------------------------------------------
+
+
+def _datacard_split_oracle() -> str:
+    from bigdatamlteamrepo_spark.functions.numeric import davg_expr
+    from bigdatamlteamrepo_spark.queries.pipeline import (
+        _split_case_sql,
+        neardup_rep_ctes,
+    )
+    from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
+
+    return f"""
+WITH RECURSIVE
+{neardup_rep_ctes()},
+__sp AS (SELECT doc_id, {_split_case_sql('rep')} AS split FROM __m),
+t AS (
+  SELECT sp.split, d.n_chars, md5(d.text) AS h,
+         len({_TOKENS_SQL.replace('text', 'd.text')}) AS n_tokens,
+         CAST(len(list_distinct({_TOKENS_SQL.replace('text', 'd.text')}))
+              AS DOUBLE)
+           / greatest(len({_TOKENS_SQL.replace('text', 'd.text')}), 1) AS ttr
+  FROM documents d JOIN __sp sp ON d.doc_id = sp.doc_id
+),
+a AS (
+  SELECT split,
+         CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(n_chars) AS DOUBLE) AS total_chars,
+         CAST(SUM(n_tokens) AS DOUBLE) AS total_tokens,
+         CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS mean_doc_tokens,
+         1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*)
+           AS exact_dup_frac,
+         {davg_expr('ttr', 9)} AS mean_type_token_ratio
+  FROM t GROUP BY split
+)
+SELECT split, metric, value FROM a
+UNPIVOT (value FOR metric IN (
+  n_docs, total_chars, total_tokens, mean_doc_tokens,
+  exact_dup_frac, mean_type_token_ratio
+))
+"""
+
+
+@query("datacard_by_split", oracle=_datacard_split_oracle())
+def datacard_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release card per leakage-safe split, long format (split, metric,
+    value): doc/char/token mass, mean doc length, exact-dup fraction,
+    decimal-quantized mean TTR.  Gopher pass rate lives on the
+    per-source card; here the question is train/val/test comparability.
+
+    Plan: the split labels are the rep chain's output; the card itself
+    stays one scan + one constant-cardinality rollup + stack()."""
+    from bigdatamlteamrepo_spark.functions.text import tokenize
+    from bigdatamlteamrepo_spark.queries.pipeline import (
+        neardup_rep_frame,
+        split_of,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = neardup_rep_frame(spark, sf_dir).select(
+        "doc_id", split_of(F.col("rep")).alias("split")
+    )
+    toks = tokenize("text")
+    t = docs.join(sp, "doc_id").select(
+        "split",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("ttr"),
+    )
+    a = t.groupBy("split").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_chars").cast("double").alias("total_chars"),
+        F.sum("n_tokens").cast("double").alias("total_tokens"),
+        (
+            F.sum("n_tokens").cast("double") / F.count(F.lit(1))
+        ).alias("mean_doc_tokens"),
+        (
+            F.lit(1.0)
+            - F.countDistinct("h").cast("double") / F.count(F.lit(1))
+        ).alias("exact_dup_frac"),
+        (dsum("ttr", 9) / F.count(F.lit(1))).alias("mean_type_token_ratio"),
+    )
+    return a.selectExpr(
+        "split",
+        "stack(6, "
+        "'n_docs', n_docs, "
+        "'total_chars', total_chars, "
+        "'total_tokens', total_tokens, "
+        "'mean_doc_tokens', mean_doc_tokens, "
+        "'exact_dup_frac', exact_dup_frac, "
+        "'mean_type_token_ratio', mean_type_token_ratio"
+        ") AS (metric, value)",
+    )
