@@ -73,7 +73,7 @@ PRI_EXTRA = 90
 #: Every r04/r05 green keeps local parity coverage and rotates back in
 #: future windows.
 #:
-#: r07 first picks (in order): (1) the 21 never-driver-checked
+#: r07 first picks (in order): (1) the 23 never-driver-checked
 #: oracle-paired queries added after this window froze —
 #: eval_suite_contamination_matrix, quality_ppl_calibration,
 #: embedding_hard_negatives, triplet_margin_stats,
@@ -84,7 +84,8 @@ PRI_EXTRA = 90
 #: contamination_width_sweep, embedding_mislabel_scores,
 #: curriculum_phase_plan, events_cms_hourly_heavy_users,
 #: source_top_ngrams, eval_fuzzy_contamination, doc_chunks_overlap,
-#: chunk_bm25_topk — plus any r07 additions (first row
+#: chunk_bm25_topk, split_unigram_divergence, datacard_by_split —
+#: plus any r07 additions (first row
 #: outranks re-verification); (2) the six r06-displaced entries
 #: (ann_rp_lsh_multiprobe_topk, bpe_pair_counts, cms_heavy_suppliers,
 #: doc_stratified_sample, hybrid_rrf_retrieval, events_sliding_by_type)
