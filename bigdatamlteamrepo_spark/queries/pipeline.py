@@ -1370,3 +1370,54 @@ def eval_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Doc-length quantiles per source: the distribution behind the
+# pack-efficiency sweep (queries/shards.pack_efficiency_by_seqlen) — a
+# SEQ_LEN choice reads p50/p90/p99 doc lengths next to the padding/
+# fragmentation costs.  Exact linear-interpolation percentile (Spark
+# ``percentile`` ≡ DuckDB ``quantile_cont``), the events_value_
+# percentiles convention applied to the token-count column.
+# --------------------------------------------------------------------------
+
+_DL_PCTS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@query(
+    "doc_length_quantiles",
+    oracle=f"""
+WITH t AS (SELECT source, len({_TOKENS_SQL}) AS n_tokens FROM documents)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(n_tokens) AS min_tokens,
+       {", ".join(
+           f"quantile_cont(n_tokens, {p}) AS p{int(p * 100)}"
+           for p in _DL_PCTS)},
+       MAX(n_tokens) AS max_tokens
+FROM t GROUP BY source
+""",
+)
+def doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length distribution: min, p25/50/75/90/99,
+    max.  One grouped exact-percentile agg (per-group sort of the
+    lengths — ints, so the interpolation is deterministic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", F.size(tokenize("text")).alias("n_tokens"))
+    pct_arr = "array(" + ", ".join(f"{p}D" for p in _DL_PCTS) + ")"
+    df = t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.expr(f"percentile(n_tokens, {pct_arr})").alias("pcts"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    return df.select(
+        "source",
+        "n_docs",
+        "min_tokens",
+        *[
+            F.get("pcts", i).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(_DL_PCTS)
+        ],
+        "max_tokens",
+    )
