@@ -25,8 +25,6 @@ BENCH_SET: list[str] = []
 #: are sorted by priority; see :func:`ordered`
 _ORDER: dict[str, tuple[int, int]] = {}
 
-#: promoted ahead of core — this round's driver-window rotation
-PRI_ROTATE = 40
 #: default priority — inside the driver window
 PRI_CORE = 50
 #: demoted: family-redundant or rows-only queries that yield their
@@ -34,122 +32,96 @@ PRI_CORE = 50
 #: covered by the local pytest parity suite)
 PRI_EXTRA = 90
 
-#: Driver-window rotation (round 6): the driver checks only the first 50
-#: exported queries, so the window is spent on the queries whose LATEST
-#: driver evidence is oldest (everything newer keeps full local parity
-#: coverage at sf0.001/0.01/0.1).  One set, swapped per round —
-#: individual ``@query(priority=...)`` values stay stable.
-#: Composition (see CORRECTNESS_r01-r05 ledger):
-#:   * 43 of the 47 queries whose latest green is r03 — the oldest
-#:     evidence on the ledger, three rounds of churn behind (four
-#:     defer one round, each family-redundant with a fresher green:
-#:     order_priority_status_crosstab / kmv_distinct_parts /
-#:     hll_orders_by_flag / doc_pack_plan_bucketed (same oracle as
-#:     doc_pack_plan, which stays in); ann_ivf_topk stays OUT:
-#:     rows-only entries surface as non-green-looking driver rows —
-#:     the r03 lesson);
-#:   * passage_neardup_pairs — r05-green but its REGISTERED DEFAULT
-#:     changed this round (auto bucket cap), so it re-verifies;
-#:   * 12 queries new this round: corpus_build_summary,
-#:     source_overlap_kmv, embedding_semdedup_ann_summary,
-#:     events_value_quantile_sketch, bbit_minhash_jaccard_pairs,
-#:     doc_pack_offsets, corpus_survivor_knn, doc_dup_substring_spans,
-#:     substring_dedup_summary, corpus_incremental_build_summary — a
-#:     new query's FIRST driver row outranks re-verifying a stale one
-#:     (never-driver-checked reads worse than 3-rounds-stale).  The
-#:     last four displaced four r03 entries whose mechanism family has
-#:     an in-window or fresher-green sibling: ann_rp_lsh_multiprobe_topk
-#:     (RP-LSH core green via ann_rp_lsh_topk r05 + pq/ivfpq in-window),
-#:     bpe_pair_counts (doc_bpe_token_counts r05; learners pinned
-#:     locally), cms_heavy_suppliers (4 sketch queries remain in-window),
-#:     doc_stratified_sample (doc_mixture_sample / doc_shard_assignment
-#:     r05; cutoff property tested locally), then
-#:     eval_decontamination_spans and packed_token_sequences displaced
-#:     hybrid_rrf_retrieval (fusion of doc_bm25_scores r04 + knn r05,
-#:     both fresher-green) and events_sliding_by_type (4 events
-#:     queries with fresher greens; retention/funnel/zorder stay in).
-#:     The six displaced entries + the four round-5 deferrals are the
-#:     r07 rotation's first picks.
-#: Every r04/r05 green keeps local parity coverage and rotates back in
-#: future windows.
-#:
-#: r07 first picks (in order): (1) the 23 never-driver-checked
-#: oracle-paired queries added after this window froze —
-#: eval_suite_contamination_matrix, quality_ppl_calibration,
-#: embedding_hard_negatives, triplet_margin_stats,
-#: leakage_safe_split_summary, leakage_safe_split_assignments,
-#: soft_dedup_weights, source_distinct_ngrams,
-#: source_distinct_ngrams_hll, pack_efficiency_by_seqlen,
-#: dedup_canonical_summary, ingest_decon_summary, corpus_datacard,
-#: contamination_width_sweep, embedding_mislabel_scores,
-#: curriculum_phase_plan, events_cms_hourly_heavy_users,
-#: source_top_ngrams, eval_fuzzy_contamination, doc_chunks_overlap,
-#: chunk_bm25_topk, split_unigram_divergence, datacard_by_split —
-#: plus any r07 additions (first row
-#: outranks re-verification); (2) the six r06-displaced entries
-#: (ann_rp_lsh_multiprobe_topk, bpe_pair_counts, cms_heavy_suppliers,
-#: doc_stratified_sample, hybrid_rrf_retrieval, events_sliding_by_type)
-#: and the four round-5 deferrals (order_priority_status_crosstab,
-#: kmv_distinct_parts, hll_orders_by_flag, doc_pack_plan_bucketed);
-#: (3) r04 greens, oldest first.
-ROTATE_IN: frozenset[str] = frozenset(
-    {
-        # --- latest green = r03 (39 of 47; 4 deferred round 5, 4 more
-        # displaced late round 6 — see composition note above)
-        "ann_ivfpq_topk",
-        "ann_pq_adc_topk",
-        "bloom_semijoin_orders",
-        "dedup_exact_by_lang",
-        "doc_containment_pairs",
-        "doc_gopher_rules",
-        "doc_keyword_label_counts",
-        "doc_language_id",
-        "doc_lm_perplexity",
-        "doc_pack_plan",
-        "doc_shard_assignment_n64",
-        "doc_shared_shingle_stats",
-        "doc_winnowing_fingerprints",
-        "dsir_importance_weights",
-        "events_funnel_view_click_purchase",
-        "events_retention_cohorts",
-        "events_user_sessions",
-        "events_value_hist_quantiles",
-        "events_zorder_blocks",
-        "hll_hourly_users",
-        "kmv_orders_by_flag",
-        "minhash_signatures",
-        "neardup_best_representatives",
-        "neardup_incremental_lsh",
-        "neardup_pairs_lsh",
-        "pagerank_nation_trade",
-        "part_cooccurrence_triangles",
-        "per_source_doc_caps",
-        "q11_important_stock",
-        "q1_pricing_summary",
-        "q20_dominant_supplier",
-        "q3_shipping_priority",
-        "q5_local_supplier_volume",
-        "simhash_neardup_pairs",
-        "theta_customer_overlap",
-        "top_orders_per_segment",
-        "training_corpus_selection",
-        # --- r05-green but registered semantics changed this round
-        "passage_neardup_pairs",
-        # --- new this round (12)
-        "corpus_build_summary",
-        "source_overlap_kmv",
-        "embedding_semdedup_ann_summary",
-        "events_value_quantile_sketch",
-        "bbit_minhash_jaccard_pairs",
-        "doc_pack_offsets",
-        "corpus_survivor_knn",
-        "doc_dup_substring_spans",
-        "substring_dedup_summary",
-        "corpus_incremental_build_summary",
-        "eval_decontamination_spans",
-        "packed_token_sequences",
-    }
+#: Driver-window rotation (round 7): the driver checks only the first 50
+#: exported queries, so the window is spent on the queries with the
+#: weakest driver evidence first (everything outside the window keeps
+#: full local parity coverage at sf0.001/0.01/0.1).  Sub-tier
+#: priorities make the cut deterministic: if round-7 sessions add new
+#: oracle-paired queries (tier-0, ``PRI_NEW``), the tier-3 fillers are
+#: displaced first — never the never-driver-checked tier.
+#: Composition (CORRECTNESS_r01-r06 ledger, VERDICT_r6 item #1):
+#:   * tier 1 (29): every oracle-paired query with NO driver row in
+#:     r01-r06 — the entire r06-session-5 curation/health/retrieval
+#:     tier (contamination matrix, leakage-safe split, soft dedup,
+#:     datacard, distinct-n, chunk BM25, pack-efficiency, hard
+#:     negatives, mislabel scores, divergences, ...);
+#:   * tier 2 (10): the six r06-displaced entries
+#:     (ann_rp_lsh_multiprobe_topk, bpe_pair_counts,
+#:     cms_heavy_suppliers, doc_stratified_sample,
+#:     hybrid_rrf_retrieval, events_sliding_by_type) and the four
+#:     round-5 deferrals (order_priority_status_crosstab,
+#:     kmv_distinct_parts, hll_orders_by_flag, doc_pack_plan_bucketed);
+#:   * tier 3 (11): r04 greens, oldest driver evidence first, filling
+#:     the window to exactly 50; each new tier-0 registration this
+#:     round pushes the newest tier-3 filler out (they re-rotate next
+#:     round).
+#: ann_ivf_topk stays OUT: rows-only entries surface as
+#: non-green-looking driver rows — the r03 lesson.  r05/r06 greens all
+#: keep local parity coverage and rotate back in future windows.
+PRI_NEW = 30  #: tier 0 — queries first registered this round
+
+_TIER1_NEVER_CHECKED = (
+    "dedup_canonical_summary",
+    "embedding_hard_negatives",
+    "triplet_margin_stats",
+    "embedding_mislabel_scores",
+    "packed_sequence_doc_starts",
+    "pack_efficiency_by_seqlen",
+    "soft_dedup_weights",
+    "leakage_safe_split_summary",
+    "doc_chunks_overlap",
+    "chunk_bm25_topk",
+    "eval_suite_contamination_matrix",
+    "leakage_safe_split_assignments",
+    "eval_fuzzy_contamination",
+    "doc_length_quantiles",
+    "ingest_decon_summary",
+    "quality_ppl_calibration",
+    "curriculum_phase_plan",
+    "corpus_datacard",
+    "datacard_by_split",
+    "events_cms_hourly_heavy_users",
+    "source_distinct_ngrams",
+    "contamination_width_sweep",
+    "source_distinct_ngrams_hll",
+    "source_top_ngrams",
+    "epoch_mixture_plan",
+    "source_unigram_divergence",
+    "embedding_dim_stats",
+    "embedding_health_summary",
+    "split_unigram_divergence",
 )
+_TIER2_DISPLACED_DEFERRED = (
+    "ann_rp_lsh_multiprobe_topk",
+    "bpe_pair_counts",
+    "cms_heavy_suppliers",
+    "doc_stratified_sample",
+    "hybrid_rrf_retrieval",
+    "events_sliding_by_type",
+    "order_priority_status_crosstab",
+    "kmv_distinct_parts",
+    "hll_orders_by_flag",
+    "doc_pack_plan_bucketed",
+)
+_TIER3_R04_FILL = (
+    "neardup_cross_source",
+    "embedding_neardup_pairs",
+    "ann_rp_lsh_topk",
+    "q4_order_priority_checking",
+    "q7_nation_pair_volume",
+    "q2_min_acctbal_supplier_per_part",
+    "events_view_click_attribution",
+    "winnowing_neardup_pairs",
+    "embedding_neardup_lsh",
+    "ann_rp_lsh_banded_topk",
+    "ann_voronoi_topk",
+)
+#: name -> promoted priority; overrides the decorator's ``priority``
+ROTATE_PRI: dict[str, int] = {
+    **{n: 34 for n in _TIER1_NEVER_CHECKED},
+    **{n: 36 for n in _TIER2_DISPLACED_DEFERRED},
+    **{n: 38 for n in _TIER3_R04_FILL},
+}
 
 
 def query(
@@ -166,7 +138,7 @@ def query(
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = fn
-        _ORDER[name] = (PRI_ROTATE if name in ROTATE_IN else priority, len(_ORDER))
+        _ORDER[name] = (ROTATE_PRI.get(name, priority), len(_ORDER))
         if oracle is not None:
             ORACLE[name] = oracle
         if bench:
