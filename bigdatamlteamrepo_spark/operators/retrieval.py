@@ -22,6 +22,8 @@ posting stream.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -149,13 +151,12 @@ def bm25_from_index(
     the terms' pbucket partitions, touches only their postings, and
     reproduces the one-pass scorer's floats exactly (fixed term-order
     addition over conditional-MAX tf pivots)."""
+    # driver-side twin of hash32 (md5 first-8-hex) — same derivation as
+    # the build path's Spark expression, no per-term Spark job
     pbuckets = sorted(
         {
-            int(
-                spark.createDataFrame([(t,)], "term string")
-                .select((hash32(F.col("term")) % N_PBUCKETS).alias("p"))
-                .collect()[0].p
-            )
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+            % N_PBUCKETS
             for t in terms
         }
     )

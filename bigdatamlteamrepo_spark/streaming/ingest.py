@@ -122,6 +122,31 @@ def _list_children(spark: SparkSession, path: str):
     return out
 
 
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Small control file (e.g. the compaction fold manifest) written
+    atomically enough for recovery: create-overwrite + close."""
+    fs, p, _ = _fs_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str:
+    # NB: py4j passes a COPY of a Python bytearray into
+    # InputStream.read(byte[]) — the Java-side fill never reaches
+    # Python — so drain the stream JVM-side via commons-io (shipped
+    # with Hadoop) and let py4j convert the returned byte[].
+    fs, p, jvm = _fs_path(spark, path)
+    stream = fs.open(p)
+    try:
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def _batch_tag(batch_id: int, namespace: str = "") -> str:
     return f"b{namespace}-{batch_id}" if namespace else f"b{batch_id}"
 
@@ -319,18 +344,29 @@ def _heal_table(spark: SparkSession, src: str) -> None:
     a ``.compacting`` build is always discardable; a ``.old`` with the
     table missing means the swap died mid-flight (restore it); a
     ``.old`` alongside a live table may still hold the preserved batch
-    subdirectories (move them back, then drop it)."""
-    tmp, old = src + ".compacting", src + ".old"
+    subdirectories (move back only the ones the ``.folded`` manifest
+    says were NOT folded into the compacted files — restoring a folded
+    subdir would duplicate its rows in the index tables)."""
+    tmp, old, man = src + ".compacting", src + ".old", src + ".folded"
     if _exists(spark, tmp):
         _delete(spark, tmp)
     if _exists(spark, old):
         if not _exists(spark, src):
             _rename(spark, old, src)
         else:
+            folded: set[str] = set()
+            if _exists(spark, man):
+                folded = set(_read_text(spark, man).split())
             for name, full, is_dir, _ in _list_children(spark, old):
-                if is_dir and not _exists(spark, _join(src, name)):
+                if (
+                    is_dir
+                    and name not in folded
+                    and not _exists(spark, _join(src, name))
+                ):
                     _rename(spark, full, _join(src, name))
             _delete(spark, old)
+    if _exists(spark, man):
+        _delete(spark, man)
 
 
 def compact_ingest_indexes(
@@ -361,8 +397,13 @@ def compact_ingest_indexes(
         subdirs = sorted(
             [c for c in children if c[2]], key=lambda c: (c[3], c[0])
         )
-        kept = {c[0] for c in subdirs[len(subdirs) - keep_last :]} if keep_last else set()
+        kept = (
+            {c[0] for c in subdirs[max(0, len(subdirs) - keep_last) :]}
+            if keep_last
+            else set()
+        )
         fold = [c[1] for c in children if c[0] not in kept]
+        fold_names = [c[0] for c in children if c[0] not in kept]
         if not fold:
             continue
         fs, _, _jvm = _fs_path(spark, src)
@@ -382,11 +423,14 @@ def compact_ingest_indexes(
             .write.mode("overwrite")
             .parquet(tmp)
         )
+        man = src + ".folded"
+        _write_text(spark, man, "\n".join(fold_names))
         _rename(spark, src, old)
         _rename(spark, tmp, src)
         for name in kept:
             _rename(spark, _join(old, name), _join(src, name))
         _delete(spark, old)
+        _delete(spark, man)
         out[sub] = int(n_files)
     return out
 

@@ -83,3 +83,26 @@ def test_incremental_append_equals_full_rebuild(spark, sf_dir, tmp_path):
             for r in bm25_from_index(spark, full, terms, k=15).collect()
         ]
         assert gi == gf, terms
+
+
+def test_driver_side_pbucket_matches_spark_hash32(spark):
+    """bm25_from_index derives pbuckets driver-side with hashlib (no
+    per-term Spark job); the derivation must equal the build path's
+    Spark-side hash32(term) % N_PBUCKETS for any utf-8 term."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from bigdatamlteamrepo_spark.operators.retrieval import N_PBUCKETS
+    from bigdatamlteamrepo_spark.queries.shards import hash32
+
+    terms = ["the", "Zürich", "naïve", "東京", "a b", "", "ORDER", "order"]
+    spark_side = {
+        r.term: r.p
+        for r in spark.createDataFrame([(t,) for t in terms], "term string")
+        .select("term", (hash32(F.col("term")) % N_PBUCKETS).alias("p"))
+        .collect()
+    }
+    for t in terms:
+        drv = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16) % N_PBUCKETS
+        assert drv == spark_side[t], t

@@ -325,3 +325,101 @@ def test_stream_decon_gate_equals_batch_fold(spark, sf_dir, tmp_path, split):
         ).collect()
     }
     assert {d for d, v in once.items() if v == "accepted"} == s4
+
+
+def test_compaction_keep_last_clamps_to_available_subdirs(spark, tmp_path, split):
+    """keep_last larger than the number of batch subdirectories keeps
+    ALL of them (the slice must clamp, not wrap to a negative start
+    that silently keeps only the newest)."""
+    from bigdatamlteamrepo_spark.streaming.ingest import compact_ingest_indexes
+
+    index, (b1, b2) = split
+    idx = str(tmp_path / "clamp_idx")
+    build_ingest_indexes(index, idx)
+    ingest_batch(b1, spark, idx, batch_id=0)
+    ingest_batch(b2, spark, idx, batch_id=1)
+    compact_ingest_indexes(spark, idx, keep_last=3)
+    for sub in ("keys", "bands", "sets"):
+        assert os.path.isdir(tmp_path / "clamp_idx" / sub / "b0"), sub
+        assert os.path.isdir(tmp_path / "clamp_idx" / sub / "b1"), sub
+
+
+def test_heal_skips_folded_subdirs_no_duplicate_rows(spark, tmp_path, split):
+    """A crash between the tmp->src swap and .old deletion leaves .old
+    holding subdirs ALREADY folded into the compacted files; healing
+    must restore only the non-folded (kept) ones, or index rows
+    duplicate.  Emulated by reconstructing the exact crash state from
+    a completed compaction's pre-image."""
+    import shutil
+
+    from bigdatamlteamrepo_spark.streaming.ingest import compact_ingest_indexes
+
+    index, (b1, b2) = split
+    idx = str(tmp_path / "healdup_idx")
+    build_ingest_indexes(index, idx)
+    ingest_batch(b1, spark, idx, batch_id=0)
+    ingest_batch(b2, spark, idx, batch_id=1)
+    keys = os.path.join(idx, "keys")
+    pre_image = str(tmp_path / "keys_preimage")
+    shutil.copytree(keys, pre_image)
+    folded_names = [
+        n for n in os.listdir(keys) if n != "b1"  # keep_last=1 keeps b1
+    ]
+    compact_ingest_indexes(spark, idx)  # folds base files + b0
+
+    def n_keys():
+        return (
+            spark.read.schema("lang string, h string")
+            .option("recursiveFileLookup", "true")
+            .parquet(keys)
+            .count()
+        )
+
+    clean = n_keys()
+    # crash state: .old = pre-compaction table, manifest lists folded
+    shutil.copytree(pre_image, keys + ".old")
+    with open(keys + ".folded", "w") as f:
+        f.write("\n".join(folded_names))
+    compact_ingest_indexes(spark, idx)  # heals first
+    assert not os.path.exists(keys + ".old")
+    assert not os.path.exists(keys + ".folded")
+    assert not os.path.isdir(os.path.join(keys, "b0"))  # folded: stays out
+    assert n_keys() == clean  # no duplicated rows
+
+
+def test_heal_restores_only_kept_subdir_when_missing(spark, tmp_path, split):
+    """Same crash state but with the kept subdir missing from the new
+    table (crash before the kept-subdir move): healing restores IT and
+    nothing else."""
+    import shutil
+
+    from bigdatamlteamrepo_spark.streaming.ingest import compact_ingest_indexes
+
+    index, (b1, b2) = split
+    idx = str(tmp_path / "healkeep_idx")
+    build_ingest_indexes(index, idx)
+    ingest_batch(b1, spark, idx, batch_id=0)
+    ingest_batch(b2, spark, idx, batch_id=1)
+    keys = os.path.join(idx, "keys")
+    pre_image = str(tmp_path / "keys_preimage2")
+    shutil.copytree(keys, pre_image)
+    folded_names = [n for n in os.listdir(keys) if n != "b1"]
+    compact_ingest_indexes(spark, idx)
+
+    def n_keys():
+        return (
+            spark.read.schema("lang string, h string")
+            .option("recursiveFileLookup", "true")
+            .parquet(keys)
+            .count()
+        )
+
+    clean = n_keys()
+    shutil.rmtree(os.path.join(keys, "b1"))  # crash before kept move
+    shutil.copytree(pre_image, keys + ".old")
+    with open(keys + ".folded", "w") as f:
+        f.write("\n".join(folded_names))
+    compact_ingest_indexes(spark, idx)
+    assert os.path.isdir(os.path.join(keys, "b1"))  # kept: restored
+    assert not os.path.isdir(os.path.join(keys, "b0"))
+    assert n_keys() == clean
