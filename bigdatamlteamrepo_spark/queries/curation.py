@@ -30,10 +30,16 @@ the exact-passage tier (queries/passages.py):
   pipelines compute before sampling).  min(doc_id) per gram is
   order-free, so the score is deterministic under any partitioning.
 
-* **source_overlap_matrix** — ordered-pair 8-gram containment
-  |grams(a) ∩ grams(b)| / |grams(a)| between sources: the
-  cross-dataset contamination audit run before mixing corpora (the
-  asymmetric version of neardup_cross_source's pair counts).
+* **source_overlap_audit** (the DEFAULT audit face) /
+  **source_overlap_matrix** / **source_overlap_kmv** — ordered-pair
+  8-gram containment |grams(a) ∩ grams(b)| / |grams(a)| between
+  sources: the cross-dataset contamination audit run before mixing
+  corpora (the asymmetric version of neardup_cross_source's pair
+  counts).  The audit routes sketch-first: KMV/theta estimates flag
+  pairs at ≥ 0.05, and the exact matrix runs only over the flagged
+  sources — the exact self-join's shuffle carries every distinct gram
+  in the corpus (measured superlinear, SCALING.md), so at 100 TB it
+  runs only on the flagged slice.
 
 * **diversity_sample_lsh** — one representative per RP-LSH sign-bucket
   of the embedding space: the cheap diversity downsample (SemDeDup's
@@ -67,7 +73,7 @@ from bigdatamlteamrepo_spark.operators.sketches import (
     bottomk_cutoff_sql,
     bottomk_prefilter,
 )
-from bigdatamlteamrepo_spark.queries.registry import query
+from bigdatamlteamrepo_spark.queries.registry import PRI_NEW, query
 from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
 
 #: passage width in tokens (matches queries/passages.py so the exact
@@ -603,11 +609,15 @@ _OVK_K = 256
 _OVK_SAFETY = 4
 
 
-@query(
-    "source_overlap_kmv",
-    oracle=f"""
-WITH {_GRAMS_CTE},
-__sgh AS (SELECT DISTINCT source, ('0x' || substr(g, 1, 15))::BIGINT AS h FROM __g),
+#: flag threshold for the routed audit: pairs whose SKETCH containment
+#: estimate reaches this run the exact matrix (mirrored in the oracle)
+_OVA_TAU = 0.05
+
+#: KMV/theta sketch chain shared by source_overlap_kmv and the routed
+#: source_overlap_audit oracle — expects __g from _GRAMS_CTE in scope,
+#: ends in __kmv(source_a, source_b, n_common, est_shared,
+#: est_containment)
+_KMV_CTES = f"""__sgh AS (SELECT DISTINCT source, ('0x' || substr(g, 1, 15))::BIGINT AS h FROM __g),
 __n AS (SELECT source, COUNT(*) AS n FROM __sgh GROUP BY source),
 __pref AS (
   SELECT s.source, s.h
@@ -636,19 +646,30 @@ __cnt AS (
   JOIN __th tb ON tb.source = b.source
   WHERE a.h < LEAST(ta.theta, tb.theta)
   GROUP BY a.source, b.source
-)
-SELECT source_a, source_b, n_common, est_shared,
-       round(est_shared / est_a, 6) AS est_containment
-FROM (
-  SELECT c.source_a, c.source_b, c.n_common,
-         round(CAST(c.n_common AS DOUBLE) * {float(POW60)!r}
-               / CAST(c.th AS DOUBLE), 6) AS est_shared,
-         round(CASE WHEN t.n_kept >= {_OVK_K}
-                    THEN {float(_OVK_K - 1)!r} * {float(POW60)!r}
-                         / CAST(t.kth AS DOUBLE)
-                    ELSE CAST(t.n_kept AS DOUBLE) END, 6) AS est_a
-  FROM __cnt c JOIN __th t ON t.source = c.source_a
-)
+),
+__kmv AS (
+  SELECT source_a, source_b, n_common, est_shared,
+         round(est_shared / est_a, 6) AS est_containment
+  FROM (
+    SELECT c.source_a, c.source_b, c.n_common,
+           round(CAST(c.n_common AS DOUBLE) * {float(POW60)!r}
+                 / CAST(c.th AS DOUBLE), 6) AS est_shared,
+           round(CASE WHEN t.n_kept >= {_OVK_K}
+                      THEN {float(_OVK_K - 1)!r} * {float(POW60)!r}
+                           / CAST(t.kth AS DOUBLE)
+                      ELSE CAST(t.n_kept AS DOUBLE) END, 6) AS est_a
+    FROM __cnt c JOIN __th t ON t.source = c.source_a
+  )
+)"""
+
+
+@query(
+    "source_overlap_kmv",
+    oracle=f"""
+WITH {_GRAMS_CTE},
+{_KMV_CTES}
+SELECT source_a, source_b, n_common, est_shared, est_containment
+FROM __kmv
 """,
 )
 def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -768,6 +789,96 @@ def overlap_kmv(docs: DataFrame, materialize: bool = True) -> DataFrame:
         out = out.localCheckpoint(eager=True)
         sgh.unpersist()
     return out
+
+
+# --------------------------------------------------------------------------
+# source_overlap_audit — the DEFAULT containment audit: sketch-first,
+# exact only on flagged pairs.
+# --------------------------------------------------------------------------
+
+_OVA_SCHEMA = (
+    "source_a string, source_b string, n_shared bigint, n_a bigint,"
+    " containment double, est_containment double"
+)
+
+
+@query(
+    "source_overlap_audit",
+    priority=PRI_NEW,
+    oracle=f"""
+WITH {_GRAMS_CTE},
+{_KMV_CTES},
+__flag AS (
+  SELECT source_a, source_b, est_containment
+  FROM __kmv WHERE est_containment >= {_OVA_TAU!r}
+),
+__fsrc AS (
+  SELECT source_a AS s FROM __flag
+  UNION SELECT source_b FROM __flag
+),
+__fsg AS (
+  SELECT DISTINCT source, g FROM __g
+  WHERE source IN (SELECT s FROM __fsrc)
+),
+__ftot AS (SELECT source, COUNT(*) AS n_grams FROM __fsg GROUP BY source)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared,
+       CAST(ANY_VALUE(t.n_grams) AS BIGINT) AS n_a,
+       CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.n_grams) AS containment,
+       ANY_VALUE(f.est_containment) AS est_containment
+FROM __fsg a
+JOIN __flag f ON f.source_a = a.source
+JOIN __fsg b ON a.g = b.g AND b.source = f.source_b
+JOIN __ftot t ON t.source = a.source
+GROUP BY a.source, b.source
+""",
+)
+def source_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE registered cross-source containment audit (sketch-first —
+    VERDICT_r6 item #2): the KMV/theta sketch estimates every ordered
+    pair's containment from n_sources·256-hash sketches, and only the
+    pairs estimated at ≥ 0.05 run the exact distinct-(source, gram)
+    join — restricted to the flagged sources' documents, so the exact
+    stage's scan and shuffle are bounded by the flagged slice, never
+    the corpus.  SCALING.md shows the full exact matrix's wall growing
+    superlinearly with corpus size while the sketch pass stays flat;
+    this routed face keeps the exact join's cost proportional to the
+    (few) flagged sources.  source_overlap_matrix remains registered
+    for bounded corpora / explicit full-matrix requests."""
+    return overlap_audit(load_table(spark, sf_dir, "documents"))
+
+
+def overlap_audit(docs: DataFrame, tau: float = _OVA_TAU) -> DataFrame:
+    """Core of :func:`source_overlap_audit`: KMV sketch estimates →
+    flag pairs at ``tau`` → exact containment on flagged sources only.
+
+    The flagged-pair collect is bounded by n_sources² (the audit's own
+    output bound — the probed-cell-ids discipline of operators/pq.py),
+    and the exact stage filters the document scan to flagged sources
+    BEFORE tokenize/shingle, so the predicate pushes into the parquet
+    scan."""
+    spark = docs.sparkSession
+    est = overlap_kmv(docs)
+    flagged = est.filter(F.col("est_containment") >= tau).select(
+        "source_a", "source_b", "est_containment"
+    )
+    pairs = flagged.collect()
+    if not pairs:
+        return spark.createDataFrame([], _OVA_SCHEMA)
+    srcs = sorted({r.source_a for r in pairs} | {r.source_b for r in pairs})
+    exact = overlap_matrix(docs.filter(F.col("source").isin(srcs)))
+    flag_df = spark.createDataFrame(
+        [(r.source_a, r.source_b, r.est_containment) for r in pairs],
+        "source_a string, source_b string, est_containment double",
+    )
+    return exact.join(F.broadcast(flag_df), ["source_a", "source_b"]).select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "n_a",
+        "containment",
+        "est_containment",
+    )
 
 
 # --------------------------------------------------------------------------

@@ -286,6 +286,64 @@ def test_overlap_kmv_exact_when_sketch_holds_all(spark):
         assert abs(cont - exact[pair][1]) < 1e-6, pair
 
 
+def test_overlap_audit_is_exact_matrix_restricted_to_flagged(spark):
+    """The routed audit's rows must be EXACTLY the exact matrix's rows
+    for the sketch-flagged pairs (same n_shared / n_a / containment),
+    carrying the sketch estimate alongside — the sketch only routes,
+    it never changes an exact value."""
+    from bigdatamlteamrepo_spark.queries.curation import (
+        overlap_audit,
+        overlap_kmv,
+    )
+
+    rows = _random_corpus(7)
+    docs = _docs_frame(spark, rows)
+    exact = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared"],
+            r["n_a"],
+            r["containment"],
+        )
+        for r in overlap_matrix(docs).collect()
+    }
+    tau = 0.01
+    flagged = {
+        (r["source_a"], r["source_b"]): r["est_containment"]
+        for r in overlap_kmv(docs).collect()
+        if r["est_containment"] >= tau
+    }
+    audit = {
+        (r["source_a"], r["source_b"]): (
+            r["n_shared"],
+            r["n_a"],
+            r["containment"],
+            r["est_containment"],
+        )
+        for r in overlap_audit(docs, tau=tau).collect()
+    }
+    assert set(audit) == set(flagged) & set(exact)
+    for pair, (n_shared, n_a, cont, est) in audit.items():
+        assert (n_shared, n_a, cont) == exact[pair], pair
+        assert est == flagged[pair], pair
+
+
+def test_overlap_audit_empty_when_nothing_flagged(spark):
+    """tau above every estimate: typed empty frame, exact stage never
+    runs."""
+    from bigdatamlteamrepo_spark.queries.curation import overlap_audit
+
+    out = overlap_audit(_docs_frame(spark, _random_corpus(8)), tau=2.0)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "source_a",
+        "source_b",
+        "n_shared",
+        "n_a",
+        "containment",
+        "est_containment",
+    ]
+
+
 def test_overlap_kmv_error_bound_in_estimation_regime(spark):
     """Sources with thousands of distinct 8-grams (≫ k=256): the
     containment estimate must land within the theta-sketch error bound

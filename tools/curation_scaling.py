@@ -31,6 +31,7 @@ def main() -> None:
 
     from bigdatamlteamrepo_spark.queries.curation import (
         ngram_novelty,
+        overlap_audit,
         overlap_kmv,
         overlap_matrix,
         passage_neardup_doc_pairs,
@@ -42,8 +43,8 @@ def main() -> None:
     )
     passage_neardup_doc_pairs(warm).count()
 
-    print("| docs | auto s (pairs) | uncapped s (pairs) | cap=20 s (pairs) | novelty s | overlap s | overlap-kmv s |")
-    print("|---|---|---|---|---|---|---|")
+    print("| docs | auto s (pairs) | uncapped s (pairs) | cap=20 s (pairs) | novelty s | overlap s | overlap-kmv s | overlap-audit s (flagged) |")
+    print("|---|---|---|---|---|---|---|---|")
     for n in SIZES:
         docs = spark.read.parquet(
             os.path.join(corpus_dir(spark, n), "documents.parquet")
@@ -62,6 +63,9 @@ def main() -> None:
         t0 = time.time()
         overlap_kmv(docs).count()
         cells.append(f"{time.time() - t0:.2f}")
+        t0 = time.time()
+        n_flag = overlap_audit(docs).count()
+        cells.append(f"{time.time() - t0:.2f} ({n_flag})")
         print("| " + " | ".join(cells) + " |", flush=True)
     spark.stop()
 
