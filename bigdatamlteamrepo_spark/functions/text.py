@@ -32,6 +32,18 @@ def tokenize(col: Column | str) -> Column:
     return F.split(F.lower(_c(col)), r"\s+")
 
 
+def ensure_tokens(docs, *keep: str):
+    """``(keep..., toks)`` projection of a documents frame, REUSING an
+    existing ``toks`` column when present (the session stage cache's
+    shared tokenize prefix — see ``bigdatamlteamrepo_spark.stagecache``)
+    and computing :func:`tokenize` otherwise.  With the cache off the
+    plan is identical to inlining tokenize at the call site (Catalyst
+    prunes the projection either way)."""
+    if "toks" in docs.columns:
+        return docs.select(*keep, "toks")
+    return docs.select(*keep, tokenize("text").alias("toks"))
+
+
 def tokenize_words(col: Column | str) -> Column:
     """Strict analogue of the reference's word extraction
     ``re.findall(r"\\b[a-zA-Z]+\\b", text.lower())`` (model.py:71):

@@ -1088,10 +1088,10 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-quantized values (functions/numeric.dsum), so the card is
     reduction-order-free.  Plan: one scan, one per-source agg, one
     stack() projection — no joins between heavyweight tiers."""
-    from bigdatamlteamrepo_spark.functions.text import tokenize
     from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
+    from bigdatamlteamrepo_spark.queries.text_dedup import _with_tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _with_tokens(spark, sf_dir)
     flags = gopher_rule_flags(docs, "doc_id")
     pass_g = (
         (
@@ -1103,7 +1103,7 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         == 0
     ).cast("int")
-    toks = tokenize("text")
+    toks = F.col("toks")
     t = docs.select(
         "doc_id",
         "source",

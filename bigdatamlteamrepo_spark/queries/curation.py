@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 
 from bigdatamlteamrepo_spark.catalog import load_table
 from bigdatamlteamrepo_spark.functions.text import (
+    ensure_tokens,
     UH_MOD,
     band_keys,
     shingles,
@@ -74,7 +75,7 @@ from bigdatamlteamrepo_spark.operators.sketches import (
     bottomk_prefilter,
 )
 from bigdatamlteamrepo_spark.queries.registry import PRI_NEW, query
-from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
+from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL, _with_tokens
 
 #: passage width in tokens (matches queries/passages.py so the exact
 #: and fuzzy passage tiers audit the same unit)
@@ -120,7 +121,7 @@ def _passage_sets(docs: DataFrame) -> DataFrame:
     its 1-based index and distinct 3-token shingle set.
     One expression-only pass; the ``size >= _PW`` filter guards the
     ascending ``sequence`` contract (sequence(1, 0) is DESCENDING)."""
-    t = docs.select("doc_id", tokenize("text").alias("toks"))
+    t = ensure_tokens(docs, "doc_id")
     p = (
         t.filter(F.size("toks") >= _PW)
         .select(
@@ -412,7 +413,7 @@ def passage_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     between documents that are not document-level near-dups.  Runs the
     default auto bucket cap (mirrored in the oracle), so mass-
     boilerplate passages never reach the band join."""
-    return passage_neardup_doc_pairs(load_table(spark, sf_dir, "documents"))
+    return passage_neardup_doc_pairs(_with_tokens(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -423,7 +424,7 @@ def _doc_grams(docs: DataFrame) -> DataFrame:
     """(doc_id, source, g) — md5 of each DISTINCT 8-token shingle
     per document.  Only 16-byte-hex hashes leave the row stage; gram
     text never shuffles."""
-    t = docs.select("doc_id", "source", tokenize("text").alias("toks"))
+    t = ensure_tokens(docs, "doc_id", "source")
     return t.select(
         "doc_id",
         "source",
@@ -476,7 +477,7 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf-collapsed), one equi-join back on the same key, one per-doc
     agg.  min(doc_id) makes "seen before" order-free — deterministic
     under any partitioning."""
-    return ngram_novelty(load_table(spark, sf_dir, "documents"))
+    return ngram_novelty(_with_tokens(spark, sf_dir))
 
 
 def ngram_novelty(docs: DataFrame) -> DataFrame:
@@ -550,7 +551,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: distinct (source, gram-hash) rows, one self-equi-join on the
     gram hash (per-gram fan-out bounded by n_sources², never corpus
     size), per-source totals broadcast back.  Only hashes shuffle."""
-    return overlap_matrix(load_table(spark, sf_dir, "documents"))
+    return overlap_matrix(_with_tokens(spark, sf_dir))
 
 
 def overlap_matrix(docs: DataFrame, materialize: bool = True) -> DataFrame:
@@ -689,8 +690,7 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~SAFETY·k/n of the range — the doc_stratified_sample discipline,
     cutoff mirrored in the oracle) + an n_sources·k-row sketch join.
     Run the exact matrix only on the pairs this audit flags."""
-    emb_docs = load_table(spark, sf_dir, "documents")
-    return overlap_kmv(emb_docs)
+    return overlap_kmv(_with_tokens(spark, sf_dir))
 
 
 def overlap_kmv(docs: DataFrame, materialize: bool = True) -> DataFrame:
@@ -845,7 +845,7 @@ def source_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     this routed face keeps the exact join's cost proportional to the
     (few) flagged sources.  source_overlap_matrix remains registered
     for bounded corpora / explicit full-matrix requests."""
-    return overlap_audit(load_table(spark, sf_dir, "documents"))
+    return overlap_audit(_with_tokens(spark, sf_dir))
 
 
 def overlap_audit(docs: DataFrame, tau: float = _OVA_TAU) -> DataFrame:
@@ -1056,9 +1056,7 @@ def source_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped so map-side combine collapses the Zipf head; shuffled bytes
     track distinct types, never corpus tokens.  The ratio is
     integer-over-integer, bit-deterministic."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = tokenize("text")
-    t = docs.select("source", toks.alias("toks"))
+    t = ensure_tokens(_with_tokens(spark, sf_dir), "source")
     sz_parts = [
         t.select(
             "source",
@@ -1149,8 +1147,8 @@ def contamination_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE tagged scan, so the sweep costs one corpus pass regardless of
     how many widths it audits.  Counts are exact; the rate is
     integer-over-integer."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", "source", tokenize("text").alias("toks"))
+    docs = _with_tokens(spark, sf_dir)
+    t = ensure_tokens(docs, "doc_id", "source")
 
     def _tag(w: int):
         # 2-arg transform lambdas receive (element, index) — bind w
@@ -1255,8 +1253,7 @@ def source_distinct_ngrams_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_agg_finalize,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("source", tokenize("text").alias("toks"))
+    t = ensure_tokens(_with_tokens(spark, sf_dir), "source")
     h = _tagged_gram_hashes(t)
     regs = h.groupBy("source", "n").agg(
         *hll_agg_exprs(F.col("gh"), _DN_HLL_P)

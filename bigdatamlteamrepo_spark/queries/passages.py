@@ -31,9 +31,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatamlteamrepo_spark.catalog import load_table
-from bigdatamlteamrepo_spark.functions.text import tokenize
+from bigdatamlteamrepo_spark.functions.text import ensure_tokens, tokenize
 from bigdatamlteamrepo_spark.queries.registry import query
-from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
+from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL, _with_tokens
 
 #: passage width in tokens (Lee et al. use 50-token windows at web
 #: scale; 20 matches the synthetic corpus' ~50-token documents so the
@@ -87,7 +87,7 @@ def passage_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frequency table on the same key (both sides hash-partitioned,
     one shuffle each) and rolls up per source.  Only hashes shuffle —
     never passage text."""
-    return passage_dedup_stats(load_table(spark, sf_dir, "documents"))
+    return passage_dedup_stats(_with_tokens(spark, sf_dir))
 
 
 def passage_keys(docs: DataFrame) -> DataFrame:
@@ -96,7 +96,7 @@ def passage_keys(docs: DataFrame) -> DataFrame:
     pass (tokenize → chunk → hash); works identically on a batch frame
     or a streaming source, which is what the incremental streaming
     probe (streaming/passages.py) relies on."""
-    t = docs.select("doc_id", "source", tokenize("text").alias("toks"))
+    t = ensure_tokens(docs, "doc_id", "source")
     return t.select(
         "doc_id",
         "source",
@@ -187,14 +187,14 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``term`` (AQE broadcast at driver SFs, hash join with the Zipf head
     handled when the vocab outgrows the threshold); the top-3 window
     partitions by doc over per-doc-term rows."""
-    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+    return tfidf_top_terms(_with_tokens(spark, sf_dir))
 
 
 def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     """Core of :func:`doc_tfidf_top_terms` over any (doc_id, text)
     frame — separated so property tests can drive it with generated
     corpora."""
-    t = docs.select("doc_id", tokenize("text").alias("toks"))
+    t = ensure_tokens(docs, "doc_id")
     td = t.filter(F.size("toks") > 0).select(
         "doc_id", F.explode("toks").alias("term")
     )
@@ -300,7 +300,7 @@ def window_hashes(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
     window, 1-based start offset.  One expression-only pass: hashes are
     computed inside ``transform`` over the token array, then ONLY the
     (pos, hash) pairs explode — the token array never fans out."""
-    t = docs.select("doc_id", "source", tokenize("text").alias("toks"))
+    t = ensure_tokens(docs, "doc_id", "source")
     hs = F.when(
         F.size("toks") >= w,
         F.transform(
@@ -352,14 +352,28 @@ def merge_windows_to_spans(
     )
 
 
-def dup_substring_spans(docs: DataFrame, w: int = SPAN_W) -> DataFrame:
+def dup_substring_spans(
+    docs: DataFrame, w: int = SPAN_W, cache_key: str | None = None
+) -> DataFrame:
     """Maximal duplicated spans per document: every stride-1 w-token
     window occurring ≥2 times in the corpus, island-merged
     (:func:`merge_windows_to_spans`).
 
     Returns (doc_id, source, span_start, span_end, span_tokens,
-    n_windows) with 1-based inclusive token offsets."""
-    wins = window_hashes(docs, w)
+    n_windows) with 1-based inclusive token offsets.
+
+    ``cache_key`` (an sf_dir): the window-hash stream is shared by two
+    registered faces (doc_dup_substring_spans, substring_dedup_summary)
+    — with the session stage cache on it materializes once per corpus
+    instead of once per query."""
+    from bigdatamlteamrepo_spark import stagecache
+
+    if cache_key is not None:
+        wins = stagecache.shared(
+            ("span_windows", cache_key, w), lambda: window_hashes(docs, w)
+        )
+    else:
+        wins = window_hashes(docs, w)
     dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
         F.col("cnt") >= 2
     )
@@ -441,7 +455,7 @@ def doc_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain hash equi-join (AQE broadcasts it at driver SFs); nothing
     references text after the first projection — only 32-char hashes
     and int offsets move."""
-    return dup_substring_spans(load_table(spark, sf_dir, "documents"))
+    return dup_substring_spans(_with_tokens(spark, sf_dir), cache_key=sf_dir)
 
 
 @query(
@@ -479,16 +493,16 @@ def substring_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``retained_ppm`` is exact integer arithmetic (floor division of
     BIGINTs) — never a rounded rational, which both engines tie-break
     differently (the house rounding rule, NOTES_r6)."""
-    docs = load_table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id", "source", F.size(tokenize("text")).alias("n_toks")
+    docs = _with_tokens(spark, sf_dir)
+    t = ensure_tokens(docs, "doc_id", "source").select(
+        "doc_id", "source", F.size("toks").alias("n_toks")
     )
     tot = t.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("total_tokens"),
     )
     cut = (
-        dup_substring_spans(docs)
+        dup_substring_spans(docs, cache_key=sf_dir)
         .groupBy("source")
         .agg(
             F.countDistinct("doc_id").cast("bigint").alias("n_docs_with_dup"),

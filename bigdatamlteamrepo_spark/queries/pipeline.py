@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatamlteamrepo_spark.catalog import load_table
-from bigdatamlteamrepo_spark.functions.text import shingles, tokenize
+from bigdatamlteamrepo_spark.functions.text import ensure_tokens, shingles, tokenize
 from bigdatamlteamrepo_spark.operators.pii import pii_counts, pii_counts_sql
 from bigdatamlteamrepo_spark.queries.registry import query
 from bigdatamlteamrepo_spark.queries.text_dedup import (
@@ -225,9 +225,7 @@ def gopher_rule_flags(docs: DataFrame, *extra_cols: str) -> DataFrame:
     """Per-document Gopher rule failure flags (0/1 ints) + token count
     ``n`` — row-local array expressions only; reused by the audit query
     and the corpus-selection capstone."""
-    t = docs.select(
-        *extra_cols, tokenize("text").alias("toks")
-    ).filter(F.size("toks") > 0)
+    t = ensure_tokens(docs, *extra_cols).filter(F.size("toks") > 0)
     n = F.size("toks")
     mwl = (
         F.aggregate(

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdatamlteamrepo_spark import stagecache
 from bigdatamlteamrepo_spark.catalog import load_table
 from bigdatamlteamrepo_spark.functions.arrays import first_match_category, has_any_keyword
 from bigdatamlteamrepo_spark.functions.text import minhash_value, shingles, tokenize
@@ -42,8 +43,15 @@ _TOKENS_SQL = "string_split_regex(lower(text), '\\s+')"
 
 
 def _with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.withColumn("toks", tokenize("text"))
+    """documents + toks — THE tokenize prefix of the text tier.
+    Session-cached when the stage cache is enabled (bench harness /
+    interactive audits); the default is the lazy per-query plan."""
+    return stagecache.shared(
+        ("doc_tokens", sf_dir),
+        lambda: load_table(spark, sf_dir, "documents").withColumn(
+            "toks", tokenize("text")
+        ),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -732,10 +740,15 @@ def lsh_candidate_pairs(
         shingle_col = F.col("s")
     # materialize the banded signatures once: the self-join below would
     # otherwise run the whole signature aggregation twice, once per
-    # alias; (doc_id, band) rows are tiny relative to the corpus
-    bands = lsh_band_rows(df, shingle_col, n_hashes, n_bands).localCheckpoint(
-        eager=True
-    )
+    # alias; (doc_id, band) rows are tiny relative to the corpus.
+    # With the session stage cache on, the materialized band table is
+    # shared across queries instead of rebuilt per query.
+    if stagecache.enabled():
+        bands = corpus_band_rows(spark, sf_dir, n_hashes, n_bands)
+    else:
+        bands = lsh_band_rows(
+            df, shingle_col, n_hashes, n_bands
+        ).localCheckpoint(eager=True)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -857,10 +870,13 @@ def doc_shingle_sets(docs: DataFrame) -> DataFrame:
     index builder all derive from this one function, so a change to
     shingle width or distinctness cannot silently diverge between the
     batch corpus and the maintained index."""
-    return (
-        docs.select("doc_id", tokenize("text").alias("toks"))
-        .filter(F.size("toks") >= 3)
-        .select("doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s"))
+    t = (
+        docs.select("doc_id", "toks")
+        if "toks" in docs.columns
+        else docs.select("doc_id", tokenize("text").alias("toks"))
+    )
+    return t.filter(F.size("toks") >= 3).select(
+        "doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s")
     )
 
 
@@ -874,7 +890,55 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_shared_shingle_stats); at real scale the file layout provides
     the splits and the shuffle would be pure overhead.
     """
-    return doc_shingle_sets(load_table(spark, sf_dir, "documents"))
+    return stagecache.shared(
+        ("shingle_sets", sf_dir),
+        lambda: doc_shingle_sets(_with_tokens(spark, sf_dir)),
+    )
+
+
+def _shingle_sets_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized :func:`_shingle_sets`: the session-cached frame
+    when the stage cache is on (already checkpointed — re-checkpointing
+    it per query would copy the partitions for nothing), else a fresh
+    per-call localCheckpoint (the pre-cache behavior)."""
+    sets = _shingle_sets(spark, sf_dir)
+    return sets if stagecache.enabled() else sets.localCheckpoint(eager=True)
+
+
+def corpus_uh_signatures(
+    spark: SparkSession, sf_dir: str, n_hashes: int = LSH_N_HASHES
+) -> DataFrame:
+    """Session-cached full-corpus MinHash signature frame (stage-cache
+    path only — callers keep their own per-query materialization when
+    the cache is off).  MinHash over the DISTINCT shingle set equals
+    MinHash over the raw shingle list (a min is duplicate-insensitive),
+    so banding and b-bit estimation share one signature aggregation."""
+    return stagecache.shared(
+        ("uh_signatures", sf_dir, n_hashes),
+        lambda: uh_signature_frame(
+            _shingle_sets(spark, sf_dir), F.col("s"), n_hashes
+        ),
+    )
+
+
+def corpus_band_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    n_hashes: int = LSH_N_HASHES,
+    n_bands: int = LSH_N_BANDS,
+) -> DataFrame:
+    """Session-cached full-corpus (doc_id, band) rows, derived from the
+    cached signature frame (stage-cache path only)."""
+    from bigdatamlteamrepo_spark.functions.text import band_keys
+
+    mh = F.array(*[F.col(f"m{i}") for i in range(n_hashes)])
+
+    def build() -> DataFrame:
+        return corpus_uh_signatures(spark, sf_dir, n_hashes).select(
+            "doc_id", F.explode(band_keys(mh, n_hashes, n_bands)).alias("band")
+        )
+
+    return stagecache.shared(("lsh_bands", sf_dir, n_hashes, n_bands), build)
 
 
 def _pair_jaccard(
@@ -915,7 +979,7 @@ WHERE {_JAC_SQL} >= {_JACCARD_MIN}
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE tokenize+shingle pass feeds both the MinHash banding and the
     # exact verify join (measured ~2.5s of the sf0.1 dedup wall)
-    sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    sets = _shingle_sets_m(spark, sf_dir)
     cand = lsh_candidate_pairs(spark, sf_dir, sets=sets)
     return _pair_jaccard(cand, sets, _JACCARD_MIN, materialize=False)
 
@@ -983,8 +1047,11 @@ def neardup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose exact shingle Jaccard with an index document is ≥ 0.5,
     candidates generated by the band equi-join (never n×m).
     """
-    sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
-    bands = lsh_band_rows(sets, F.col("s")).localCheckpoint(eager=True)
+    sets = _shingle_sets_m(spark, sf_dir)
+    if stagecache.enabled():
+        bands = corpus_band_rows(spark, sf_dir)
+    else:
+        bands = lsh_band_rows(sets, F.col("s")).localCheckpoint(eager=True)
     is_new = F.col("doc_id") % _INCR_MOD == 0
     cand = (
         bands.filter(is_new)
@@ -1044,7 +1111,7 @@ def doc_shared_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs 1.1 s for the array frame + 0.2 s per re-explode at sf0.1 —
     # checkpointing exploded rows pays row-at-a-time storage costs on
     # n_shingles × n_docs rows for no reuse benefit
-    sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    sets = _shingle_sets_m(spark, sf_dir)
     ex = sets.select("doc_id", F.explode("s").alias("g"))
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
     shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long")
@@ -1138,8 +1205,11 @@ def bbit_minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compressed-signature tier (module comment above).  One
     signature aggregation feeds both the banding (candidates) and the
     2-bit agreement join; only (doc_id, 24 longs) rows shuffle."""
-    sets = _shingle_sets(spark, sf_dir)
-    sig = uh_signature_frame(sets, F.col("s")).localCheckpoint(eager=True)
+    if stagecache.enabled():
+        sig = corpus_uh_signatures(spark, sf_dir)
+    else:
+        sets = _shingle_sets(spark, sf_dir)
+        sig = uh_signature_frame(sets, F.col("s")).localCheckpoint(eager=True)
     from bigdatamlteamrepo_spark.functions.text import band_keys
 
     mh = F.array(*[F.col(f"m{i}") for i in range(LSH_N_HASHES)])

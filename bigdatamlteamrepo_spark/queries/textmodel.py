@@ -59,10 +59,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatamlteamrepo_spark.catalog import load_table
-from bigdatamlteamrepo_spark.functions.text import shingles, tokenize, tokenize_words
+from bigdatamlteamrepo_spark.functions.text import (
+    ensure_tokens,
+    shingles,
+    tokenize,
+    tokenize_words,
+)
 from bigdatamlteamrepo_spark.queries.registry import query
 from bigdatamlteamrepo_spark.queries.shards import hash32
-from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
+from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL, _with_tokens
 
 #: add-k smoothing mass for the bigram LM (k per continuation type)
 LM_K = 0.5
@@ -161,7 +166,7 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The conditional ``p(y|x) = (c_xy + k) / (c_x + k·V)`` uses the
     corpus vocabulary size V — one broadcast scalar."""
-    return lm_perplexity_frame(load_table(spark, sf_dir, "documents"))
+    return lm_perplexity_frame(_with_tokens(spark, sf_dir))
 
 
 def lm_perplexity_frame(docs: DataFrame) -> DataFrame:
@@ -171,7 +176,7 @@ def lm_perplexity_frame(docs: DataFrame) -> DataFrame:
     survivors with a survivor-trained LM (the CCNet caveat: training on
     raw duplicated text biases the head toward boilerplate) without a
     temp-table round-trip."""
-    t = docs.select("doc_id", "lang", tokenize("text").alias("toks"))
+    t = ensure_tokens(docs, "doc_id", "lang")
     bg = (
         t.filter(F.size("toks") >= 2)
         .select(

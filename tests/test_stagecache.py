@@ -1,0 +1,64 @@
+"""Session stage cache: enabling prefix sharing must never change any
+query's result — only where the shared prefix materializes."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdatamlteamrepo_spark import stagecache
+from bigdatamlteamrepo_spark.queries import QUERIES
+
+#: queries whose plans route through the cacheable prefixes
+#: (doc_tokens / shingle_sets / uh_signatures / lsh_bands)
+_AFFECTED = [
+    "doc_keyword_label_counts",
+    "minhash_signatures",
+    "neardup_pairs_lsh",
+    "neardup_incremental_lsh",
+    "neardup_dedup_summary",
+    "doc_shared_shingle_stats",
+    "bbit_minhash_jaccard_pairs",
+    "passage_dedup_summary",
+    "passage_neardup_pairs",
+    "substring_dedup_summary",
+    "doc_tfidf_top_terms",
+    "doc_ngram_novelty",
+    "source_overlap_audit",
+    "source_distinct_ngrams",
+    "doc_lm_perplexity",
+    "corpus_datacard",
+]
+
+
+@pytest.fixture()
+def cache_session():
+    stagecache.enable()
+    yield
+    stagecache.disable()
+
+
+def _rows(df):
+    return sorted(
+        [tuple(r) for r in df.collect()], key=repr
+    ), [f.name for f in df.schema.fields]
+
+
+@pytest.mark.parametrize("name", _AFFECTED)
+def test_cached_equals_uncached(spark, sf_dir, name, cache_session):
+    stagecache.disable()
+    cold, cold_cols = _rows(QUERIES[name](spark, sf_dir))
+    stagecache.enable()
+    # run twice: first call builds the cache, second reuses it
+    warm1, _ = _rows(QUERIES[name](spark, sf_dir))
+    warm2, warm_cols = _rows(QUERIES[name](spark, sf_dir))
+    assert cold_cols == warm_cols
+    assert cold == warm1 == warm2
+
+
+def test_disable_clears_frames(spark, sf_dir):
+    stagecache.enable()
+    QUERIES["doc_shared_shingle_stats"](spark, sf_dir).collect()
+    assert stagecache._frames
+    stagecache.disable()
+    assert not stagecache._frames
+    assert not stagecache.enabled()
