@@ -236,11 +236,12 @@ def decode_media_stats(df: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
                 if kind == "image":
-                    rgb = decode_ppm(payload)
+                    # widen BEFORE the channel scaling: under NEP 50
+                    # numpy keeps `5 * uint8_array` in uint8, silently
+                    # wrapping at 256 (2R+5G+B reaches 2040)
+                    rgb = decode_ppm(payload).astype(np.int64)
                     luma = (
-                        2 * rgb[..., 0].astype(np.uint32)
-                        + 5 * rgb[..., 1]
-                        + rgb[..., 2]
+                        2 * rgb[..., 0] + 5 * rgb[..., 1] + rgb[..., 2]
                     ) // 8
                     rows.append(
                         (mid, kind, len(payload), rgb.shape[1], rgb.shape[0],
@@ -261,6 +262,59 @@ def decode_media_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(op, schema=DECODE_STATS_SCHEMA)
+
+
+EXACT_STATS_SCHEMA = (
+    "media_id long, kind string, n_bytes long, total_px long, "
+    "luma_sum long, n_samples long, sum_sq long, zero_crossings long"
+)
+
+
+def decode_media_exact_stats(df: DataFrame) -> DataFrame:
+    """REAL decode of PPM/WAV payloads → EXACT-INTEGER content stats
+    (the oracle-checkable face of the decode path).
+
+    Every value is a BIGINT derived from decoded bytes: pixel count and
+    integer-luma sum ((2R+5G+B) div 8) for images; sample count, exact
+    sum of squares, and zero-crossing count for audio.  The synthesis
+    (codecs.synth_image / synth_audio) is closed-form integer math, so
+    a SQL oracle reproduces these stats ANALYTICALLY from media_id —
+    engine-vs-oracle agreement proves the encode → store → decode
+    round-trip bit-exactly, with no float comparator tolerance."""
+    from bigdatamlteamrepo_spark.sources.codecs import decode_ppm, decode_wav
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "kind", "n_bytes", "total_px", "luma_sum",
+            "n_samples", "sum_sq", "zero_crossings",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"]
+            ):
+                if kind == "image":
+                    # int64 BEFORE scaling (uint8 would wrap at 256)
+                    rgb = decode_ppm(payload).astype(np.int64)
+                    luma = (
+                        2 * rgb[..., 0] + 5 * rgb[..., 1] + rgb[..., 2]
+                    ) // 8
+                    rows.append(
+                        (mid, kind, len(payload),
+                         rgb.shape[0] * rgb.shape[1], int(luma.sum()),
+                         None, None, None)
+                    )
+                else:
+                    samples, _ = decode_wav(payload)
+                    x = samples.astype(np.int64)
+                    zc = int(np.count_nonzero(np.diff(np.signbit(x))))
+                    rows.append(
+                        (mid, kind, len(payload), None, None,
+                         len(samples), int((x * x).sum()), zc)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(op, schema=EXACT_STATS_SCHEMA)
 
 
 def resize_images_real(df: DataFrame, max_side: int = 64) -> DataFrame:

@@ -71,7 +71,8 @@ def test_decode_pipeline_matches_local_computation(spark):
     img_id = next(m for m, r in rows.items() if r.kind == "image")
     w, h = 32 + (img_id * 7 + 42) % 97, 32 + (img_id * 11 + 42) % 73
     rgb = synth_image(img_id, w, h)
-    luma = (2 * rgb[..., 0].astype(np.uint32) + 5 * rgb[..., 1] + rgb[..., 2]) // 8
+    rgb64 = rgb.astype(np.int64)  # widen before scaling (uint8 wraps)
+    luma = (2 * rgb64[..., 0] + 5 * rgb64[..., 1] + rgb64[..., 2]) // 8
     assert rows[img_id].px_width == w and rows[img_id].px_height == h
     assert abs(rows[img_id].mean_luma - float(luma.mean())) < 1e-9
     aud_id = next(m for m, r in rows.items() if r.kind == "audio")
