@@ -607,6 +607,34 @@ def _mh_over_sh_sql(seed: int) -> str:
     return f"list_min(list_transform(sh, s -> md5('{seed}|' || s)))"
 
 
+#: bits kept per hash (b=2 → agreement baseline 1/4 for J=0)
+_BBIT_MOD = 4
+
+#: b-bit prefilter threshold (see :func:`bbit_prefilter` for why this
+#: stage is NOT in the registered verify chain): a pair passes if >=
+#: this many of its 24 two-bit minhash remnants agree.  A true pair at
+#: the verify threshold J = 0.5 has n_agree ~ 4 + Binom(20, 0.625)
+#: (>= 1 shared band guarantees 4 agreements; per-hash remnant
+#: agreement prob = J + (1-J)/4) -> P(n_agree < 10) ~ 7e-4.  Mirrored
+#: hash-for-hash in the __lsh_pairs_pre oracle CTE.
+BBIT_PRE_MIN = 10
+
+
+def _n_agree_sql(n_hashes: int = LSH_N_HASHES) -> str:
+    """SQL for the 2-bit remnant agreement count between ``a``/``b``
+    rows of ``__sig`` (shared by the bbit estimator and the verify
+    prefilter)."""
+    return (
+        "CAST(("
+        + " + ".join(
+            f"CASE WHEN a.mh_{i} % {_BBIT_MOD} = b.mh_{i} % {_BBIT_MOD}"
+            f" THEN 1 ELSE 0 END"
+            for i in range(n_hashes)
+        )
+        + ") AS BIGINT)"
+    )
+
+
 def lsh_pairs_ctes(n_hashes: int = LSH_N_HASHES, n_bands: int = LSH_N_BANDS) -> str:
     """Shared oracle CTE chain ending in ``__lsh_pairs(doc_a, doc_b)``.
 
@@ -646,6 +674,14 @@ __bands AS (
 __lsh_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM __bands a JOIN __bands b ON a.band = b.band AND a.doc_id < b.doc_id
+),
+__lsh_pairs_pre AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT p.doc_a, p.doc_b, {_n_agree_sql(n_hashes)} AS n_agree
+    FROM __lsh_pairs p
+    JOIN __sig a ON a.doc_id = p.doc_a
+    JOIN __sig b ON b.doc_id = p.doc_b
+  ) WHERE n_agree >= {BBIT_PRE_MIN}
 )"""
 
 
@@ -707,6 +743,58 @@ def uh_signature_frame(
             ).alias(f"m{i}")
             for i, (a, b, c) in enumerate(consts)
         ]
+    )
+
+
+def bbit_prefilter(
+    cand: DataFrame,
+    sig: DataFrame,
+    min_agree: int = BBIT_PRE_MIN,
+    n_hashes: int = LSH_N_HASHES,
+) -> DataFrame:
+    """Drop candidate pairs whose 2-bit minhash remnants agree on fewer
+    than ``min_agree`` of ``n_hashes`` positions — the b-bit compressed
+    prefilter (Li & König 2010).  Reads ONLY the (doc_id, n_hashes
+    longs) signature frame, never the shingle sets; integer threshold,
+    tie-free oracle twin (``__lsh_pairs_pre``).
+
+    **Deliberately NOT wired into the registered verify chain** — a
+    measured negative result (VERDICT_r6 #9, SCALING.md "b-bit verify
+    prefilter"): after SAME-hash 24/6 banding the prefilter is
+    structurally blind.  A band collision guarantees 4 remnant
+    agreements, and banding only admits pairs whose minhash agreement
+    is already high (selection bias: the bands ARE minhash agreement),
+    so the remnants re-read correlated evidence — junk candidates that
+    banding admits sit at J ≈ 0.3, where n_agree ~ 4 + Binom(20,
+    0.475) clears any threshold safe for true J = 0.5 pairs.  Measured
+    0-1%% candidate reduction (pairs unchanged) on the driver corpora,
+    CorpusGen 5k-80k, and a constructed mid-similarity corpus.  The
+    tier earns its keep only with an INDEPENDENT second hash family
+    sized for the mid-similarity gap (k >= 100 remnants, the
+    production b-bit sketch sizing) — at which point it belongs in the
+    persisted-index probe (neardup_incremental_lsh), not the one-shot
+    corpus chain."""
+    rem = sig.select(
+        "doc_id",
+        *[(F.col(f"m{i}") % _BBIT_MOD).alias(f"r{i}") for i in range(n_hashes)],
+    )
+    ra = rem.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"r{i}").alias(f"ra{i}") for i in range(n_hashes)],
+    )
+    rb = rem.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"r{i}").alias(f"rb{i}") for i in range(n_hashes)],
+    )
+    n_agree = sum(
+        (F.col(f"ra{i}") == F.col(f"rb{i}")).cast("int")
+        for i in range(n_hashes)
+    )
+    return (
+        cand.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .filter(n_agree >= F.lit(min_agree))
+        .select("doc_a", "doc_b")
     )
 
 
@@ -978,7 +1066,13 @@ WHERE {_JAC_SQL} >= {_JACCARD_MIN}
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE tokenize+shingle pass feeds both the MinHash banding and the
-    # exact verify join (measured ~2.5s of the sf0.1 dedup wall)
+    # exact verify join (measured ~2.5s of the sf0.1 dedup wall).
+    # Deliberately NO b-bit prefilter between banding and verify: the
+    # remnants reuse the banding's own 24 hashes, and a band collision
+    # guarantees 4 agreements, so the prefilter re-reads correlated
+    # evidence and cannot discriminate (measured 0-1% candidate
+    # reduction at any safe threshold — see SCALING.md "b-bit verify
+    # prefilter" and :func:`bbit_prefilter`).
     sets = _shingle_sets_m(spark, sf_dir)
     cand = lsh_candidate_pairs(spark, sf_dir, sets=sets)
     return _pair_jaccard(cand, sets, _JACCARD_MIN, materialize=False)
@@ -1175,10 +1269,6 @@ def neardup_pairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the standard two-tier index (b-bit filter → exact verify) at scale.
 # --------------------------------------------------------------------------
 
-#: bits kept per hash (b=2 → agreement baseline 1/4 for J=0)
-_BBIT_MOD = 4
-
-
 @query(
     "bbit_minhash_jaccard_pairs",
     oracle=f"""
@@ -1189,11 +1279,7 @@ SELECT doc_a, doc_b, n_agree,
                / ({(_BBIT_MOD - 1) * LSH_N_HASHES}.0)), 6) AS est_jaccard
 FROM (
   SELECT p.doc_a, p.doc_b,
-         CAST(({" + ".join(
-             f"CASE WHEN a.mh_{i} % {_BBIT_MOD} = b.mh_{i} % {_BBIT_MOD}"
-             f" THEN 1 ELSE 0 END"
-             for i in range(LSH_N_HASHES)
-         )}) AS BIGINT) AS n_agree
+         {_n_agree_sql()} AS n_agree
   FROM __lsh_pairs p
   JOIN __sig a ON a.doc_id = p.doc_a
   JOIN __sig b ON b.doc_id = p.doc_b
