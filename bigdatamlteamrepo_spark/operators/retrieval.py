@@ -160,22 +160,28 @@ def bm25_from_index(
             for t in terms
         }
     )
+    # reads go through the streaming tier's union-aware readers: the
+    # partitioned base plus any batch-scoped increment subdirectories
+    # (streaming/index.py).  With no increments this is exactly the
+    # plain partition-pruned base read.
+    from bigdatamlteamrepo_spark.streaming.index import read_index_table
+
     post = (
-        spark.read.parquet(index_dir + "/postings")
+        read_index_table(spark, index_dir, "postings")
         .filter(F.col("pbucket").isin(pbuckets))
         .filter(F.col("term").isin(list(terms)))
     )
-    # df and stats are FOLDED at read: each build/append contributes
-    # rows, and the fold makes incremental maintenance exact —
-    # build(A∪B) ≡ build(A); append(B) (pinned in tests)
+    # df and stats are FOLDED at read: each build/append/increment
+    # contributes rows, and the fold makes incremental maintenance
+    # exact — build(A∪B) ≡ build(A); append(B) (pinned in tests)
     dfs = (
-        spark.read.parquet(index_dir + "/df")
+        read_index_table(spark, index_dir, "df")
         .filter(F.col("pbucket").isin(pbuckets))
         .filter(F.col("term").isin(list(terms)))
         .groupBy("term")
         .agg(F.sum("df").cast("bigint").alias("df"))
     )
-    stats = spark.read.parquet(index_dir + "/stats").agg(
+    stats = read_index_table(spark, index_dir, "stats").agg(
         F.sum("n_ch").cast("bigint").alias("n_ch"),
         F.sum("tot_dl").cast("bigint").alias("tot_dl"),
     )

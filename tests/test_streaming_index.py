@@ -1,0 +1,182 @@
+"""Streaming maintenance of the BM25 inverted index
+(streaming/index.py): stream-fed increments must answer EXACTLY like a
+full rebuild, replays must land exactly once, and compaction must
+change file layout only — never an answer."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.operators.retrieval import (
+    bm25_from_index,
+    build_inverted_index,
+)
+from bigdatamlteamrepo_spark.streaming.index import (
+    append_batch_to_index,
+    compact_index,
+    incremental_index_stream,
+    read_index_table,
+)
+
+_TERMS = ("spark", "join", "stream")
+_DOC_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    is_new = F.col("doc_id") % 5 == 0
+    ids = sorted(r.doc_id for r in docs.filter(is_new).select("doc_id").collect())
+    mid = ids[len(ids) // 2]
+    return (
+        docs,
+        docs.filter(~is_new),
+        docs.filter(is_new & (F.col("doc_id") < mid)),
+        docs.filter(is_new & (F.col("doc_id") >= mid)),
+    )
+
+
+def _scores(spark, idx):
+    return [
+        (r.doc_id, r.chunk_id, r.bm25)
+        for r in bm25_from_index(spark, idx, _TERMS, k=20).collect()
+    ]
+
+
+def test_stream_fed_index_equals_full_rebuild(spark, tmp_path, corpus):
+    all_docs, base, b1, b2 = corpus
+    full = str(tmp_path / "full_idx")
+    build_inverted_index(all_docs, full)
+    want = _scores(spark, full)
+
+    idx = str(tmp_path / "stream_idx")
+    build_inverted_index(base, idx)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(_DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = incremental_index_stream(stream, idx, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    assert n_batches >= 2, "waves must arrive in separate micro-batches"
+    # bit-exact: same docs indexed => same floats (fixed-order scoring)
+    assert _scores(spark, idx) == want
+
+
+def test_replayed_batch_lands_exactly_once(spark, tmp_path, corpus):
+    _, base, b1, _ = corpus
+    idx = str(tmp_path / "replay_idx")
+    build_inverted_index(base, idx)
+    append_batch_to_index(b1, idx, batch_id=0, namespace="t")
+    once = _scores(spark, idx)
+    n_rows = read_index_table(spark, idx, "postings").count()
+    # at-least-once replay of the SAME batch id: overwrite, not append
+    append_batch_to_index(b1, idx, batch_id=0, namespace="t")
+    assert _scores(spark, idx) == once
+    assert read_index_table(spark, idx, "postings").count() == n_rows
+
+
+def test_compaction_preserves_answers_and_folds_increments(
+    spark, tmp_path, corpus
+):
+    _, base, b1, b2 = corpus
+    idx = str(tmp_path / "cmp_idx")
+    build_inverted_index(base, idx)
+    append_batch_to_index(b1, idx, batch_id=0)
+    append_batch_to_index(b2, idx, batch_id=1)
+    want = _scores(spark, idx)
+    counts = compact_index(spark, idx)  # keep_last=1 keeps b1... newest
+    assert counts == {"postings": 1, "df": 1, "stats": 1}
+    assert os.path.isdir(os.path.join(idx, "postings_inc", "b1"))
+    assert not os.path.isdir(os.path.join(idx, "postings_inc", "b0"))
+    assert _scores(spark, idx) == want
+    # fold the rest too
+    compact_index(spark, idx, keep_last=0)
+    assert not os.path.isdir(os.path.join(idx, "postings_inc", "b1"))
+    assert _scores(spark, idx) == want
+    # stats pre-summed to one row per compaction
+    assert read_index_table(spark, idx, "stats").count() == 1
+
+
+def test_stream_only_index_no_prior_base(spark, tmp_path, corpus):
+    """An index built ONLY from increments (no build_inverted_index)
+    answers like the batch build, before and after its first
+    compaction (the no-prior-base swap path)."""
+    _, _, b1, b2 = corpus
+    both = b1.unionByName(b2)
+    full = str(tmp_path / "so_full")
+    build_inverted_index(both, full)
+    want = _scores(spark, full)
+    idx = str(tmp_path / "so_idx")
+    append_batch_to_index(b1, idx, batch_id=0)
+    append_batch_to_index(b2, idx, batch_id=1)
+    assert _scores(spark, idx) == want
+    compact_index(spark, idx, keep_last=0)
+    assert _scores(spark, idx) == want
+
+
+def test_heal_after_completed_swap_drops_folded_increments(
+    spark, tmp_path, corpus
+):
+    """Crash between the tmp->base swap and increment deletion: healing
+    must DELETE the manifest-listed increments (their rows are in the
+    new base) — restoring or re-reading them would double-count."""
+    _, base, b1, b2 = corpus
+    idx = str(tmp_path / "heal_idx")
+    build_inverted_index(base, idx)
+    append_batch_to_index(b1, idx, batch_id=0)
+    append_batch_to_index(b2, idx, batch_id=1)
+    compact_index(spark, idx, keep_last=0)
+    want = _scores(spark, idx)
+    n_post = read_index_table(spark, idx, "postings").count()
+    # reconstruct the crash state: .old = any dir, manifest lists an
+    # increment subdir that we resurrect as if deletion never ran
+    post = os.path.join(idx, "postings")
+    shutil.copytree(post, post + ".old")
+    resurrected = os.path.join(idx, "postings_inc", "b0")
+    os.makedirs(os.path.dirname(resurrected), exist_ok=True)
+    shutil.copytree(post, resurrected)  # stand-in folded increment
+    with open(post + ".folded", "w") as f:
+        f.write("b0")
+    compact_index(spark, idx)  # heals first
+    assert not os.path.exists(post + ".old")
+    assert not os.path.exists(post + ".folded")
+    assert not os.path.isdir(resurrected)
+    assert read_index_table(spark, idx, "postings").count() == n_post
+    assert _scores(spark, idx) == want
+
+
+def test_heal_restores_base_when_swap_died(spark, tmp_path, corpus):
+    """Crash between base->old and tmp->base: the base is missing and
+    .old holds the pre-image; healing restores it and the increments
+    (never deleted in this window) still answer."""
+    _, base, b1, _ = corpus
+    idx = str(tmp_path / "heal2_idx")
+    build_inverted_index(base, idx)
+    append_batch_to_index(b1, idx, batch_id=0)
+    want = _scores(spark, idx)
+    post = os.path.join(idx, "postings")
+    os.rename(post, post + ".old")
+    with open(post + ".folded", "w") as f:
+        f.write("b0")
+    compact_index(spark, idx, keep_last=1)  # heals, then nothing to fold
+    assert os.path.isdir(post)
+    assert not os.path.exists(post + ".old")
+    assert not os.path.exists(post + ".folded")
+    assert os.path.isdir(os.path.join(idx, "postings_inc", "b0"))
+    assert _scores(spark, idx) == want
