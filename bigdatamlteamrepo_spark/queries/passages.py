@@ -365,7 +365,11 @@ def dup_substring_spans(
     ``cache_key`` (an sf_dir): the window-hash stream is shared by two
     registered faces (doc_dup_substring_spans, substring_dedup_summary)
     — with the session stage cache on it materializes once per corpus
-    instead of once per query."""
+    instead of once per query.  CONTRACT: pass a cache_key ONLY when
+    ``docs`` is exactly the full documents table of that sf_dir — the
+    key is not tied to the frame, so a subset frame under a corpus key
+    (or vice versa) would silently read the other frame's windows.
+    Subset callers leave it None (the default)."""
     from bigdatamlteamrepo_spark import stagecache
 
     if cache_key is not None:

@@ -635,7 +635,11 @@ def _n_agree_sql(n_hashes: int = LSH_N_HASHES) -> str:
     )
 
 
-def lsh_pairs_ctes(n_hashes: int = LSH_N_HASHES, n_bands: int = LSH_N_BANDS) -> str:
+def lsh_pairs_ctes(
+    n_hashes: int = LSH_N_HASHES,
+    n_bands: int = LSH_N_BANDS,
+    prefilter: bool = False,
+) -> str:
     """Shared oracle CTE chain ending in ``__lsh_pairs(doc_a, doc_b)``.
 
     Mirrors the Spark plan of :func:`lsh_candidate_pairs` hash-for-hash
@@ -643,7 +647,11 @@ def lsh_pairs_ctes(n_hashes: int = LSH_N_HASHES, n_bands: int = LSH_N_BANDS) -> 
     (functions/text.py:minhash_values_fast) → banded keys → equi-join)
     so every LSH-derived query
     stays oracle-checkable.  Callers embed it as ``WITH {ctes}, ...``.
-    """
+
+    ``prefilter=True`` appends ``__lsh_pairs_pre`` — the oracle twin of
+    :func:`bbit_prefilter` (NOT part of any registered chain; see the
+    measured negative result there) — for callers pairing the operator
+    with SQL."""
     from bigdatamlteamrepo_spark.functions.text import UH_MOD, uh_constants
 
     r = n_hashes // n_bands
@@ -658,6 +666,19 @@ def lsh_pairs_ctes(n_hashes: int = LSH_N_HASHES, n_bands: int = LSH_N_BANDS) -> 
         + " || ".join(f"CAST(mh_{b * r + j} AS VARCHAR)" for j in range(r))
         + ") AS band FROM __sig"
         for b in range(n_bands)
+    )
+    pre_cte = (
+        f""",
+__lsh_pairs_pre AS (
+  SELECT doc_a, doc_b FROM (
+    SELECT p.doc_a, p.doc_b, {_n_agree_sql(n_hashes)} AS n_agree
+    FROM __lsh_pairs p
+    JOIN __sig a ON a.doc_id = p.doc_a
+    JOIN __sig b ON b.doc_id = p.doc_b
+  ) WHERE n_agree >= {BBIT_PRE_MIN}
+)"""
+        if prefilter
+        else ""
     )
     return f"""__t0 AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
 __sh AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM __t0 WHERE len(toks) >= 3),
@@ -674,15 +695,7 @@ __bands AS (
 __lsh_pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM __bands a JOIN __bands b ON a.band = b.band AND a.doc_id < b.doc_id
-),
-__lsh_pairs_pre AS (
-  SELECT doc_a, doc_b FROM (
-    SELECT p.doc_a, p.doc_b, {_n_agree_sql(n_hashes)} AS n_agree
-    FROM __lsh_pairs p
-    JOIN __sig a ON a.doc_id = p.doc_a
-    JOIN __sig b ON b.doc_id = p.doc_b
-  ) WHERE n_agree >= {BBIT_PRE_MIN}
-)"""
+){pre_cte}"""
 
 
 def lsh_band_rows(
@@ -804,6 +817,7 @@ def lsh_candidate_pairs(
     n_hashes: int = LSH_N_HASHES,
     n_bands: int = LSH_N_BANDS,
     sets: DataFrame | None = None,
+    corpus_sets: bool = False,
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 MinHash band.
 
@@ -819,6 +833,12 @@ def lsh_candidate_pairs(
     and shingle the corpus exactly once.  MinHash over the distinct set
     equals MinHash over the raw shingle list (duplicates never change a
     min), so the candidate set — and the oracle — is unchanged.
+
+    ``corpus_sets``: set True ONLY when ``sets`` is the FULL sf_dir
+    corpus shingle frame — it permits substituting the session stage
+    cache's materialized band table.  A subset ``sets`` (batch/survivor
+    slices) must leave it False, or the cached full-corpus bands would
+    silently replace the subset's.
     """
     if sets is None:
         df = _with_tokens(spark, sf_dir).filter(F.size("toks") >= 3)
@@ -831,7 +851,7 @@ def lsh_candidate_pairs(
     # alias; (doc_id, band) rows are tiny relative to the corpus.
     # With the session stage cache on, the materialized band table is
     # shared across queries instead of rebuilt per query.
-    if stagecache.enabled():
+    if stagecache.enabled() and (sets is None or corpus_sets):
         bands = corpus_band_rows(spark, sf_dir, n_hashes, n_bands)
     else:
         bands = lsh_band_rows(
@@ -1074,7 +1094,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reduction at any safe threshold — see SCALING.md "b-bit verify
     # prefilter" and :func:`bbit_prefilter`).
     sets = _shingle_sets_m(spark, sf_dir)
-    cand = lsh_candidate_pairs(spark, sf_dir, sets=sets)
+    cand = lsh_candidate_pairs(spark, sf_dir, sets=sets, corpus_sets=True)
     return _pair_jaccard(cand, sets, _JACCARD_MIN, materialize=False)
 
 

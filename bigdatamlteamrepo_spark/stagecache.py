@@ -56,21 +56,14 @@ def disable() -> None:
     _frames.clear()
 
 
-def shared(
-    key: tuple,
-    builder: Callable[[], DataFrame],
-    materialize_always: bool = False,
-) -> DataFrame:
-    """``builder()`` routed through the cache.
-
-    ``materialize_always``: call sites that localCheckpoint'ed their
-    frame per-invocation BEFORE the cache existed pass True so the
-    disabled path keeps that exact behavior (fresh checkpoint per
-    call); plan-shape consumers that want the lazy frame pass False.
-    """
+def shared(key: tuple, builder: Callable[[], DataFrame]) -> DataFrame:
+    """``builder()`` routed through the cache: disabled = just run the
+    builder (callers that want a per-call checkpoint when the cache is
+    off keep their own wrapper, e.g. ``text_dedup._shingle_sets_m``);
+    enabled = first call per key materializes via
+    ``localCheckpoint(eager=True)``, later calls reuse it."""
     if not _enabled:
-        df = builder()
-        return df.localCheckpoint(eager=True) if materialize_always else df
+        return builder()
     if key not in _frames:
         _frames[key] = builder().localCheckpoint(eager=True)
     return _frames[key]

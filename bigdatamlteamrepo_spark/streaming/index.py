@@ -41,6 +41,7 @@ from bigdatamlteamrepo_spark.operators.retrieval import (
 )
 from bigdatamlteamrepo_spark.streaming.ingest import (
     _batch_tag,
+    _tag_batch_id,
     _delete,
     _exists,
     _join,
@@ -163,27 +164,27 @@ def _inc_subdirs(spark: SparkSession, index_dir: str, table: str) -> list[str]:
 
 
 def read_index_table(
-    spark: SparkSession, index_dir: str, table: str
+    spark: SparkSession, index_dir: str, table: str, missing_ok: bool = False
 ) -> DataFrame:
     """``table`` rows across the partitioned base and every increment
     subdirectory.  The base read keeps pbucket directory-partition
     pruning; increment reads push the pbucket/term predicates into
-    their sorted row groups."""
-    parts = []
-    base = _join(index_dir, table)
-    if _exists(spark, base):
-        parts.append(spark.read.parquet(base))
+    their sorted row groups.
+
+    ``missing_ok=False`` (the default) raises when NEITHER the base nor
+    any increment exists: a mistyped ``index_dir`` must fail loudly,
+    not read as an empty index (zero query results)."""
     incs = _inc_subdirs(spark, index_dir, table)
-    if incs:
-        parts.append(
-            spark.read.schema(_INC_SCHEMAS[table]).parquet(*incs)
+    if (
+        not missing_ok
+        and not incs
+        and not _exists(spark, _join(index_dir, table))
+    ):
+        raise FileNotFoundError(
+            f"no index table at {index_dir}/{table} (base or *_inc) — "
+            "build_inverted_index / append_batch_to_index first"
         )
-    if not parts:
-        return spark.createDataFrame([], _INC_SCHEMAS[table])
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return read_index_table_subset(spark, index_dir, table, incs)
 
 
 # --------------------------------------------------------------------------
@@ -258,7 +259,7 @@ def compact_index(
             continue
         subs = sorted(
             [c for c in _list_children(spark, root) if c[2]],
-            key=lambda c: (c[3], c[0]),
+            key=lambda c: (_tag_batch_id(c[0]), c[3], c[0]),
         )
         fold = subs[: max(0, len(subs) - keep_last)] if keep_last else subs
         if not fold:

@@ -147,6 +147,22 @@ def _read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+def _tag_batch_id(name: str) -> int:
+    """Numeric batch id parsed from a batch-tag subdirectory name
+    (``b{id}`` / ``b{ns}-{id}``), -1 for non-conforming names.  Used as
+    the PRIMARY newest-batch sort key: mtime alone ties under coarse
+    filesystem timestamp granularity, and a lexicographic tiebreak
+    orders b10 before b2 — folding the truly-newest (replayable) batch
+    and double-counting its replay."""
+    tail = name.rsplit("-", 1)[-1]
+    if tail.startswith("b"):
+        tail = tail[1:]
+    try:
+        return int(tail)
+    except ValueError:
+        return -1
+
+
 def _batch_tag(batch_id: int, namespace: str = "") -> str:
     return f"b{namespace}-{batch_id}" if namespace else f"b{batch_id}"
 
@@ -395,7 +411,8 @@ def compact_ingest_indexes(
             continue
         children = _list_children(spark, src)
         subdirs = sorted(
-            [c for c in children if c[2]], key=lambda c: (c[3], c[0])
+            [c for c in children if c[2]],
+            key=lambda c: (_tag_batch_id(c[0]), c[3], c[0]),
         )
         kept = (
             {c[0] for c in subdirs[max(0, len(subdirs) - keep_last) :]}

@@ -352,3 +352,38 @@ def test_bbit_prefilter_lossless_on_driver_corpus(spark, sf_dir):
         .collect()
     }
     assert new == old
+
+
+def test_bbit_prefilter_matches_oracle_twin(spark, sf_dir):
+    """The un-wired operator's SQL twin stays honest: engine
+    bbit_prefilter over the LSH candidates == DuckDB __lsh_pairs_pre
+    (lsh_pairs_ctes(prefilter=True)) on the driver corpus."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bigdatamlteamrepo_spark.queries.text_dedup import (
+        _shingle_sets,
+        bbit_prefilter,
+        lsh_candidate_pairs,
+        lsh_pairs_ctes,
+        uh_signature_frame,
+    )
+
+    sets = _shingle_sets(spark, sf_dir).localCheckpoint(eager=True)
+    sig = uh_signature_frame(sets, F.col("s"))
+    cand = lsh_candidate_pairs(spark, sf_dir, sets=sets)
+    got = {
+        (r.doc_a, r.doc_b) for r in bbit_prefilter(cand, sig).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"WITH {lsh_pairs_ctes(prefilter=True)} "
+            "SELECT doc_a, doc_b FROM __lsh_pairs_pre"
+        ).fetchall()
+    }
+    assert got == want
