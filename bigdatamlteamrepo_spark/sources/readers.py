@@ -98,8 +98,10 @@ def ingest_to_parquet(df: DataFrame, path: str, partition_by: list[str] | None =
 # ORC ships in Spark's default classpath (orc-core on the jars dir), so
 # it's a first-class interchange format; text/binaryFile cover raw-blob
 # ingest (one row per line / one row per file) for corpus onboarding.
-# Avro/Delta/Iceberg/Kafka need external packages not present in this
-# runtime — read_avro raises with that context rather than half-working.
+# XML is BUILT INTO Spark 4 (the spark-xml package was upstreamed), so
+# it gets a first-class reader/sink.  Avro/Delta/Iceberg/Kafka need
+# external packages not present in this runtime — read_avro raises
+# with that context rather than half-working.
 # --------------------------------------------------------------------------
 
 
@@ -128,6 +130,33 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         r = r.option("pathGlobFilter", glob)
     return r.load(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """XML scan (built into Spark 4 — no external spark-xml package):
+    one row per ``row_tag`` element.  Pin ``schema`` in production (the
+    same no-inference rule as CSV/JSON; inference reads the data
+    twice).  Like multiline JSON, one XML document is one task — land
+    many files (or convert once via :func:`ingest_to_parquet`) at
+    scale."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """XML sink (interchange/export only — keep engine-internal data in
+    parquet/ORC; XML is row-tag text, neither columnar nor splittable
+    per document)."""
+    df.write.mode("overwrite").format("xml").option("rowTag", row_tag).save(
+        path
+    )
 
 
 def read_avro(spark: SparkSession, path: str):

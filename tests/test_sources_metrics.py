@@ -191,3 +191,26 @@ def test_parquet_merge_schema_evolution(spark, tmp_path_factory):
     assert set(merged.columns) >= {"id", "name", "score"}
     rows = {r.id: r for r in merged.collect()}
     assert rows[1].score is None and rows[2].score == 0.5
+
+
+def test_xml_roundtrip_with_pinned_schema(spark, tmp_path):
+    """Spark 4's built-in XML source: write → read with a pinned schema
+    reproduces rows exactly (types included, no inference pass)."""
+    from pyspark.sql import types as T
+
+    from bigdatamlteamrepo_spark.sources.readers import read_xml, write_xml
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rows = [(1, "alpha", 0.5), (2, "beta", -3.25), (3, "gamma", 0.0)]
+    df = spark.createDataFrame(rows, schema)
+    dst = str(tmp_path / "docs_xml")
+    write_xml(df, dst, row_tag="doc")
+    back = read_xml(spark, dst, row_tag="doc", schema=schema)
+    assert back.schema == schema
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
