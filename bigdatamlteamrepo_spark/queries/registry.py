@@ -58,6 +58,14 @@ PRI_EXTRA = 90
 #: ann_ivf_topk stays OUT: rows-only entries surface as
 #: non-green-looking driver rows — the r03 lesson.  r05/r06 greens all
 #: keep local parity coverage and rotate back in future windows.
+#:
+#: r08 first picks (assuming the r07 window lands green): (1) any r08
+#: additions + any r07-window entry that did NOT come back green;
+#: (2) the 41 r04 greens left outside this window — the stalest
+#: evidence on the ledger once the never-checked tier is cleared;
+#: (3) the 49 r05 greens, oldest first.  ann_ivf_topk and the other
+#: rows-only entries stay OUT of windows by design (the r03 lesson:
+#: they surface as non-green-looking driver rows).
 PRI_NEW = 30  #: tier 0 — queries first registered this round
 
 _TIER1_NEVER_CHECKED = (
