@@ -62,3 +62,38 @@ def test_disable_clears_frames(spark, sf_dir):
     stagecache.disable()
     assert not stagecache._frames
     assert not stagecache.enabled()
+
+
+def test_candidate_pairs_honor_subset_sets_with_cache_on(spark, sf_dir, cache_session):
+    """With the stage cache ENABLED, lsh_candidate_pairs over a SUBSET
+    shingle frame must compute that subset's candidates — never
+    substitute the session's cached full-corpus band table (that
+    substitution is opt-in via corpus_sets=True and reserved for
+    full-corpus callers)."""
+    from pyspark.sql import functions as F
+
+    from bigdatamlteamrepo_spark.queries.text_dedup import (
+        _shingle_sets,
+        lsh_candidate_pairs,
+    )
+
+    stagecache.enable()
+    # warm the full-corpus caches so substitution WOULD be available
+    full = lsh_candidate_pairs(spark, sf_dir)
+    n_full = full.count()
+    subset = _shingle_sets(spark, sf_dir).filter(
+        F.col("doc_id") % 3 == 0
+    ).localCheckpoint(eager=True)
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(spark, sf_dir, sets=subset).collect()
+    }
+    stagecache.disable()
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(spark, sf_dir, sets=subset).collect()
+    }
+    assert got == want
+    # the subset's pairs are a strict restriction of the corpus's
+    assert all(a % 3 == 0 and b % 3 == 0 for a, b in got)
+    assert len(got) <= n_full
