@@ -1008,6 +1008,27 @@ def _tagged_gram_hashes(t: DataFrame) -> DataFrame:
     ).select("source", F.col("x.n").alias("n"), F.col("x.gh").alias("gh"))
 
 
+def _tagged_gram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n, gh, c) — the Zipf-collapsed distinct-gram table for
+    widths 1..3 (rows = distinct (source, n, gram)s, never corpus
+    tokens).  Session-cached: the stage is shared by
+    source_distinct_ngrams (counts its rows) and
+    source_distinct_ngrams_hll (HLL registers over gh are
+    duplicate-insensitive, so aggregating the collapsed table equals
+    aggregating the stream)."""
+    from bigdatamlteamrepo_spark import stagecache
+
+    def build() -> DataFrame:
+        t = ensure_tokens(_with_tokens(spark, sf_dir), "source")
+        return (
+            _tagged_gram_hashes(t)
+            .groupBy("source", "n", "gh")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    return stagecache.shared(("tagged_gram_counts", sf_dir), build)
+
+
 @query(
     "source_distinct_ngrams",
     bench=True,
@@ -1071,10 +1092,8 @@ def source_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = sz.groupBy("source", "n").agg(
         F.sum("c").cast("bigint").alias("total_ngrams")
     )
-    h = _tagged_gram_hashes(t)
     types = (
-        h.groupBy("source", "n", "gh")
-        .agg(F.count(F.lit(1)).alias("c"))
+        _tagged_gram_counts(spark, sf_dir)
         .groupBy("source", "n")
         .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"))
     )
@@ -1253,8 +1272,15 @@ def source_distinct_ngrams_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_agg_finalize,
     )
 
-    t = ensure_tokens(_with_tokens(spark, sf_dir), "source")
-    h = _tagged_gram_hashes(t)
+    from bigdatamlteamrepo_spark import stagecache
+
+    if stagecache.enabled():
+        # HLL registers are duplicate-insensitive: the session-cached
+        # collapsed gram table yields identical registers to the stream
+        h = _tagged_gram_counts(spark, sf_dir)
+    else:
+        t = ensure_tokens(_with_tokens(spark, sf_dir), "source")
+        h = _tagged_gram_hashes(t)
     regs = h.groupBy("source", "n").agg(
         *hll_agg_exprs(F.col("gh"), _DN_HLL_P)
     )

@@ -97,3 +97,14 @@ def test_candidate_pairs_honor_subset_sets_with_cache_on(spark, sf_dir, cache_se
     # the subset's pairs are a strict restriction of the corpus's
     assert all(a % 3 == 0 and b % 3 == 0 for a, b in got)
     assert len(got) <= n_full
+
+
+def test_hll_ngrams_cached_equals_uncached(spark, sf_dir, cache_session):
+    """source_distinct_ngrams_hll takes a different plan with the cache
+    on (HLL over the collapsed gram table instead of the stream) —
+    registers are duplicate-insensitive, so values must be identical."""
+    stagecache.disable()
+    cold, cols = _rows(QUERIES["source_distinct_ngrams_hll"](spark, sf_dir))
+    stagecache.enable()
+    warm, wcols = _rows(QUERIES["source_distinct_ngrams_hll"](spark, sf_dir))
+    assert cols == wcols and cold == warm
