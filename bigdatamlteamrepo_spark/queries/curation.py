@@ -437,6 +437,21 @@ def _doc_grams(docs: DataFrame) -> DataFrame:
     )
 
 
+def _doc_grams_m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached :func:`_doc_grams` stream over the sf_dir corpus
+    (per-doc-DISTINCT 8-gram md5 rows) — shared by doc_ngram_novelty
+    and the source-overlap family.  None when the stage cache is off,
+    so every consumer keeps its exact cache-free plan."""
+    from bigdatamlteamrepo_spark import stagecache
+
+    if not stagecache.enabled():
+        return None
+    return stagecache.shared(
+        ("doc_grams8", sf_dir),
+        lambda: _doc_grams(_with_tokens(spark, sf_dir)),
+    )
+
+
 _GRAMS_CTE = f"""__gt AS (SELECT doc_id, source, {_TOKENS_SQL} AS toks FROM documents),
 __g AS (
   SELECT doc_id, source, g
@@ -477,10 +492,12 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zipf-collapsed), one equi-join back on the same key, one per-doc
     agg.  min(doc_id) makes "seen before" order-free — deterministic
     under any partitioning."""
-    return ngram_novelty(_with_tokens(spark, sf_dir))
+    return ngram_novelty(
+        _with_tokens(spark, sf_dir), grams=_doc_grams_m(spark, sf_dir)
+    )
 
 
-def ngram_novelty(docs: DataFrame) -> DataFrame:
+def ngram_novelty(docs: DataFrame, grams: DataFrame | None = None) -> DataFrame:
     """Core of :func:`doc_ngram_novelty` over any (doc_id, source,
     text) frame — separated so property tests can drive generated
     corpora.
@@ -493,7 +510,9 @@ def ngram_novelty(docs: DataFrame) -> DataFrame:
     doc-cardinality aggregates.  The join-back plan would shuffle the
     exploded corpus a second time — 2× the largest stage for nothing.
     """
-    g = _doc_grams(docs).select("doc_id", "g")
+    g = (grams if grams is not None else _doc_grams(docs)).select(
+        "doc_id", "g"
+    )
     per_doc = g.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ngrams")
     )
@@ -551,10 +570,16 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: distinct (source, gram-hash) rows, one self-equi-join on the
     gram hash (per-gram fan-out bounded by n_sources², never corpus
     size), per-source totals broadcast back.  Only hashes shuffle."""
-    return overlap_matrix(_with_tokens(spark, sf_dir))
+    return overlap_matrix(
+        _with_tokens(spark, sf_dir), grams=_doc_grams_m(spark, sf_dir)
+    )
 
 
-def overlap_matrix(docs: DataFrame, materialize: bool = True) -> DataFrame:
+def overlap_matrix(
+    docs: DataFrame,
+    materialize: bool = True,
+    grams: DataFrame | None = None,
+) -> DataFrame:
     """Core of :func:`source_overlap_matrix` over any (doc_id, source,
     text) frame — separated so property tests can drive generated
     corpora.
@@ -565,7 +590,11 @@ def overlap_matrix(docs: DataFrame, materialize: bool = True) -> DataFrame:
     cache released (the operators/dedup.py discipline — repeated
     invocations must not accumulate executor storage).
     ``materialize=False`` builds the fully lazy plan for plan gates."""
-    sg = _doc_grams(docs).select("source", "g").distinct()
+    sg = (
+        (grams if grams is not None else _doc_grams(docs))
+        .select("source", "g")
+        .distinct()
+    )
     if materialize:
         sg = sg.persist()
     tot = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -690,17 +719,23 @@ def source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~SAFETY·k/n of the range — the doc_stratified_sample discipline,
     cutoff mirrored in the oracle) + an n_sources·k-row sketch join.
     Run the exact matrix only on the pairs this audit flags."""
-    return overlap_kmv(_with_tokens(spark, sf_dir))
+    return overlap_kmv(
+        _with_tokens(spark, sf_dir), grams=_doc_grams_m(spark, sf_dir)
+    )
 
 
-def overlap_kmv(docs: DataFrame, materialize: bool = True) -> DataFrame:
+def overlap_kmv(
+    docs: DataFrame,
+    materialize: bool = True,
+    grams: DataFrame | None = None,
+) -> DataFrame:
     """Core of :func:`source_overlap_kmv` over any (doc_id, source,
     text) frame — separated so the error-bound tests can drive
     generated corpora (``materialize`` as in :func:`overlap_matrix`)."""
     from pyspark.sql import Window
 
     sgh = (
-        _doc_grams(docs)
+        (grams if grams is not None else _doc_grams(docs))
         .select(
             "source",
             F.conv(F.substring("g", 1, 15), 16, 10).cast("long").alias("h"),
@@ -845,10 +880,16 @@ def source_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     this routed face keeps the exact join's cost proportional to the
     (few) flagged sources.  source_overlap_matrix remains registered
     for bounded corpora / explicit full-matrix requests."""
-    return overlap_audit(_with_tokens(spark, sf_dir))
+    return overlap_audit(
+        _with_tokens(spark, sf_dir), grams=_doc_grams_m(spark, sf_dir)
+    )
 
 
-def overlap_audit(docs: DataFrame, tau: float = _OVA_TAU) -> DataFrame:
+def overlap_audit(
+    docs: DataFrame,
+    tau: float = _OVA_TAU,
+    grams: DataFrame | None = None,
+) -> DataFrame:
     """Core of :func:`source_overlap_audit`: KMV sketch estimates →
     flag pairs at ``tau`` → exact containment on flagged sources only.
 
@@ -858,7 +899,7 @@ def overlap_audit(docs: DataFrame, tau: float = _OVA_TAU) -> DataFrame:
     BEFORE tokenize/shingle, so the predicate pushes into the parquet
     scan."""
     spark = docs.sparkSession
-    est = overlap_kmv(docs)
+    est = overlap_kmv(docs, grams=grams)
     flagged = est.filter(F.col("est_containment") >= tau).select(
         "source_a", "source_b", "est_containment"
     )
@@ -866,7 +907,16 @@ def overlap_audit(docs: DataFrame, tau: float = _OVA_TAU) -> DataFrame:
     if not pairs:
         return spark.createDataFrame([], _OVA_SCHEMA)
     srcs = sorted({r.source_a for r in pairs} | {r.source_b for r in pairs})
-    exact = overlap_matrix(docs.filter(F.col("source").isin(srcs)))
+    # _doc_grams is row-local, so filtering the cached gram stream by
+    # source equals computing grams over the filtered documents
+    exact = overlap_matrix(
+        docs.filter(F.col("source").isin(srcs)),
+        grams=(
+            grams.filter(F.col("source").isin(srcs))
+            if grams is not None
+            else None
+        ),
+    )
     flag_df = spark.createDataFrame(
         [(r.source_a, r.source_b, r.est_containment) for r in pairs],
         "source_a string, source_b string, est_containment double",
