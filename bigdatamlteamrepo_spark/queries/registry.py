@@ -6,11 +6,35 @@ its ANSI-SQL oracle twin for DuckDB (driver contract in
 The registry is the single source of truth consumed by
 ``__spark_entry__.queries()`` / ``oracle_sql()``, ``bench.py``, and the
 parity tests.
+
+Driver-window rotation (VERDICT_r7 item #7): the driver's correctness
+harness checks only the FIRST 50 exported queries, so that window must
+always hold the queries with the weakest driver evidence.  Earlier
+rounds curated the window with hand-maintained tier lists; those lists
+could silently omit a query.  The rotation is now DERIVED from the
+in-repo ``CORRECTNESS_r*.json`` ledger at import time:
+
+* no-oracle (rows-only) queries never enter the window — they surface
+  as non-green-looking driver rows (the r03 lesson);
+* oracle-paired queries that were never driver-checked, or whose
+  LATEST driver check was not hash-green, come first (new
+  registrations are "never checked" by construction, so a fresh
+  query claims a window slot automatically);
+* green oracle-paired queries rotate by staleness: a query last
+  verified in round r sorts at ``40 + r``, so the oldest evidence is
+  refreshed first and each round's window self-updates when the
+  driver writes the next ledger file.
+
+``tests/test_registry_rotation.py`` pins window == f(ledger).
 """
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,111 +49,64 @@ BENCH_SET: list[str] = []
 #: are sorted by priority; see :func:`ordered`
 _ORDER: dict[str, tuple[int, int]] = {}
 
-#: default priority — inside the driver window
+#: oracle-paired with no green driver row at its latest check (or never
+#: checked at all — which includes every query first registered this
+#: round): first picks for the driver window
+PRI_UNPROVEN = 30
+#: green oracle-paired queries sort at ``PRI_GREEN_BASE + round`` —
+#: stalest driver evidence first
+PRI_GREEN_BASE = 40
+#: rows-only queries (no DuckDB oracle): stay OUT of driver windows by
+#: design; fully covered by the local pytest suite instead
+PRI_ROWS_ONLY = 90
+
+#: retained for call-site compatibility — the ledger now decides window
+#: membership for oracle-paired queries, so these are advisory only
 PRI_CORE = 50
-#: demoted: family-redundant or rows-only queries that yield their
-#: driver slot to a query carrying new oracle evidence (still fully
-#: covered by the local pytest parity suite)
 PRI_EXTRA = 90
+PRI_NEW = 30
 
-#: Driver-window rotation (round 7): the driver checks only the first 50
-#: exported queries, so the window is spent on the queries with the
-#: weakest driver evidence first (everything outside the window keeps
-#: full local parity coverage at sf0.001/0.01/0.1).  Sub-tier
-#: priorities make the cut deterministic: if round-7 sessions add new
-#: oracle-paired queries (tier-0, ``PRI_NEW``), the tier-3 fillers are
-#: displaced first — never the never-driver-checked tier.
-#: Composition (CORRECTNESS_r01-r06 ledger, VERDICT_r6 item #1):
-#:   * tier 1 (29): every oracle-paired query with NO driver row in
-#:     r01-r06 — the entire r06-session-5 curation/health/retrieval
-#:     tier (contamination matrix, leakage-safe split, soft dedup,
-#:     datacard, distinct-n, chunk BM25, pack-efficiency, hard
-#:     negatives, mislabel scores, divergences, ...);
-#:   * tier 2 (10): the six r06-displaced entries
-#:     (ann_rp_lsh_multiprobe_topk, bpe_pair_counts,
-#:     cms_heavy_suppliers, doc_stratified_sample,
-#:     hybrid_rrf_retrieval, events_sliding_by_type) and the four
-#:     round-5 deferrals (order_priority_status_crosstab,
-#:     kmv_distinct_parts, hll_orders_by_flag, doc_pack_plan_bucketed);
-#:   * tier 3 (11): r04 greens, oldest driver evidence first, filling
-#:     the window to exactly 50; each new tier-0 registration this
-#:     round pushes the newest tier-3 filler out (they re-rotate next
-#:     round).
-#: ann_ivf_topk stays OUT: rows-only entries surface as
-#: non-green-looking driver rows — the r03 lesson.  r05/r06 greens all
-#: keep local parity coverage and rotate back in future windows.
-#:
-#: r08 first picks (assuming the r07 window lands green): (1) any r08
-#: additions + any r07-window entry that did NOT come back green;
-#: (2) the 41 r04 greens left outside this window — the stalest
-#: evidence on the ledger once the never-checked tier is cleared;
-#: (3) the 49 r05 greens, oldest first.  ann_ivf_topk and the other
-#: rows-only entries stay OUT of windows by design (the r03 lesson:
-#: they surface as non-green-looking driver rows).
-PRI_NEW = 30  #: tier 0 — queries first registered this round
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
-_TIER1_NEVER_CHECKED = (
-    "dedup_canonical_summary",
-    "embedding_hard_negatives",
-    "triplet_margin_stats",
-    "embedding_mislabel_scores",
-    "packed_sequence_doc_starts",
-    "pack_efficiency_by_seqlen",
-    "soft_dedup_weights",
-    "leakage_safe_split_summary",
-    "doc_chunks_overlap",
-    "chunk_bm25_topk",
-    "eval_suite_contamination_matrix",
-    "leakage_safe_split_assignments",
-    "eval_fuzzy_contamination",
-    "doc_length_quantiles",
-    "ingest_decon_summary",
-    "quality_ppl_calibration",
-    "curriculum_phase_plan",
-    "corpus_datacard",
-    "datacard_by_split",
-    "events_cms_hourly_heavy_users",
-    "source_distinct_ngrams",
-    "contamination_width_sweep",
-    "source_distinct_ngrams_hll",
-    "source_top_ngrams",
-    "epoch_mixture_plan",
-    "source_unigram_divergence",
-    "embedding_dim_stats",
-    "embedding_health_summary",
-    "split_unigram_divergence",
-)
-_TIER2_DISPLACED_DEFERRED = (
-    "ann_rp_lsh_multiprobe_topk",
-    "bpe_pair_counts",
-    "cms_heavy_suppliers",
-    "doc_stratified_sample",
-    "hybrid_rrf_retrieval",
-    "events_sliding_by_type",
-    "order_priority_status_crosstab",
-    "kmv_distinct_parts",
-    "hll_orders_by_flag",
-    "doc_pack_plan_bucketed",
-)
-_TIER3_R04_FILL = (
-    "neardup_cross_source",
-    "embedding_neardup_pairs",
-    "ann_rp_lsh_topk",
-    "q4_order_priority_checking",
-    "q7_nation_pair_volume",
-    "q2_min_acctbal_supplier_per_part",
-    "events_view_click_attribution",
-    "winnowing_neardup_pairs",
-    "embedding_neardup_lsh",
-    "ann_rp_lsh_banded_topk",
-    "ann_voronoi_topk",
-)
-#: name -> promoted priority; overrides the decorator's ``priority``
-ROTATE_PRI: dict[str, int] = {
-    **{n: 34 for n in _TIER1_NEVER_CHECKED},
-    **{n: 36 for n in _TIER2_DISPLACED_DEFERRED},
-    **{n: 38 for n in _TIER3_R04_FILL},
-}
+
+@lru_cache(maxsize=1)
+def ledger() -> dict[str, tuple[int, bool]]:
+    """Latest driver-check evidence per query from the in-repo
+    ``CORRECTNESS_r*.json`` files: ``name -> (round, green)`` where
+    green = rows+schema+hash matched with no error."""
+    latest: dict[str, tuple[int, bool]] = {}
+    pat = os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")
+    for path in sorted(glob.glob(pat)):
+        base = os.path.basename(path)
+        try:
+            rnd = int(base.split("_r")[-1].split(".")[0])
+            with open(path) as f:
+                data = json.load(f)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, res in data.items():
+            green = bool(
+                res.get("rows_match")
+                and res.get("schema_match")
+                and res.get("hash_match")
+                and not res.get("err")
+            )
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, green)
+    return latest
+
+
+def window_priority(name: str, has_oracle: bool) -> int:
+    """Ledger-derived driver-window priority (lower = earlier)."""
+    if not has_oracle:
+        return PRI_ROWS_ONLY
+    entry = ledger().get(name)
+    if entry is None or not entry[1]:
+        return PRI_UNPROVEN
+    return PRI_GREEN_BASE + entry[0]
 
 
 def query(
@@ -139,14 +116,16 @@ def query(
     priority: int = PRI_CORE,
 ):
     """Decorator registering a query (and optional oracle SQL / bench
-    flag).  ``priority`` curates the driver's 50-query correctness
-    window: ascending order, ties broken by registration order."""
+    flag).  Window order is derived from the correctness ledger —
+    ``priority`` is accepted for call-site compatibility but only
+    consulted for queries the ledger cannot place (it never overrides
+    the rows-only demotion or the staleness rotation)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(f"duplicate query name {name!r}")
         QUERIES[name] = fn
-        _ORDER[name] = (ROTATE_PRI.get(name, priority), len(_ORDER))
+        _ORDER[name] = (window_priority(name, oracle is not None), len(_ORDER))
         if oracle is not None:
             ORACLE[name] = oracle
         if bench:
