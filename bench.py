@@ -1,14 +1,25 @@
 #!/usr/bin/env python
 """Benchmark harness (driver contract): run the headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line::
+``local[$SPARK_GRAFT_CPUS]``.  The FINAL stdout line is a compact JSON
+summary (well under the driver's stdout-tail capture)::
 
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "headline_queries_total_wall", "value": N, "unit": "sec",
+     "value_stage_cache_on": N, "stage_build_sec": N,
+     "calibration_sec": N, "calibration_ref_sec": N,
+     "layout_prep_sec": N, "stage_cache": "off-primary", "sf": ...}
+
+Per-query walls/medians/calibrated ratios are emitted on a separate
+earlier ``{"detail": ...}`` line — r07's single fat line outgrew the
+driver's capture and left ``BENCH_r07.parsed = null`` (VERDICT_r7 #1).
+The primary ``value`` is measured with the stage cache OFF so every
+round compares like-for-like (ADVICE_r7); the cache-on steady state and
+its one-time build cost are reported alongside.
 
 Each query is executed as a count-collapsing action (``collect`` on the
 already-aggregated result) so timing includes the full plan — scan,
-shuffle, agg — but not driver-side pandas conversion.  A warm-up run of
-the flagship query amortizes JVM/codegen startup out of the numbers.
+shuffle, agg — but not driver-side pandas conversion.  A warm-up run
+amortizes JVM/codegen startup out of the numbers.
 """
 
 from __future__ import annotations
@@ -91,18 +102,10 @@ def main() -> None:
         print(f"# split-layout prep skipped: {ex}", file=sys.stderr)
     layout_prep_sec = round(time.perf_counter() - t_layout, 3)
 
-    # Shared-prefix stage cache (VERDICT_r6 #3): the dedup/curation
-    # headliners share one tokenize → shingle → signature prefix;
-    # running them back-to-back in one session is exactly the
-    # long-lived-session case the cache exists for (the driver's
-    # correctness harness runs with the cache OFF — self-contained
-    # plans).  The prefix materializes during the warm pass, so the
-    # measured numbers report the shared-stage steady state a
-    # deployment with a persisted signature table would see.
-    stagecache.enable()
-
-    # Warm pass: JVM JIT, whole-stage codegen compilation, parquet
-    # footer caches — measured pass reports warm per-query latency.
+    # Warm pass (stage cache OFF): JVM JIT, whole-stage codegen
+    # compilation, parquet footer caches — measured passes report warm
+    # per-query latency.
+    stagecache.disable()
     for name in BENCH_SET:
         QUERIES[name](spark, sf_dir).collect()
 
@@ -126,23 +129,45 @@ def main() -> None:
     _calibration()  # warm the calibration plan itself
     calib = round(min(_calibration() for _ in range(3)), 3)
 
-    # min-of-3 measured runs: single-run noise on a shared box reached
-    # ±50% per query (host load outside our control); the min is the
-    # stable estimate of plan cost, the median + spread expose how
-    # noisy this particular run was
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    for name in BENCH_SET:
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        timings[name] = round(runs[0], 3)
-        medians[name] = round(runs[1], 3)
+    def _measure(n_runs: int) -> tuple[dict[str, float], dict[str, float]]:
+        """min + median of n_runs per query: single-run noise on a
+        shared box reached ±50% per query (host load outside our
+        control); the min is the stable estimate of plan cost, the
+        median exposes how noisy this particular run was."""
+        mins: dict[str, float] = {}
+        meds: dict[str, float] = {}
+        for name in BENCH_SET:
+            runs = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            mins[name] = round(runs[0], 3)
+            meds[name] = round(runs[len(runs) // 2], 3)
+        return mins, meds
 
+    # PRIMARY number: stage cache OFF — every query pays its full
+    # self-contained plan, like-for-like with every earlier round and
+    # with the driver's correctness harness (ADVICE_r7: r07 reported
+    # cache-on as the headline, which overstated the round-over-round
+    # improvement; cache-off is the comparable metric).
+    timings, medians = _measure(3)
     total = round(sum(timings.values()), 3)
+
+    # SECONDARY: stage cache ON — the long-lived-session steady state a
+    # deployment with a persisted signature table would see.  The first
+    # pass pays the prefix materializations (reported as
+    # stage_build_sec, VERDICT_r7 #3); min-of-2 after that is steady
+    # state.
+    stagecache.enable()
+    for name in BENCH_SET:
+        QUERIES[name](spark, sf_dir).collect()
+    stage_build = round(sum(stagecache.build_secs().values()), 3)
+    cache_timings, _ = _measure(2)
+    cache_total = round(sum(cache_timings.values()), 3)
+    stagecache.disable()
+
     # host-normalized ratios (VERDICT_r6 #6): wall / calibration is
     # dimensionless "calibration units" — cross-round comparisons of
     # these ratios cancel host-speed drift (the round-5/6 lesson:
@@ -154,19 +179,34 @@ def main() -> None:
         n: round(t / calib, 2) if calib > 0 else None
         for n, t in timings.items()
     }
+    # Per-query detail on its OWN line: the driver's stdout-tail
+    # capture truncated r07's single fat line (BENCH_r07 "parsed":
+    # null) — the machine-readable record must be the compact FINAL
+    # line, with detail emitted before it (VERDICT_r7 #1).
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "queries": timings,
+                    "queries_median": medians,
+                    "queries_calibrated": normalized,
+                    "queries_stage_cache_on": cache_timings,
+                }
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "queries_calibrated": normalized,
+                "value_stage_cache_on": cache_total,
+                "stage_build_sec": stage_build,
                 "calibration_sec": calib,
                 "calibration_ref_sec": 0.43,
                 "layout_prep_sec": layout_prep_sec,
-                "stage_cache": "enabled",
+                "stage_cache": "off-primary",
                 "sf": sf,
             }
         )
