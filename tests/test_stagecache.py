@@ -59,9 +59,47 @@ def test_disable_clears_frames(spark, sf_dir):
     stagecache.enable()
     QUERIES["doc_shared_shingle_stats"](spark, sf_dir).collect()
     assert stagecache._frames
+    # every cached frame reports its one-time materialization cost
+    # (bench.py sums these into stage_build_sec, VERDICT_r7 #3)
+    builds = stagecache.build_secs()
+    assert set(builds) == set(stagecache._frames)
+    assert all(v >= 0 for v in builds.values())
+    # persisted (not checkpointed): unpersist releases storage
+    assert all(df.storageLevel.useMemory for df in stagecache._frames.values())
     stagecache.disable()
     assert not stagecache._frames
+    assert not stagecache.build_secs()
     assert not stagecache.enabled()
+
+
+def test_stale_session_entry_is_rebuilt(spark, sf_dir):
+    """A frame cached under a session that is no longer the active one
+    must be rebuilt, not returned (ADVICE_r7: cache keys carried no
+    session identity)."""
+    stagecache.enable()
+    try:
+        built = []
+        key = ("unit-test-stale", sf_dir)
+        df1 = stagecache.shared(
+            key, lambda: (built.append(1), spark.range(3))[1]
+        )
+        assert built == [1]
+        # same session: reused, no rebuild
+        stagecache.shared(key, lambda: (built.append(2), spark.range(3))[1])
+        assert built == [1]
+        # simulate a dead owning session: _stale must say so and the
+        # next call must rebuild
+        assert stagecache._stale(df1) is False
+        stagecache._frames[key] = df1
+        import unittest.mock as mock
+
+        with mock.patch.object(stagecache, "_stale", return_value=True):
+            stagecache.shared(
+                key, lambda: (built.append(3), spark.range(3))[1]
+            )
+        assert built == [1, 3]
+    finally:
+        stagecache.disable()
 
 
 def test_candidate_pairs_honor_subset_sets_with_cache_on(spark, sf_dir, cache_session):
