@@ -32,16 +32,40 @@ def tokenize(col: Column | str) -> Column:
     return F.split(F.lower(_c(col)), r"\s+")
 
 
+#: StructField metadata marking a ``toks`` column as THE whitespace
+#: tokenize prefix (``text_dedup._with_tokens``).  Reuse keys on this
+#: provenance marker, never on the column NAME alone: a caller frame
+#: carrying a differently-derived ``toks`` (tokenize_words output, a
+#: stale projection) must not silently change query semantics.
+WS_TOKENS_META = {"ws_tokens": True}
+
+
+def ws_tokens(col: Column | str) -> Column:
+    """:func:`tokenize` aliased to ``toks`` with the provenance marker."""
+    return tokenize(col).alias("toks", metadata=WS_TOKENS_META)
+
+
+def has_ws_tokens(docs) -> bool:
+    """True iff *docs* carries a provenance-tagged ``toks`` column."""
+    return "toks" in docs.columns and bool(
+        docs.schema["toks"].metadata.get("ws_tokens")
+    )
+
+
 def ensure_tokens(docs, *keep: str):
     """``(keep..., toks)`` projection of a documents frame, REUSING an
-    existing ``toks`` column when present (the session stage cache's
-    shared tokenize prefix — see ``bigdatamlteamrepo_spark.stagecache``)
-    and computing :func:`tokenize` otherwise.  With the cache off the
-    plan is identical to inlining tokenize at the call site (Catalyst
-    prunes the projection either way)."""
-    if "toks" in docs.columns:
+    existing provenance-tagged ``toks`` column when present (the session
+    stage cache's shared tokenize prefix — see
+    ``bigdatamlteamrepo_spark.stagecache``) and computing
+    :func:`tokenize` from ``text`` otherwise.  A ``toks`` column WITHOUT
+    the :data:`WS_TOKENS_META` marker is never reused — recompute (or an
+    analysis error when ``text`` is also absent) beats silently adopting
+    a differently-derived tokenization.  With the cache off the plan is
+    identical to inlining tokenize at the call site (Catalyst prunes the
+    projection either way)."""
+    if has_ws_tokens(docs):
         return docs.select(*keep, "toks")
-    return docs.select(*keep, tokenize("text").alias("toks"))
+    return docs.select(*keep, ws_tokens("text"))
 
 
 def tokenize_words(col: Column | str) -> Column:
@@ -92,7 +116,7 @@ def minhash_values(shingles_col: Column, n_seeds: int) -> Column:
 UH_MOD = 2**32
 
 
-def uh_constants(n_seeds: int) -> list[tuple[int, int, int]]:
+def uh_constants(n_seeds: int, seed: int = 1337) -> list[tuple[int, int, int]]:
     """Deterministic (a, b, c) universal-hash constants per seed.
 
     ``h_i(w1, w2) = (a_i*w1 + b_i*w2 + c_i) mod 2^32`` with odd 20-bit
@@ -100,11 +124,13 @@ def uh_constants(n_seeds: int) -> list[tuple[int, int, int]]:
     arithmetic in every engine (no unsigned-overflow semantics to
     match).  Generated from a fixed PRNG seed so the Spark plan and the
     DuckDB oracle embed identical literals (same pattern as the ANN
-    hyperplanes, operators/similarity.py).
-    """
+    hyperplanes, operators/similarity.py).  A non-default *seed* yields
+    a family statistically INDEPENDENT of the LSH banding family — the
+    requirement for the b-bit prefilter to read fresh evidence
+    (text_dedup.bbit_sketch_frame)."""
     import random
 
-    rng = random.Random(1337)
+    rng = random.Random(seed)
     return [
         (
             rng.randrange(1, 2**20) | 1,

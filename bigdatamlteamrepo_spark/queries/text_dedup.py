@@ -25,7 +25,13 @@ from pyspark.sql import functions as F
 from bigdatamlteamrepo_spark import stagecache
 from bigdatamlteamrepo_spark.catalog import load_table
 from bigdatamlteamrepo_spark.functions.arrays import first_match_category, has_any_keyword
-from bigdatamlteamrepo_spark.functions.text import minhash_value, shingles, tokenize
+from bigdatamlteamrepo_spark.functions.text import (
+    has_ws_tokens,
+    minhash_value,
+    shingles,
+    tokenize,
+    ws_tokens,
+)
 from bigdatamlteamrepo_spark.queries.registry import query
 
 #: flagship keyword set (allergen-keyword analogue over the synthetic vocab)
@@ -48,8 +54,8 @@ def _with_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     interactive audits); the default is the lazy per-query plan."""
     return stagecache.shared(
         ("doc_tokens", sf_dir),
-        lambda: load_table(spark, sf_dir, "documents").withColumn(
-            "toks", tokenize("text")
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "*", ws_tokens("text")
         ),
     )
 
@@ -811,6 +817,141 @@ def bbit_prefilter(
     )
 
 
+#: independent b-bit family: 128 hashes from a DIFFERENT PRNG seed than
+#: the 24-hash LSH banding family, 2-bit remnants packed into four
+#: 64-bit planes per doc (32 bytes) — the production sketch sizing
+#: (Li & König 2010) under which the prefilter reads evidence the
+#: banding did NOT select on
+BBIT_IND_HASHES = 128
+BBIT_IND_SEED = 7331
+#: keep a pair iff >= this many of the 128 remnants agree.  Agreement
+#: prob per hash = J + (1-J)/4; at the verify threshold J = 0.5 the
+#: count is Binom(128, 0.625) (mean 80, sd 5.4) -> P(drop true) =
+#: P(X < 64) ~ 1e-3; junk at J = 0.3 (mean 60.8) keeps ~30%, J = 0.2
+#: (mean 51.2) keeps ~1.4%, J <= 0.1 effectively 0 (tools/bbit_probe.py
+#: measures these).
+BBIT_IND_MIN = 64
+
+
+def bbit_sketch_frame(
+    df: DataFrame,
+    shingle_col,
+    n_hashes: int = BBIT_IND_HASHES,
+    seed: int = BBIT_IND_SEED,
+) -> DataFrame:
+    """(doc_id, p0, p1, q0, q1) — the packed independent b-bit sketch.
+
+    128 universal-hash minhashes from a family independent of the LSH
+    banding family (:func:`uh_constants` with a different seed), each
+    reduced to its 2-bit remnant and packed bit-plane-wise into 32-bit
+    words: p0..p3 hold remnant bit 0 of hashes 0-31/32-63/64-95/96-127,
+    q0..q3 bit 1 (32-bit words so the pack fold never touches a signed
+    long's top bit — ANSI mode forbids the wraparound).  Agreement
+    between two docs is then pure bit arithmetic —
+    ``128 - Σ popcount((p^p') | (q^q'))`` over the four word pairs — so
+    the prefilter join moves 32 payload bytes per doc and compares in
+    ~12 ALU ops.
+
+    At 100 TB this frame is built ONCE at ingest next to the band/set
+    tables (streaming/ingest.py discipline) and persisted; the grouped
+    MIN is map-side combinable exactly like
+    :func:`uh_signature_frame`."""
+    from bigdatamlteamrepo_spark.functions.text import UH_MOD, uh_constants
+
+    # columns built as SQL strings, ONE py4j call each: constructing
+    # the ~1300 Column objects expression-by-expression spent 3.5-5 s
+    # of pure py4j round-trips per plan build (measured; execution
+    # itself is 0.8 s warm at sf0.01)
+    ex = df.select("doc_id", F.explode(shingle_col).alias("sh"))
+    words = ex.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT) AS w1",
+        "CAST(conv(substring(md5(sh), 9, 8), 16, 10) AS BIGINT) AS w2",
+    )
+    consts = uh_constants(n_hashes, seed=seed)
+    agg = words.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min(({a}L * w1 + {b}L * w2 + {c}L) % {UH_MOD}L) AS m{i}")
+            for i, (a, b, c) in enumerate(consts)
+        ]
+    )
+
+    def word(bit: int, lo: int, name: str):
+        # fold MSB-first: acc*2 + b_j builds Σ b_j·2^j with one small
+        # lambda instead of a 32-deep shift-add chain (whose codegen
+        # compile cost dominated cold runs); 32 bits per word keeps
+        # the fold far from long overflow under ANSI mode
+        bit_sql = (
+            "m{i} % 4 % 2" if bit == 0 else "(m{i} % 4) div 2"
+        )
+        arr = ", ".join(
+            bit_sql.format(i=i) for i in reversed(range(lo, lo + 32))
+        )
+        return F.expr(
+            f"aggregate(array({arr}), 0L, (acc, x) -> acc * 2L + x)"
+            f" AS {name}"
+        )
+
+    return agg.select(
+        "doc_id",
+        *[word(0, 32 * k, f"p{k}") for k in range(4)],
+        *[word(1, 32 * k, f"q{k}") for k in range(4)],
+    )
+
+
+def bbit_independent_prefilter(
+    cand: DataFrame, sk: DataFrame, min_agree: int = BBIT_IND_MIN
+) -> DataFrame:
+    """Drop candidate pairs whose independent 128-hash 2-bit remnants
+    agree on fewer than ``min_agree`` positions.
+
+    This is the configuration under which the b-bit tier earns its
+    keep (SCALING.md "b-bit verify prefilter"): the hashes are drawn
+    from a family the banding never saw, so mid-similarity junk that
+    banding admitted by luck is re-judged on fresh evidence — unlike
+    the correlated 24-remnant variant (:func:`bbit_prefilter`), which
+    re-reads the selection evidence and was measured to remove ~0%.
+    Agreement is popcount arithmetic over the four packed planes; the
+    join moves 32 bytes/doc from the persisted sketch table."""
+    return (
+        bbit_independent_agreement(cand, sk)
+        .filter(F.col("n_agree") >= F.lit(min_agree))
+        .select("doc_a", "doc_b")
+    )
+
+
+def bbit_independent_agreement(cand: DataFrame, sk: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_agree) — remnant-agreement counts of candidate
+    pairs from the packed independent sketch: two XOR-OR-popcounts per
+    pair (see :func:`bbit_sketch_frame` for the plane layout)."""
+    a = sk.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"p{k}").alias(f"ap{k}") for k in range(4)],
+        *[F.col(f"q{k}").alias(f"aq{k}") for k in range(4)],
+    )
+    b = sk.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"p{k}").alias(f"bp{k}") for k in range(4)],
+        *[F.col(f"q{k}").alias(f"bq{k}") for k in range(4)],
+    )
+    diff = sum(
+        F.bit_count(
+            F.col(f"ap{k}").bitwiseXOR(F.col(f"bp{k}"))
+            .bitwiseOR(F.col(f"aq{k}").bitwiseXOR(F.col(f"bq{k}")))
+        )
+        for k in range(4)
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.lit(BBIT_IND_HASHES) - diff).cast("bigint").alias("n_agree"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -980,8 +1121,8 @@ def doc_shingle_sets(docs: DataFrame) -> DataFrame:
     batch corpus and the maintained index."""
     t = (
         docs.select("doc_id", "toks")
-        if "toks" in docs.columns
-        else docs.select("doc_id", tokenize("text").alias("toks"))
+        if has_ws_tokens(docs)
+        else docs.select("doc_id", ws_tokens("text"))
     )
     return t.filter(F.size("toks") >= 3).select(
         "doc_id", F.array_distinct(shingles(F.col("toks"), 3)).alias("s")
@@ -1358,6 +1499,57 @@ def bbit_minhash_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", n_agree.alias("n_agree"))
         .select("doc_a", "doc_b", "n_agree", est.alias("est_jaccard"))
     )
+
+
+def _ind_sig_cte(
+    n_hashes: int = BBIT_IND_HASHES, seed: int = BBIT_IND_SEED
+) -> str:
+    """``__isig(doc_id, n_0..n_{k-1})`` — the independent-family minhash
+    signature CTE (embeds the seed-7331 constants as literals, same
+    discipline as :func:`lsh_pairs_ctes`).  Depends on ``__w``."""
+    from bigdatamlteamrepo_spark.functions.text import UH_MOD, uh_constants
+
+    consts = uh_constants(n_hashes, seed=seed)
+    sigs = ",\n         ".join(
+        f"list_min(list_transform(ws, w -> ({a} * w.w1 + {b} * w.w2 + {c})"
+        f" % {UH_MOD})) AS n_{i}"
+        for i, (a, b, c) in enumerate(consts)
+    )
+    return f"__isig AS (SELECT doc_id, {sigs} FROM __w)"
+
+
+@query(
+    "bbit_independent_agreement",
+    oracle=f"""
+WITH {lsh_pairs_ctes()},
+{_ind_sig_cte()}
+SELECT p.doc_a, p.doc_b,
+       CAST(list_sum(["""
+    + ", ".join(
+        f"CASE WHEN a.n_{i} % {_BBIT_MOD} = b.n_{i} % {_BBIT_MOD}"
+        f" THEN 1 ELSE 0 END"
+        for i in range(BBIT_IND_HASHES)
+    )
+    + """]) AS BIGINT) AS n_agree
+FROM __lsh_pairs p
+JOIN __isig a ON a.doc_id = p.doc_a
+JOIN __isig b ON b.doc_id = p.doc_b
+""",
+)
+def bbit_independent_agreement_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LSH-candidate remnant agreement from the INDEPENDENT 128-hash
+    b-bit sketch (VERDICT_r7 #8; SCALING.md "r08 follow-up") — the
+    persisted-index prefilter's scoring face.
+
+    The Spark side exercises the real packed arithmetic (4 longs/doc,
+    XOR-OR-popcount); the oracle recomputes all 128 remnants
+    symbolically and counts equalities — a hash match pins the hash
+    family, the bit-plane packing, and the popcount identity
+    ``n_agree = 128 - popcount((p^p')|(q^q'))`` in one check."""
+    sets = _shingle_sets_m(spark, sf_dir)
+    cand = lsh_candidate_pairs(spark, sf_dir, sets=sets, corpus_sets=True)
+    sk = bbit_sketch_frame(sets, F.col("s"))
+    return bbit_independent_agreement(cand, sk)
 
 
 # --------------------------------------------------------------------------
