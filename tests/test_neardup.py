@@ -387,3 +387,74 @@ def test_bbit_prefilter_matches_oracle_twin(spark, sf_dir):
         ).fetchall()
     }
     assert got == want
+
+
+def test_bbit_independent_prefilter_operating_characteristic(spark):
+    """The independent 128-hash 2-bit prefilter (VERDICT_r7 #8,
+    SCALING.md r08 follow-up) must annihilate low-J junk while keeping
+    boundary true pairs — the discrimination the correlated 24-remnant
+    variant structurally cannot provide.  Constructed pairs with exact
+    known shingle-Jaccard; thresholds loose enough to be stable under
+    the binomial noise of 60 pairs per bucket."""
+    from bigdatamlteamrepo_spark.queries.text_dedup import (
+        _pair_jaccard,
+        bbit_independent_prefilter,
+        bbit_sketch_frame,
+        doc_shingle_sets,
+    )
+
+    n_tok, per_k = 60, 60
+    rows, pairs = [], {}
+    did = 0
+    for ki, k in enumerate((13, 47)):  # J ~ 0.105 and ~ 0.634
+        for p in range(per_k):
+            tag = f"{ki}_{p}"
+            shared = [f"s{tag}_{j}" for j in range(k)]
+            a = shared + [f"a{tag}_{j}" for j in range(n_tok - k)]
+            b = shared + [f"b{tag}_{j}" for j in range(n_tok - k)]
+            rows += [(did, " ".join(a)), (did + 1, " ".join(b))]
+            pairs.setdefault(k, []).append((did, did + 1))
+            did += 2
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [p for ps in pairs.values() for p in ps], "doc_a long, doc_b long"
+    )
+    sets = doc_shingle_sets(docs)
+    sk = bbit_sketch_frame(sets, "s")
+    kept = {
+        (r.doc_a, r.doc_b)
+        for r in bbit_independent_prefilter(cand, sk).collect()
+    }
+    # J ~ 0.105: essentially all dropped (measured 0.0% kept)
+    low_kept = sum(p in kept for p in pairs[13])
+    assert low_kept <= 3, low_kept
+    # J ~ 0.634: every pair safely above the verify threshold survives
+    assert all(p in kept for p in pairs[47])
+    # sanity: the constructed Jaccards are where we think they are
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in _pair_jaccard(cand, sets, 0.0).collect()
+    }
+    assert abs(sum(jac[p] for p in pairs[13]) / per_k - 0.105) < 0.02
+    assert abs(sum(jac[p] for p in pairs[47]) / per_k - 0.634) < 0.02
+
+
+def test_bbit_independent_prefilter_lossless_on_driver_corpus(spark, sf_dir):
+    """On the driver corpus every banding candidate is a true near-dup
+    (measured); the independent prefilter must keep all of them."""
+    from bigdatamlteamrepo_spark.queries.text_dedup import (
+        _shingle_sets,
+        bbit_independent_prefilter,
+        bbit_sketch_frame,
+        lsh_candidate_pairs,
+    )
+
+    sets = _shingle_sets(spark, sf_dir)
+    cand = lsh_candidate_pairs(spark, sf_dir, sets=sets, corpus_sets=True)
+    want = {(r.doc_a, r.doc_b) for r in cand.collect()}
+    sk = bbit_sketch_frame(sets, "s")
+    kept = {
+        (r.doc_a, r.doc_b)
+        for r in bbit_independent_prefilter(cand, sk).collect()
+    }
+    assert kept == want
