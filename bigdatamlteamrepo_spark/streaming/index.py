@@ -40,7 +40,10 @@ from bigdatamlteamrepo_spark.operators.retrieval import (
     hash32,
 )
 from bigdatamlteamrepo_spark.streaming.ingest import (
+    _acquire_compaction_lease,
     _batch_tag,
+    _kept_newest,
+    _release_compaction_lease,
     _tag_batch_id,
     _delete,
     _exists,
@@ -245,12 +248,28 @@ def compact_index(
 ) -> dict[str, int]:
     """Fold increment subdirectories into the partitioned base tables
     (rename-swap, self-healing).  The ``keep_last`` NEWEST increments
-    per table survive as-is — the only batch an at-least-once restart
-    can replay is the last uncommitted one, and folding its subdir
-    would let the replay double-land (the streaming/ingest.py rule).
+    per table and PER CHECKPOINT NAMESPACE survive as-is — the only
+    batch an at-least-once restart can replay is the last uncommitted
+    one of its own checkpoint, and folding its subdir would let the
+    replay double-land; batch ids restart at 0 per checkpoint, so a
+    global newest-by-id pick could fold the live stream's replayable
+    batch in favor of a dead run's high-id one (the
+    streaming/ingest.py rule, ADVICE_r7).
     df/stats contributions pre-SUM during the fold, so the compacted
     read answers exactly like the increment fold (pinned in tests).
+    Guarded by the single-compactor lease (streaming/ingest.py): a
+    second concurrent compactor raises ``CompactionLeaseHeld``.
     Returns folded-increment counts per table."""
+    lease = _acquire_compaction_lease(spark, index_dir)
+    try:
+        return _compact_index_locked(spark, index_dir, keep_last)
+    finally:
+        _release_compaction_lease(spark, lease)
+
+
+def _compact_index_locked(
+    spark: SparkSession, index_dir: str, keep_last: int
+) -> dict[str, int]:
     _heal_index(spark, index_dir)
     out = {}
     for table in _TABLES:
@@ -261,7 +280,8 @@ def compact_index(
             [c for c in _list_children(spark, root) if c[2]],
             key=lambda c: (_tag_batch_id(c[0]), c[3], c[0]),
         )
-        fold = subs[: max(0, len(subs) - keep_last)] if keep_last else subs
+        kept = _kept_newest(subs, keep_last)
+        fold = [c for c in subs if c[0] not in kept]
         if not fold:
             continue
         base = _join(index_dir, table)

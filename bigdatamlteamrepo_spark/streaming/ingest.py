@@ -167,6 +167,95 @@ def _batch_tag(batch_id: int, namespace: str = "") -> str:
     return f"b{namespace}-{batch_id}" if namespace else f"b{batch_id}"
 
 
+class CompactionLeaseHeld(RuntimeError):
+    """Another compactor holds the lease on this index directory."""
+
+
+#: a lease older than this is treated as a crashed compactor's leftover
+#: and stolen; compactions here run minutes, so 15 min is generous
+_LEASE_TTL_SEC = 900
+
+
+def _acquire_compaction_lease(
+    spark: SparkSession, root: str, ttl_sec: int = _LEASE_TTL_SEC
+) -> str:
+    """Take the single-compactor lease on ``root`` (VERDICT_r7 #6).
+
+    Compaction's crash-safety story (manifest + rename-swap + heal)
+    assumes ONE maintainer: two compactors interleaving their swaps can
+    each fold the other's kept increments.  The lease makes the
+    contract explicit — a marker file created with the filesystem's
+    atomic create-if-absent; a second compactor raises
+    :class:`CompactionLeaseHeld` instead of corrupting.  A lease older
+    than *ttl_sec* belongs to a crashed compactor (the heal path would
+    recover its partial state anyway) and is stolen.  Live triggers are
+    NOT gated: increment writes land in batch-scoped subdirectories
+    and never touch the swap (pinned in
+    tests/test_streaming_index.py::test_trigger_during_interrupted_compaction).
+    """
+    import time as _time
+
+    lease = _join(root, "_compaction.lease")
+    fs, p, jvm = _fs_path(spark, lease)
+    if fs.exists(p):
+        age_ms = int(_time.time() * 1000) - fs.getFileStatus(
+            p
+        ).getModificationTime()
+        if age_ms < ttl_sec * 1000:
+            raise CompactionLeaseHeld(
+                f"compaction lease on {root} held for {age_ms / 1000:.0f}s "
+                f"(ttl {ttl_sec}s) — a second concurrent compactor is out "
+                "of contract"
+            )
+        fs.delete(p, False)  # stale: crashed compactor's leftover
+    try:
+        out = fs.create(p, False)  # atomic create-if-absent
+        try:
+            out.write(bytearray(f"{_time.time()}".encode("utf-8")))
+        finally:
+            out.close()
+    except Exception as ex:  # create-if-absent lost the race
+        raise CompactionLeaseHeld(
+            f"compaction lease on {root} taken concurrently: {ex}"
+        ) from None
+    return lease
+
+
+def _release_compaction_lease(spark: SparkSession, lease: str) -> None:
+    fs, p, _ = _fs_path(spark, lease)
+    fs.delete(p, False)
+
+
+def _tag_namespace(name: str) -> str:
+    """Checkpoint namespace of a batch-tag subdirectory name
+    (``b{ns}-{id}`` → ``b{ns}``; un-namespaced ``b{id}`` → ``""``).
+    Namespaces are dash-free md5 prefixes, so the last dash is the
+    separator."""
+    return name.rsplit("-", 1)[0] if "-" in name else ""
+
+
+def _kept_newest(subdirs: list, keep_last: int) -> set:
+    """Names of the ``keep_last`` NEWEST batch subdirectories PER
+    CHECKPOINT NAMESPACE (ADVICE_r7): batch ids restart at 0 per
+    checkpoint, so a single global newest-by-id sort would let a dead
+    run's high-id batch displace the live stream's replayable newest
+    batch — folding it means its at-least-once replay recreates the
+    subdir and double-counts rows already folded into the base.
+    ``subdirs`` entries are ``(name, path, is_dir, mtime)``; within a
+    namespace, newest = max (batch_id, mtime, name) — id primary,
+    mtime only as tiebreak."""
+    if not keep_last:
+        return set()
+    by_ns: dict[str, list] = {}
+    for c in subdirs:
+        by_ns.setdefault(_tag_namespace(c[0]), []).append(c)
+    kept: set = set()
+    for group in by_ns.values():
+        group.sort(key=lambda c: (_tag_batch_id(c[0]), c[3], c[0]))
+        kept.update(c[0] for c in group[-keep_last:])
+    return kept
+
+
 # --------------------------------------------------------------------------
 # Index build / read / fold
 # --------------------------------------------------------------------------
@@ -395,14 +484,34 @@ def compact_ingest_indexes(
     files sorted on the probe key (row-group min/max pruning for the
     next batch's joins) — the OPTIMIZE half of running this ingest
     indefinitely.  Safe to run between triggers of a LIVE checkpoint:
-    the ``keep_last`` NEWEST batch subdirectories per table are
-    preserved as-is, because the only batch an at-least-once restart
-    can replay is the last uncommitted one and its replay marker must
-    survive the fold — folding it would make the replay judge the
-    batch against its own contribution.  The swap is rename-based and
+    the ``keep_last`` NEWEST batch subdirectories per table AND PER
+    CHECKPOINT NAMESPACE are preserved as-is, because the only batch an
+    at-least-once restart can replay is the last uncommitted one OF ITS
+    OWN CHECKPOINT and its replay marker must survive the fold —
+    folding it would make the replay judge the batch against its own
+    contribution (batch ids restart at 0 per checkpoint, so newest is
+    only meaningful within a namespace).  The swap is rename-based and
     self-healing (:func:`_heal_table` runs first; an interruption
     leaves recoverable ``.old``/``.compacting`` siblings, never a
-    silently-empty table).  Returns the output file count per table."""
+    silently-empty table).  Guarded by the single-compactor lease
+    (:func:`_acquire_compaction_lease`): a second concurrent compactor
+    raises :class:`CompactionLeaseHeld`.  Returns the output file count
+    per table."""
+    lease = _acquire_compaction_lease(spark, index_dir)
+    try:
+        return _compact_ingest_indexes_locked(
+            spark, index_dir, target_mb, keep_last
+        )
+    finally:
+        _release_compaction_lease(spark, lease)
+
+
+def _compact_ingest_indexes_locked(
+    spark: SparkSession,
+    index_dir: str,
+    target_mb: int,
+    keep_last: int,
+) -> dict[str, int]:
     out = {}
     for sub in _TABLES:
         src = _join(index_dir, sub)
@@ -410,15 +519,7 @@ def compact_ingest_indexes(
         if not _exists(spark, src):
             continue
         children = _list_children(spark, src)
-        subdirs = sorted(
-            [c for c in children if c[2]],
-            key=lambda c: (_tag_batch_id(c[0]), c[3], c[0]),
-        )
-        kept = (
-            {c[0] for c in subdirs[max(0, len(subdirs) - keep_last) :]}
-            if keep_last
-            else set()
-        )
+        kept = _kept_newest([c for c in children if c[2]], keep_last)
         fold = [c[1] for c in children if c[0] not in kept]
         fold_names = [c[0] for c in children if c[0] not in kept]
         if not fold:

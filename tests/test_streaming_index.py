@@ -180,3 +180,101 @@ def test_heal_restores_base_when_swap_died(spark, tmp_path, corpus):
     assert not os.path.exists(post + ".folded")
     assert os.path.isdir(os.path.join(idx, "postings_inc", "b0"))
     assert _scores(spark, idx) == want
+
+
+def test_compaction_keeps_newest_per_namespace(spark, tmp_path, corpus):
+    """Batch ids restart at 0 per checkpoint namespace (ADVICE_r7): a
+    dead run's high-id batch must not displace the LIVE stream's
+    replayable newest batch from the keep_last protection.  Folding the
+    live batch would let its at-least-once replay recreate the subdir
+    and double-count rows already folded into the base."""
+    _, base, b1, b2 = corpus
+    idx = str(tmp_path / "ns_idx")
+    build_inverted_index(base, idx)
+    # dead run: two batches under namespace 'dead', ids up to 5
+    append_batch_to_index(b1, idx, batch_id=0, namespace="dead")
+    append_batch_to_index(b1, idx, batch_id=5, namespace="dead")
+    # live run restarted with a fresh checkpoint: its newest id is 0
+    append_batch_to_index(b2, idx, batch_id=0, namespace="live")
+    want = _scores(spark, idx)
+
+    compact_index(spark, idx, keep_last=1)
+    inc = os.path.join(idx, "postings_inc")
+    # newest of EACH namespace survives; only the dead run's stale
+    # batch folds
+    assert os.path.isdir(os.path.join(inc, "bdead-5"))
+    assert os.path.isdir(os.path.join(inc, "blive-0"))
+    assert not os.path.isdir(os.path.join(inc, "bdead-0"))
+    assert _scores(spark, idx) == want
+
+    # the at-least-once replay of the live batch lands exactly once
+    append_batch_to_index(b2, idx, batch_id=0, namespace="live")
+    assert _scores(spark, idx) == want
+
+
+def test_single_compactor_lease(spark, tmp_path, corpus):
+    """The compaction crash-safety story assumes ONE maintainer
+    (VERDICT_r7 #6): a second concurrent compactor must refuse loudly
+    (CompactionLeaseHeld), and a crashed compactor's stale lease is
+    stolen after the TTL."""
+    from bigdatamlteamrepo_spark.streaming.ingest import (
+        CompactionLeaseHeld,
+        _acquire_compaction_lease,
+        _release_compaction_lease,
+    )
+
+    _, base, b1, b2 = corpus
+    idx = str(tmp_path / "lease_idx")
+    build_inverted_index(base, idx)
+    append_batch_to_index(b1, idx, batch_id=0)
+    append_batch_to_index(b2, idx, batch_id=1)
+
+    lease = _acquire_compaction_lease(spark, idx)
+    assert os.path.exists(os.path.join(idx, "_compaction.lease"))
+    with pytest.raises(CompactionLeaseHeld):
+        compact_index(spark, idx)
+    # the refused attempt folded nothing
+    assert os.path.isdir(os.path.join(idx, "postings_inc", "b0"))
+    _release_compaction_lease(spark, lease)
+
+    # crashed compactor: lease left behind, older than the TTL → stolen
+    _acquire_compaction_lease(spark, idx)
+    lease_file = os.path.join(idx, "_compaction.lease")
+    stale = os.path.getmtime(lease_file) - 3600
+    os.utime(lease_file, (stale, stale))
+    counts = compact_index(spark, idx)
+    assert counts  # proceeded
+    assert not os.path.exists(lease_file)  # released on exit
+
+
+def test_trigger_during_interrupted_compaction(spark, tmp_path, corpus):
+    """A LIVE trigger landing while a compactor sits mid-swap (base
+    renamed to .old, manifest written, crash before tmp->base) must
+    neither corrupt nor be lost: increments are batch-scoped
+    subdirectories that never touch the swap, so the append succeeds,
+    the next compaction heals first, and the final index answers like
+    a from-scratch build over all docs."""
+    all_docs, base, b1, b2 = corpus
+    full = str(tmp_path / "mid_full")
+    build_inverted_index(all_docs, full)
+    want = _scores(spark, full)
+
+    idx = str(tmp_path / "mid_idx")
+    build_inverted_index(base, idx)
+    append_batch_to_index(b1, idx, batch_id=0, namespace="live")
+    # crash state mid-swap on postings: base moved aside, manifest
+    # names b0 as folded-in-flight (its rows are NOT in any base yet —
+    # this is the window between base->old and tmp->base, where tmp
+    # vanished with the crash)
+    post = os.path.join(idx, "postings")
+    os.rename(post, post + ".old")
+    with open(post + ".folded", "w") as f:
+        f.write("blive-0")
+
+    # the live trigger writes its next batch — untouched by the swap
+    append_batch_to_index(b2, idx, batch_id=1, namespace="live")
+    assert os.path.isdir(os.path.join(idx, "postings_inc", "blive-1"))
+
+    # next maintenance heals (restores base, keeps b0) then folds
+    compact_index(spark, idx, keep_last=0)
+    assert _scores(spark, idx) == want
