@@ -3,9 +3,15 @@ driver contract.
 
 The driver corpus has no media table, so the deterministic
 expression-generated fixture (sources/multimodal.py, seed-fixed) stands
-in — same rows every run, so the rows-only check is stable.  The decode
-is a documented stub; the Spark plumbing (mapInPandas feature
-extraction, frame expansion) is the real thing being exercised.
+in — every derivation is closed-form arithmetic or sha256 over strings,
+both reproducible in ANSI SQL, so the whole tier is ORACLE-PAIRED
+(VERDICT_r7 #4): the DuckDB twin recomputes features/frames/decode
+stats analytically from the synthesis definition and a hash match pins
+the full Spark chain (fixture → binary column → mapInPandas batch
+shapes → decode/extract → aggregation).  The PPM/WAV path is real
+bytes end-to-end, and as of r08 so is PNG (sources/codecs.py: zlib +
+chunk framing + all five scanline filters — no image library needed);
+JPEG/MP4 (DCT/entropy-coded) remain documented gated stubs.
 """
 
 from __future__ import annotations
@@ -20,42 +26,192 @@ from bigdatamlteamrepo_spark.sources.multimodal import (
     extract_features,
     generate_decodable_media,
     generate_media,
+    generate_png_media,
     sample_frames,
 )
 
 _N_MEDIA = 300
 
 
-@query("multimodal_feature_summary", priority=90)
+#: oracle twin of multimodal_feature_summary: reproduces the stub
+#: feature extraction analytically — the fixture's payload is
+#: repeat(sha256("{id}42"), reps) hex and the stub digests that hex
+#: string, so DuckDB's VARCHAR sha256 computes the identical digest.
+#: feat0 is an exact multiple of 1e-4, so the per-item numerators sum
+#: as exact BIGINTs and mean_feat0 is ONE double division of exact
+#: integers — bit-identical in both engines, no float-summation-order
+#: tolerance anywhere.
+_MM_FEATURES_ORACLE = f"""
+WITH m AS (
+  SELECT range AS mid,
+         (range*7 + 42) % 3 AS ki,
+         (range*13 + 42) % 8 + 2 AS reps
+  FROM range({_N_MEDIA})
+),
+f AS (
+  SELECT CASE ki WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+             AS kind,
+         32 * reps AS n_bytes,
+         CAST(('0x' || substr(
+             sha256(repeat(sha256(CAST(mid AS VARCHAR) || '42'),
+                           CAST(reps AS INT))), 1, 8)) AS UBIGINT) % 10000
+             AS v0
+  FROM m
+)
+SELECT kind,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(v0) AS DOUBLE) / (COUNT(*) * 10000) AS mean_feat0
+FROM f GROUP BY kind
+"""
+
+
+@query("multimodal_feature_summary", oracle=_MM_FEATURES_ORACLE)
 def multimodal_feature_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-kind summary of the mapInPandas feature-extraction stage.
+
+    mean_feat0 is computed exactly: each item's feat0 is v/10000 with
+    integer v (the stub's digest word), so summing the recovered
+    integers and dividing ONCE keeps the value independent of Spark's
+    float summation order — the oracle does the same division."""
     media = generate_media(spark, n_rows=_N_MEDIA, seed=42)
     feats = extract_features(media)
+    v0 = F.round(F.get("features", 0).cast("double") * 10000).cast("bigint")
     return feats.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.avg(F.get("features", 0)).alias("mean_feat0"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        (
+            F.sum(v0).cast("double") / (F.count(F.lit(1)) * 10000)
+        ).alias("mean_feat0"),
     )
 
 
-@query("multimodal_decode_stats", priority=90)
+#: oracle twin of multimodal_decode_stats: same synthesis CTEs as the
+#: decode_summary oracle, but per-item FLOAT statistics quantized to
+#: exact micro-units.  Per item, mean_luma = luma_sum/total_px and
+#: rms = sqrt(sum_sq/n) are single IEEE-double operations on exact
+#: integers (numpy's pairwise mean over integer-valued float64s is the
+#: exact sum — all partials < 2^53), so floor(x*1e6) is bit-identical
+#: in both engines and the BIGINT sums need no tolerance.
+_MM_DECODE_STATS_ORACLE = """
+WITH ids AS (SELECT range AS mid FROM range(120)),
+img AS (
+  SELECT mid, 32 + (mid*7+42)%97 AS w, 32 + (mid*11+42)%73 AS h
+  FROM ids WHERE (mid+42)%2 = 0
+),
+pxx AS (SELECT mid, h, unnest(range(w)) AS x FROM img),
+px AS (
+  SELECT mid,
+         ((x*((mid+1)%7+1) + y*((mid+2)%5+1) + mid) % 256) AS r,
+         ((x*((mid+3)%7+1) + y*((mid+5)%5+1) + mid*2) % 256) AS g,
+         ((x*((mid+5)%7+1) + y*((mid+8)%5+1) + mid*3) % 256) AS b
+  FROM (SELECT mid, x, unnest(range(h)) AS y FROM pxx)
+),
+img_per AS (
+  SELECT mid, SUM((2*r + 5*g + b) // 8) AS luma_sum FROM px GROUP BY mid
+),
+img_item AS (
+  SELECT i.mid,
+         9 + length(CAST(i.w AS VARCHAR)) + length(CAST(i.h AS VARCHAR))
+           + 3*i.w*i.h AS n_bytes,
+         FLOOR((CAST(ip.luma_sum AS DOUBLE)/(i.w*i.h))*1000000.0)
+             AS luma_micro
+  FROM img i JOIN img_per ip USING (mid)
+),
+img_stats AS (
+  SELECT 'image' AS kind,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         CAST(SUM(luma_micro) AS BIGINT) AS luma_micro_sum,
+         CAST(NULL AS BIGINT) AS rms_micro_sum,
+         CAST(NULL AS BIGINT) AS total_zero_crossings
+  FROM img_item
+),
+aud AS (
+  SELECT mid, 2000 + (mid*13+42)%8000 AS n,
+         (mid%37)+20 AS p1, (mid%53)+40 AS p2
+  FROM ids WHERE (mid+42)%2 = 1
+),
+smp AS (
+  SELECT mid, t,
+         (CASE WHEN (t // p1) % 2 = 0 THEN 8000 ELSE -8000 END
+          + CASE WHEN (t // p2) % 2 = 0 THEN 4000 ELSE -4000 END) AS x
+  FROM (SELECT mid, p1, p2, unnest(range(n)) AS t FROM aud)
+),
+smp2 AS (
+  SELECT mid, x, LAG(x) OVER (PARTITION BY mid ORDER BY t) AS px FROM smp
+),
+aud_per AS (
+  SELECT mid, CAST(COUNT(*) AS BIGINT) AS n_samples,
+         SUM(CAST(x AS BIGINT)*x) AS sum_sq,
+         SUM(CASE WHEN px IS NOT NULL AND (x < 0) <> (px < 0)
+                  THEN 1 ELSE 0 END) AS zc
+  FROM smp2 GROUP BY mid
+),
+aud_item AS (
+  SELECT a.mid, 44 + 2*a.n AS n_bytes,
+         FLOOR(SQRT(CAST(ap.sum_sq AS DOUBLE)/ap.n_samples)*1000000.0)
+             AS rms_micro,
+         ap.zc
+  FROM aud a JOIN aud_per ap USING (mid)
+),
+aud_stats AS (
+  SELECT 'audio' AS kind,
+         CAST(COUNT(*) AS BIGINT) AS n_items,
+         CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         CAST(NULL AS BIGINT) AS luma_micro_sum,
+         CAST(SUM(rms_micro) AS BIGINT) AS rms_micro_sum,
+         CAST(SUM(zc) AS BIGINT) AS total_zero_crossings
+  FROM aud_item
+)
+SELECT * FROM img_stats UNION ALL SELECT * FROM aud_stats
+"""
+
+
+@query("multimodal_decode_stats", oracle=_MM_DECODE_STATS_ORACLE)
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode path (PPM/WAV, sources/codecs.py): per-kind content
-    statistics computed from actual pixels and samples — deterministic
-    (integer synthesis + exact box math), so the rows-only check is
-    stable across runs and partitionings."""
+    statistics computed from actual pixels and samples.  The per-item
+    FLOAT stats (mean luma, RMS) are quantized to exact micro-unit
+    BIGINTs before aggregation, so the result is independent of
+    summation order and the oracle needs no float tolerance — this is
+    the float-decode complement of multimodal_decode_summary's
+    integer-only face."""
     media = generate_decodable_media(spark, n_rows=120, seed=42)
     stats = decode_media_stats(media)
     return stats.groupBy("kind").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.sum("n_bytes").alias("total_bytes"),
-        F.round(F.avg("mean_luma"), 6).alias("avg_luma"),
-        F.round(F.avg("rms"), 6).alias("avg_rms"),
-        F.sum("zero_crossings").alias("total_zero_crossings"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum(F.floor(F.col("mean_luma") * 1000000.0))
+        .cast("bigint")
+        .alias("luma_micro_sum"),
+        F.sum(F.floor(F.col("rms") * 1000000.0))
+        .cast("bigint")
+        .alias("rms_micro_sum"),
+        F.sum("zero_crossings").cast("bigint").alias("total_zero_crossings"),
     )
 
 
-@query("multimodal_frame_counts", priority=90)
+_MM_FRAMES_ORACLE = f"""
+WITH m AS (
+  SELECT range AS mid,
+         (range*7 + 42) % 3 AS ki,
+         (range*17 + 42) % 60000 + 500 AS dur
+  FROM range({_N_MEDIA})
+)
+SELECT mid AS media_id,
+       CAST((dur + 999) // 1000 AS BIGINT) AS n_frames,
+       CAST(((dur + 999) // 1000 - 1) * 1000 AS INT) AS last_frame_ms
+FROM m WHERE ki = 2
+"""
+
+
+@query("multimodal_frame_counts", oracle=_MM_FRAMES_ORACLE)
 def multimodal_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling (row-expanding mapInPandas) summarized per video;
+    the oracle derives frame counts in closed form from the fixture's
+    duration arithmetic — ceil(duration/step) frames, last at
+    (n-1)*step."""
     media = generate_media(spark, n_rows=_N_MEDIA, seed=42)
     frames = sample_frames(media, fps=1.0)
     return frames.groupBy("media_id").agg(
@@ -156,4 +312,52 @@ def multimodal_decode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_samples").cast("bigint").alias("total_samples"),
         F.sum("sum_sq").cast("bigint").alias("sum_sq"),
         F.sum("zero_crossings").cast("bigint").alias("zero_crossings"),
+    )
+
+
+#: oracle twin of multimodal_png_decode_summary: the PNG tier is
+#: LOSSLESS, so the analytic pixel synthesis (same CTEs as the PPM
+#: oracle, without the parity split — every id is an image) must
+#: reproduce the decoded luma sums exactly.  n_bytes is deliberately
+#: absent: zlib output length is library-version-dependent, pixels are
+#: not.
+_MM_PNG_ORACLE = """
+WITH ids AS (SELECT range AS mid FROM range(120)),
+img AS (
+  SELECT mid, 32 + (mid*7+42)%97 AS w, 32 + (mid*11+42)%73 AS h
+  FROM ids
+),
+pxx AS (SELECT mid, h, unnest(range(w)) AS x FROM img),
+px AS (
+  SELECT mid,
+         ((x*((mid+1)%7+1) + y*((mid+2)%5+1) + mid) % 256) AS r,
+         ((x*((mid+3)%7+1) + y*((mid+5)%5+1) + mid*2) % 256) AS g,
+         ((x*((mid+5)%7+1) + y*((mid+8)%5+1) + mid*3) % 256) AS b
+  FROM (SELECT mid, x, unnest(range(h)) AS y FROM pxx)
+),
+per AS (
+  SELECT mid, SUM((2*r + 5*g + b) // 8) AS luma_sum FROM px GROUP BY mid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(i.w * i.h) AS BIGINT) AS total_px,
+       CAST(SUM(p.luma_sum) AS BIGINT) AS luma_sum
+FROM img i JOIN per p USING (mid)
+"""
+
+
+@query("multimodal_png_decode_summary", oracle=_MM_PNG_ORACLE)
+def multimodal_png_decode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-INTEGER decode summary over REAL PNG payloads — the
+    compressed-image tier, un-stubbed (sources/codecs.py encode_png/
+    decode_png: zlib + chunk framing + all five scanline filters,
+    rotated per id so every unfilter path executes).  The oracle
+    recomputes pixel sums analytically from the synthesis; a hash match
+    pins synth -> filter -> deflate -> binary column -> inflate ->
+    unfilter -> stats, with no image library in the container."""
+    media = generate_png_media(spark, n_rows=120, seed=42)
+    ex = decode_media_exact_stats(media)
+    return ex.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("total_px").cast("bigint").alias("total_px"),
+        F.sum("luma_sum").cast("bigint").alias("luma_sum"),
     )
