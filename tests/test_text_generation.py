@@ -95,3 +95,37 @@ def test_torch_paths_gated(spark):
         tg.fit_t5(pairs, pairs)
     with pytest.raises(NotImplementedError):
         tg.generate_recipes_udf("/tmp/nonexistent-model")
+
+
+def test_stub_generation_udf_pinned(spark, tmp_path):
+    """The generation UDF's plumbing (per-partition model-dir load,
+    Arrow-batched iterator pandas_udf, beam loop) executed end-to-end
+    against the torch-free stub decoder, pinned to fixture outputs
+    (VERDICT_r7 #5)."""
+    from pyspark.sql import functions as F
+
+    mdl = str(tmp_path / "stub_model")
+    tg.save_stub_decoder(mdl)
+    gen = tg.generate_recipes_udf(mdl, num_beams=4, max_length=256)
+    df = spark.createDataFrame(
+        [(1, "make a cake with flour and eggs"), (2, "soup: heat water add salt")],
+        "id int, prompt string",
+    ).repartition(2)
+    out = {r.id: r.gen for r in df.withColumn("gen", gen("prompt")).collect()}
+    assert out == {
+        1: "mix mix eggs eggs sugar butter bake bake",
+        2: "stir flour salt milk heat mix flour add",
+    }
+    # partitioning-invariant (per-partition load changes nothing)
+    one = {
+        r.id: r.gen
+        for r in df.coalesce(1).withColumn("gen", gen("prompt")).collect()
+    }
+    assert one == out
+
+
+def test_generation_udf_requires_model(spark, tmp_path):
+    """No torch AND no stub decoder: loud NotImplementedError, never a
+    silent empty generation."""
+    with pytest.raises(NotImplementedError):
+        tg.generate_recipes_udf(str(tmp_path / "empty_dir"))
