@@ -108,3 +108,79 @@ def test_resize_images_real_reencodes(spark):
         rgb = decode_ppm(bytes(r.payload))
         assert rgb.shape == (r.height, r.width, 3)
         assert max(r.width, r.height) <= 40
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png/decode_png: bit-exact round-trips for every PNG
+    scanline filter type, RGB and RGBA, gradient and high-entropy
+    content — the un-stubbed compressed-image tier (pure zlib +
+    chunk framing, no image library)."""
+    import numpy as np
+
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        decode_png,
+        encode_png,
+        synth_image,
+    )
+
+    for ft in range(5):
+        img = synth_image(3 + ft, 37, 41)
+        assert (decode_png(encode_png(img, filter_type=ft)) == img).all()
+        noisy = (img.astype(np.uint32) * 181 % 256).astype(np.uint8)
+        assert (decode_png(encode_png(noisy, filter_type=ft)) == noisy).all()
+    rgba = np.dstack(
+        [synth_image(5, 20, 14), synth_image(9, 20, 14)[..., 0]]
+    )
+    got = decode_png(encode_png(rgba, filter_type=4))
+    assert got.shape == (14, 20, 4) and (got == rgba).all()
+
+
+def test_png_rejects_corruption():
+    import pytest
+
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        decode_png,
+        encode_png,
+        synth_image,
+    )
+
+    good = bytearray(encode_png(synth_image(1, 16, 16)))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\x00" + bytes(good[8:]))  # bad magic
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # flip a byte inside IDAT → CRC mismatch
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+
+
+def test_decode_image_dispatch():
+    """The one-function decode seam routes by payload magic."""
+    import pytest
+
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        decode_image,
+        encode_png,
+        encode_ppm,
+        synth_image,
+    )
+
+    img = synth_image(7, 24, 18)
+    assert (decode_image(encode_ppm(img)) == img).all()
+    assert (decode_image(encode_png(img)) == img).all()
+    with pytest.raises(ValueError):
+        decode_image(b"JFIF not really")
+
+
+def test_png_media_resize_real(spark):
+    """resize_images_real over PNG payloads: decode dispatch + box
+    downscale + re-encode on real compressed bytes."""
+    from bigdatamlteamrepo_spark.sources import multimodal as mm
+    from bigdatamlteamrepo_spark.sources.codecs import decode_ppm
+
+    media = mm.generate_png_media(spark, n_rows=20, seed=42)
+    out = {r.media_id: r for r in mm.resize_images_real(media, max_side=16).collect()}
+    assert len(out) == 20
+    for mid, r in out.items():
+        assert max(r.width, r.height) <= 16
+        arr = decode_ppm(bytes(r.payload))
+        assert arr.shape == (r.height, r.width, 3)
