@@ -9,9 +9,11 @@ both reproducible in ANSI SQL, so the whole tier is ORACLE-PAIRED
 stats analytically from the synthesis definition and a hash match pins
 the full Spark chain (fixture → binary column → mapInPandas batch
 shapes → decode/extract → aggregation).  The PPM/WAV path is real
-bytes end-to-end, and as of r08 so is PNG (sources/codecs.py: zlib +
-chunk framing + all five scanline filters — no image library needed);
-JPEG/MP4 (DCT/entropy-coded) remain documented gated stubs.
+bytes end-to-end; as of r08 so are PNG (sources/codecs.py: zlib +
+chunk framing + all five scanline filters — no image library needed)
+and the MP4 CONTAINER level (ISO BMFF box framing + stts/stsz/mdhd
+sample tables, which is all frame sampling needs).  JPEG pixels and
+in-frame video codecs remain the documented gated stubs.
 """
 
 from __future__ import annotations
@@ -360,4 +362,48 @@ def multimodal_png_decode_summary(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_images"),
         F.sum("total_px").cast("bigint").alias("total_px"),
         F.sum("luma_sum").cast("bigint").alias("luma_sum"),
+    )
+
+
+#: oracle twin of multimodal_mp4_frame_table: the container's sample
+#: tables are synthesized closed-form (durations in runs of 8 so stts
+#: is genuinely RLE), so frame counts, cumulative timestamps, and byte
+#: totals are recomputable analytically — a hash match pins box
+#: framing -> stts RLE -> stsz -> parse -> cumsum.
+_MM_MP4_ORACLE = """
+WITH m AS (SELECT range AS mid, 24 + (range*19+42)%96 AS n FROM range(100)),
+fr AS (SELECT mid, n, unnest(range(n)) AS f FROM m),
+d AS (
+  SELECT mid, n, f,
+         33 + (mid + f//8)%3 AS delta,
+         100 + (mid*7 + f*13)%900 AS fsz
+  FROM fr
+)
+SELECT mid AS media_id,
+       CAST(MAX(n) AS BIGINT) AS n_frames,
+       CAST(SUM(delta) - MAX(CASE WHEN f = n-1 THEN delta END) AS BIGINT)
+           AS last_frame_ts_ms,
+       CAST(SUM(fsz) AS BIGINT) AS total_frame_bytes
+FROM d GROUP BY mid
+"""
+
+
+@query("multimodal_mp4_frame_table", oracle=_MM_MP4_ORACLE)
+def multimodal_mp4_frame_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video frame-table summary parsed from REAL ISO BMFF sample
+    tables (sources/codecs.py encode_mp4_skeleton/parse_mp4_frames):
+    frame sampling never needs pixel decode, only the stts/stsz/mdhd
+    boxes every player seeks by — so the MP4 CONTAINER half of the
+    video tier is real; in-frame codecs remain the one gated stub."""
+    from bigdatamlteamrepo_spark.sources.multimodal import (
+        generate_mp4_media,
+        sample_frames_mp4,
+    )
+
+    media = generate_mp4_media(spark, n_rows=100, seed=42)
+    frames = sample_frames_mp4(media)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.max("frame_ts_ms").cast("bigint").alias("last_frame_ts_ms"),
+        F.sum("frame_bytes").cast("bigint").alias("total_frame_bytes"),
     )

@@ -13,9 +13,14 @@ implements REAL encode/decode/resize for
     Average/Paeth) on both encode and decode (stdlib zlib IS the
     format's compressor — only the filter/chunk layer needed code).
 
-JPEG/MP4 (DCT/entropy-coded) stay gated behind the documented stub in
-sources/multimodal.py — their plumbing (schema, batching, column
-pruning) is identical, only the per-payload function differs.
+  * MP4/ISO BMFF — the CONTAINER level: box framing, sample tables
+    (stts/stsz/mdhd) written and parsed for real, which is all frame
+    SAMPLING ever needs; see the module's MP4 section.
+
+JPEG pixels and in-frame video codecs (DCT/entropy-coded) stay gated
+behind the documented stub in sources/multimodal.py — their plumbing
+(schema, batching, column pruning) is identical, only the per-payload
+function differs.
 
 Everything here is executor-side code invoked from Arrow-batched
 ``mapInPandas`` — plain bytes→numpy→bytes functions with no Spark
@@ -300,3 +305,166 @@ def synth_audio(media_id: int, n_samples: int) -> np.ndarray:
     sq1 = np.where((t // p1) % 2 == 0, 8000, -8000)
     sq2 = np.where((t // p2) % 2 == 0, 4000, -4000)
     return (sq1 + sq2).astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container (frame-timing metadata tier)
+# ---------------------------------------------------------------------------
+#
+# Frame SAMPLING never needs pixel decode — it needs the container's
+# sample tables: stts (run-length-encoded frame durations), stsz
+# (frame sizes), mdhd (timescale).  Those are plain big-endian structs,
+# so the "MP4" half of the multimodal tier is real: we write
+# structurally-valid ISO BMFF (ftyp/moov/trak/mdia/stbl/mdat) and parse
+# it back box-by-box.  Only the codec payload INSIDE the frames
+# (H.264/AV1 entropy decode) stays behind the documented gated stub.
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tag + payload
+
+
+def _full(tag: bytes, payload: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def encode_mp4_skeleton(
+    deltas: np.ndarray, sizes: np.ndarray, timescale: int = 1000
+) -> bytes:
+    """Per-frame (duration, size) tables → a minimal valid ISO BMFF
+    file: ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd,
+    stts, stsz, stsc, stco))))) + mdat.  stts is genuinely
+    run-length-encoded; mdat carries ``sum(sizes)`` deterministic
+    pattern bytes so offsets/sizes are coherent."""
+    deltas = np.asarray(deltas, dtype=np.uint32)
+    sizes = np.asarray(sizes, dtype=np.uint32)
+    if len(deltas) != len(sizes) or len(deltas) == 0:
+        raise ValueError("deltas/sizes must be equal-length and non-empty")
+    total = int(deltas.sum())
+    n = len(deltas)
+    # stts: RLE of consecutive equal deltas
+    runs = []
+    count = 1
+    for i in range(1, n):
+        if deltas[i] == deltas[i - 1]:
+            count += 1
+        else:
+            runs.append((count, int(deltas[i - 1])))
+            count = 1
+    runs.append((count, int(deltas[-1])))
+    stts = _full(
+        b"stts",
+        struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">II", c, d) for c, d in runs),
+    )
+    stsz = _full(
+        b"stsz",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", int(s)) for s in sizes),
+    )
+    stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stco = _full(b"stco", struct.pack(">II", 1, 0))  # offset fixed up below
+    stsd = _full(
+        b"stsd",
+        struct.pack(">I", 1)
+        + _box(b"mp4v", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70),
+    )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    # dinf/dref: required by strict readers; minimal self-contained ref
+    dref = _full(b"dref", struct.pack(">I", 1) + _full(b"url ", b"", flags=1))
+    minf = _box(b"minf", _full(b"vmhd", b"\x00" * 8, flags=1)
+                + _box(b"dinf", dref) + stbl)
+    hdlr = _full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"v\x00")
+    mdhd = _full(
+        b"mdhd",
+        struct.pack(">IIIIHH", 0, 0, timescale, total, 0x55C4, 0),
+    )
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(
+        b"tkhd",
+        struct.pack(">IIII", 0, 0, 1, 0)
+        + struct.pack(">I", total)
+        + b"\x00" * 52,
+        flags=7,
+    )
+    mvhd = _full(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, total)
+        + struct.pack(">I", 0x00010000) + b"\x00" * 76
+        + struct.pack(">I", 2),
+    )
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp42")
+    # mdat: deterministic pattern bytes, one run per frame
+    body = b"".join(
+        bytes([(i * 37 + j) % 256 for j in range(int(s))])
+        for i, s in enumerate(sizes)
+    )
+    mdat = _box(b"mdat", body)
+    # fix up stco chunk offset to the real mdat payload position
+    prefix = ftyp + moov
+    off = len(prefix) + 8
+    moov = moov.replace(
+        _full(b"stco", struct.pack(">II", 1, 0)),
+        _full(b"stco", struct.pack(">II", 1, off)),
+        1,
+    )
+    return ftyp + moov + mdat
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (tag, payload_start, payload_end) of the boxes in range."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, i)
+        tag = buf[i + 4 : i + 8]
+        if size < 8 or i + size > end:
+            raise ValueError(f"malformed box {tag!r} at {i}")
+        yield tag, i + 8, i + size
+        i += size
+
+
+def _find_box(buf: bytes, start: int, end: int, path: list[bytes]):
+    for tag, s, e in _walk_boxes(buf, start, end):
+        if tag == path[0]:
+            if len(path) == 1:
+                return s, e
+            return _find_box(buf, s, e, path[1:])
+    raise ValueError(f"box {path[0]!r} not found")
+
+
+def parse_mp4_frames(payload: bytes) -> tuple[np.ndarray, np.ndarray, int]:
+    """ISO BMFF bytes → (per-frame durations, per-frame sizes,
+    timescale), read from the REAL sample tables (mdhd/stts/stsz)
+    inside moov/trak/mdia — the structures any player seeks by.
+    Version-0 boxes, single video track."""
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO BMFF payload")
+    stbl_s, stbl_e = _find_box(
+        payload, 0, len(payload),
+        [b"moov", b"trak", b"mdia", b"minf", b"stbl"],
+    )
+    mdhd_s, _ = _find_box(
+        payload, 0, len(payload), [b"moov", b"trak", b"mdia", b"mdhd"]
+    )
+    version = payload[mdhd_s]
+    if version != 0:
+        raise ValueError("only version-0 mdhd supported")
+    (timescale,) = struct.unpack_from(">I", payload, mdhd_s + 12)
+    stts_s, stts_e = _find_box(payload, stbl_s, stbl_e, [b"stts"])
+    (n_runs,) = struct.unpack_from(">I", payload, stts_s + 4)
+    deltas = []
+    for r in range(n_runs):
+        c, d = struct.unpack_from(">II", payload, stts_s + 8 + 8 * r)
+        deltas.extend([d] * c)
+    stsz_s, _ = _find_box(payload, stbl_s, stbl_e, [b"stsz"])
+    fixed, n_samples = struct.unpack_from(">II", payload, stsz_s + 4)
+    if fixed:
+        sizes = np.full(n_samples, fixed, dtype=np.uint32)
+    else:
+        sizes = np.frombuffer(
+            payload, dtype=">u4", count=n_samples, offset=stsz_s + 12
+        ).astype(np.uint32)
+    if len(deltas) != n_samples:
+        raise ValueError("stts/stsz sample-count mismatch")
+    return np.array(deltas, dtype=np.uint32), sizes, int(timescale)

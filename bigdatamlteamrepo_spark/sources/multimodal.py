@@ -381,3 +381,75 @@ def generate_png_media(
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return spark.range(n_rows).mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def generate_mp4_media(
+    spark: SparkSession, n_rows: int = 100, seed: int = 42
+) -> DataFrame:
+    """Media table whose payloads are REAL ISO BMFF containers
+    (codecs.encode_mp4_skeleton): closed-form per-frame duration and
+    size tables — durations vary in runs of 8 so the stts box is
+    genuinely run-length-encoded — so the frame-table oracle can
+    recompute everything analytically.  Frame PIXELS stay a
+    deterministic mdat pattern (in-frame video codecs are the one
+    remaining gated stub)."""
+    from bigdatamlteamrepo_spark.sources.codecs import encode_mp4_skeleton
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                n = 24 + (mid * 19 + seed) % 96
+                f = np.arange(n, dtype=np.int64)
+                deltas = (33 + (mid + f // 8) % 3).astype(np.uint32)
+                sizes = (100 + (mid * 7 + f * 13) % 900).astype(np.uint32)
+                payload = encode_mp4_skeleton(deltas, sizes, timescale=1000)
+                rows.append(
+                    (mid, "video", payload, "video/mp4", None, None,
+                     int(deltas.sum()), None)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(n_rows).mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+MP4_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms long, frame_bytes int"
+)
+
+
+def sample_frames_mp4(df: DataFrame) -> DataFrame:
+    """One row per frame with its REAL container timing: parses the
+    stts/stsz/mdhd sample tables out of the ISO BMFF payload
+    (codecs.parse_mp4_frames) — the metadata walk every player does to
+    seek — and emits (frame_idx, cumulative timestamp ms, frame size).
+    Row-expanding mapInPandas like :func:`sample_frames`, but driven by
+    the actual boxes instead of the duration_ms column."""
+    from bigdatamlteamrepo_spark.sources.codecs import parse_mp4_frames
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_ts, out_sz = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                deltas, sizes, timescale = parse_mp4_frames(bytes(payload))
+                n = len(deltas)
+                ts = np.concatenate(
+                    [[0], np.cumsum(deltas.astype(np.int64))[:-1]]
+                ) * 1000 // timescale
+                out_id += [mid] * n
+                out_idx += list(range(n))
+                out_ts += ts.tolist()
+                out_sz += sizes.astype(np.int64).tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": out_id,
+                    "frame_idx": out_idx,
+                    "frame_ts_ms": out_ts,
+                    "frame_bytes": out_sz,
+                }
+            )
+
+    return df.filter(F.col("kind") == "video").mapInPandas(
+        op, schema=MP4_FRAMES_SCHEMA
+    )

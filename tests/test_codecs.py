@@ -184,3 +184,52 @@ def test_png_media_resize_real(spark):
         assert max(r.width, r.height) <= 16
         arr = decode_ppm(bytes(r.payload))
         assert arr.shape == (r.height, r.width, 3)
+
+
+def test_mp4_container_roundtrip():
+    """encode_mp4_skeleton/parse_mp4_frames: the stts RLE, stsz table,
+    and mdhd timescale survive the box round-trip exactly."""
+    import numpy as np
+    import pytest
+
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        encode_mp4_skeleton,
+        parse_mp4_frames,
+    )
+
+    d = np.array([33, 33, 33, 34, 34, 35, 33, 33], dtype=np.uint32)
+    s = np.array([100, 200, 150, 120, 130, 140, 110, 105], dtype=np.uint32)
+    payload = encode_mp4_skeleton(d, s)
+    dd, ss, ts = parse_mp4_frames(payload)
+    assert (dd == d).all() and (ss == s).all() and ts == 1000
+    # single-run RLE + non-default timescale
+    d2 = np.full(50, 40, dtype=np.uint32)
+    s2 = np.arange(50, dtype=np.uint32) + 64
+    dd, ss, ts = parse_mp4_frames(encode_mp4_skeleton(d2, s2, timescale=600))
+    assert (dd == d2).all() and (ss == s2).all() and ts == 600
+    with pytest.raises(ValueError):
+        parse_mp4_frames(b"\x00\x00\x00\x08free" + payload)  # no ftyp magic
+    with pytest.raises(ValueError):
+        encode_mp4_skeleton(np.array([], np.uint32), np.array([], np.uint32))
+
+
+def test_mp4_frame_sampling_stage(spark):
+    """sample_frames_mp4 reads frame timing from the REAL boxes: counts
+    and cumulative timestamps match the closed-form synthesis."""
+    from bigdatamlteamrepo_spark.sources import multimodal as mm
+
+    media = mm.generate_mp4_media(spark, n_rows=12, seed=42)
+    rows = mm.sample_frames_mp4(media).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert len(by_media) == 12
+    for mid, frs in by_media.items():
+        n = 24 + (mid * 19 + 42) % 96
+        assert len(frs) == n
+        frs.sort(key=lambda r: r.frame_idx)
+        ts = 0
+        for f, r in enumerate(frs):
+            assert r.frame_ts_ms == ts
+            assert r.frame_bytes == 100 + (mid * 7 + f * 13) % 900
+            ts += 33 + (mid + f // 8) % 3
