@@ -10,10 +10,12 @@ stats analytically from the synthesis definition and a hash match pins
 the full Spark chain (fixture → binary column → mapInPandas batch
 shapes → decode/extract → aggregation).  The PPM/WAV path is real
 bytes end-to-end; as of r08 so are PNG (sources/codecs.py: zlib +
-chunk framing + all five scanline filters — no image library needed)
-and the MP4 CONTAINER level (ISO BMFF box framing + stts/stsz/mdhd
-sample tables, which is all frame sampling needs).  JPEG pixels and
-in-frame video codecs remain the documented gated stubs.
+chunk framing + all five scanline filters), baseline JPEG
+(sources/jpeg.py: DCT + Annex-K quantization/Huffman, no image library
+needed), and the MP4 CONTAINER level (ISO BMFF box framing +
+stts/stsz/mdhd sample tables, which is all frame sampling needs).
+Only in-frame VIDEO codecs (H.264 etc.) remain a documented gated
+stub.
 """
 
 from __future__ import annotations
@@ -406,4 +408,45 @@ def multimodal_mp4_frame_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_frames"),
         F.max("frame_ts_ms").cast("bigint").alias("last_frame_ts_ms"),
         F.sum("frame_bytes").cast("bigint").alias("total_frame_bytes"),
+    )
+
+
+#: oracle twin of multimodal_jpeg_decode_summary: the fixture's gray
+#: value and dims are closed-form and the codec is spec-exact on them
+#: (solid gray, even v-128: luma DC divides its quantizer, chroma DCs
+#: are zero), so decoded luma = v at every pixel and the sums are
+#: analytic.  A hash match pins marker parse -> canonical Huffman ->
+#: EXTEND -> dequant -> IDCT -> color transform for 100 real JPEGs.
+_MM_JPEG_ORACLE = """
+WITH m AS (
+  SELECT range AS mid,
+         16 + (range*7 + 42) % 49 AS w,
+         16 + (range*11 + 42) % 33 AS h,
+         68 + 2*((range*23 + 42) % 60) AS v
+  FROM range(100)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(w*h) AS BIGINT) AS total_px,
+       CAST(SUM(CAST(v AS BIGINT)*w*h) AS BIGINT) AS luma_sum
+FROM m
+"""
+
+
+@query("multimodal_jpeg_decode_summary", oracle=_MM_JPEG_ORACLE)
+def multimodal_jpeg_decode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-INTEGER decode summary over REAL baseline JPEG payloads
+    (sources/jpeg.py — marker parse, stream-read Annex-K tables,
+    canonical Huffman, dequant, IDCT, BT.601).  The fixture is the
+    codec's spec-exact subset (solid gray; see generate_jpeg_media), so
+    the lossy format still yields an analytic oracle; general-content
+    fidelity is pinned by PSNR ladders and a hand-built T.81 fixture in
+    tests/test_jpeg.py."""
+    from bigdatamlteamrepo_spark.sources.multimodal import generate_jpeg_media
+
+    media = generate_jpeg_media(spark, n_rows=100, seed=42)
+    ex = decode_media_exact_stats(media)
+    return ex.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("total_px").cast("bigint").alias("total_px"),
+        F.sum("luma_sum").cast("bigint").alias("luma_sum"),
     )

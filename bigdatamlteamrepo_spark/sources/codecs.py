@@ -17,10 +17,11 @@ implements REAL encode/decode/resize for
     (stts/stsz/mdhd) written and parsed for real, which is all frame
     SAMPLING ever needs; see the module's MP4 section.
 
-JPEG pixels and in-frame video codecs (DCT/entropy-coded) stay gated
-behind the documented stub in sources/multimodal.py — their plumbing
-(schema, batching, column pruning) is identical, only the per-payload
-function differs.
+Baseline JPEG (DCT + Annex-K quantization/Huffman) lives in the
+sibling sources/jpeg.py, reachable through :func:`decode_image`.  Only
+in-frame VIDEO codecs (H.264 etc.) stay gated behind the documented
+stub in sources/multimodal.py — their plumbing (schema, batching,
+column pruning) is identical, only the per-payload function differs.
 
 Everything here is executor-side code invoked from Arrow-batched
 ``mapInPandas`` — plain bytes→numpy→bytes functions with no Spark
@@ -237,14 +238,18 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Magic-dispatched image decode (P6 PPM or PNG) → HxWxC uint8.
-    The one-function seam the multimodal decode stages call — adding a
-    codec never touches the Spark plumbing."""
+    """Magic-dispatched image decode (P6 PPM, PNG, or baseline JPEG) →
+    HxWxC uint8.  The one-function seam the multimodal decode stages
+    call — adding a codec never touches the Spark plumbing."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
-    raise ValueError("unsupported image payload (not PPM/PNG)")
+    if payload[:2] == b"\xff\xd8":
+        from bigdatamlteamrepo_spark.sources.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("unsupported image payload (not PPM/PNG/JPEG)")
 
 
 # ---------------------------------------------------------------------------

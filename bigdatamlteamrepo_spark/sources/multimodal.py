@@ -7,12 +7,14 @@ Two payload tiers:
     PPM images, PCM16 WAV, and — as of r08 — PNG (RGB/RGBA, all five
     scanline filters); generation, decode, resize, and feature
     extraction below operate on actual pixels/samples.
-  * **Stub** for entropy-coded formats (JPEG/MP4): no media libraries
-    ship in this container, so that decode is a deterministic fake;
-    swapping in PIL/ffmpeg is a one-function change behind the
-    ``decode_image`` seam that doesn't touch the plan.  Everything
-    Spark-side — schema, partition sizing, UDF signatures, batch
-    shapes — is identical across tiers.
+  * **Real codecs, continued**: baseline JPEG (sources/jpeg.py, pure
+    numpy DCT + Annex-K Huffman) and the MP4 container's sample tables
+    (all frame sampling needs).  Only in-frame VIDEO codecs (H.264
+    etc.) remain a **stub** — a deterministic fake behind the
+    ``decode_image`` seam; swapping in ffmpeg is a one-function change
+    that doesn't touch the plan.  Everything Spark-side — schema,
+    partition sizing, UDF signatures, batch shapes — is identical
+    across tiers.
 
 Scale design:
   * payloads live in their own column so column pruning keeps metadata-
@@ -453,3 +455,34 @@ def sample_frames_mp4(df: DataFrame) -> DataFrame:
     return df.filter(F.col("kind") == "video").mapInPandas(
         op, schema=MP4_FRAMES_SCHEMA
     )
+
+
+def generate_jpeg_media(
+    spark: SparkSession, n_rows: int = 100, seed: int = 42
+) -> DataFrame:
+    """Media table whose payloads are REAL baseline JPEGs
+    (sources/jpeg.py: DCT, Annex-K quantization + Huffman, byte
+    stuffing).  Pixels are solid gray values chosen so the lossy codec
+    is SPEC-EXACT — R=G=B=v makes the chroma DCs zero and an even
+    (v-128) makes the luma DC quantize without remainder at both
+    rotated qualities (50: DC step 16; 75: DC step 8) — so decoded
+    stats have a closed-form oracle while the full entropy-decode +
+    IDCT path executes on every payload."""
+    from bigdatamlteamrepo_spark.sources.jpeg import encode_jpeg
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                w = 16 + (mid * 7 + seed) % 49
+                h = 16 + (mid * 11 + seed) % 33
+                v = 68 + 2 * ((mid * 23 + seed) % 60)
+                img = np.full((h, w, 3), v, dtype=np.uint8)
+                rows.append(
+                    (mid, "image", encode_jpeg(img, 50 + 25 * (mid % 2)),
+                     "image/jpeg", w, h, None, None)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(n_rows).mapInPandas(op, schema=MEDIA_SCHEMA)
