@@ -1147,9 +1147,10 @@ def _shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingle_sets_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized :func:`_shingle_sets`: the session-cached frame
-    when the stage cache is on (already checkpointed — re-checkpointing
-    it per query would copy the partitions for nothing), else a fresh
-    per-call localCheckpoint (the pre-cache behavior)."""
+    when the stage cache is on (already persisted + materialized —
+    re-checkpointing it per query would copy the partitions for
+    nothing), else a fresh per-call localCheckpoint (the pre-cache
+    behavior)."""
     sets = _shingle_sets(spark, sf_dir)
     return sets if stagecache.enabled() else sets.localCheckpoint(eager=True)
 

@@ -238,6 +238,21 @@ class _BitReader:
         self.acc &= (1 << self.n) - 1
         return out
 
+    def restart(self) -> None:
+        """Consume an RSTn marker at an MCU boundary: discard pad bits,
+        byte-align, and step over the two marker bytes (T.81 E.1.4)."""
+        self.acc = 0
+        self.n = 0
+        while self.pos < len(self.data) and self.data[self.pos] != 0xFF:
+            self.pos += 1  # stray pad bytes before the marker
+        if (
+            self.pos + 1 < len(self.data)
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+        else:
+            raise ValueError("expected RSTn marker at restart interval")
+
 
 def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) per T.81 C.2 canonical assignment."""
@@ -310,8 +325,14 @@ def _blocks(channel: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
-    """HxWx3 uint8 -> baseline sequential JFIF bytes (4:4:4)."""
+def encode_jpeg(
+    rgb: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """HxWx3 uint8 -> baseline sequential JFIF bytes (4:4:4).
+
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every that-many MCUs (DC predictors reset, stream byte-aligned) —
+    the error-resilience device real encoders use on large images."""
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         raise ValueError(f"expected HxWx3 uint8, got {rgb.shape} {rgb.dtype}")
     h, w = rgb.shape[:2]
@@ -331,6 +352,12 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
     pred = [0, 0, 0]
     n_mcu = comp_blocks[0].shape[0]
     for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            writer.flush()
+            writer.out += bytes(
+                [0xFF, 0xD0 + ((m // restart_interval - 1) % 8)]
+            )
+            pred = [0, 0, 0]
         for c in range(3):
             t = 0 if c == 0 else 1
             zz = comp_blocks[c][m]
@@ -389,6 +416,11 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
         bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0]),
     )
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"
         + app0
@@ -399,6 +431,7 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 90) -> bytes:
         + dht(1, 0, *HT_AC_LUMA)
         + dht(0, 1, *HT_DC_CHROMA)
         + dht(1, 1, *HT_AC_CHROMA)
+        + dri
         + sos
         + bytes(writer.out)
         + b"\xff\xd9"
@@ -425,6 +458,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     scan = []  # (comp_index, dc_tid, ac_tid)
     i = 2
     data_start = None
+    restart_interval = 0
     while i < len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"expected marker at {i}")
@@ -466,6 +500,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, qtid))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             n_scan = body[0]
             for c in range(n_scan):
@@ -487,6 +523,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     coef = np.zeros((len(scan), n_mcu, 8, 8), dtype=np.float64)
     pred = [0] * len(scan)
     for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart()
+            pred = [0] * len(scan)
         for s, (cidx, dc_tid, ac_tid) in enumerate(scan):
             zz = np.zeros(64, dtype=np.int32)
             size = _decode_symbol(reader, huff[(0, dc_tid)])

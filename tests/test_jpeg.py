@@ -133,3 +133,16 @@ def test_jpeg_media_fixture_is_spec_exact(spark):
         arr = decode_image(bytes(r.payload))
         assert arr.shape == (r.height, r.width, 3)
         assert (arr == v).all(), (r.media_id, v)
+
+
+def test_restart_interval_roundtrip():
+    """DRI/RSTn: the encoder emits restart markers every N MCUs (DC
+    predictors reset, stream byte-aligned); the decoder honors the DRI
+    segment — outputs identical to the restart-free stream."""
+    img = synth_image(9, 40, 24)  # 5x3 = 15 MCUs
+    plain = decode_jpeg(encode_jpeg(img, 90))
+    for interval in (1, 2, 7):
+        with_rst = encode_jpeg(img, 90, restart_interval=interval)
+        assert with_rst != encode_jpeg(img, 90)
+        assert b"\xff\xdd" in with_rst  # DRI present
+        assert (decode_jpeg(with_rst) == plain).all()
