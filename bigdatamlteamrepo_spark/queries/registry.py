@@ -60,8 +60,10 @@ PRI_GREEN_BASE = 40
 #: design; fully covered by the local pytest suite instead
 PRI_ROWS_ONLY = 90
 
-#: retained for call-site compatibility — the ledger now decides window
-#: membership for oracle-paired queries, so these are advisory only
+#: retained ONLY for call-site compatibility: window order is fully
+#: ledger-derived and these constants (like the decorator's
+#: ``priority`` argument) have NO effect on placement — do not pass
+#: them expecting to curate the window
 PRI_CORE = 50
 PRI_EXTRA = 90
 PRI_NEW = 30
@@ -116,10 +118,10 @@ def query(
     priority: int = PRI_CORE,
 ):
     """Decorator registering a query (and optional oracle SQL / bench
-    flag).  Window order is derived from the correctness ledger —
-    ``priority`` is accepted for call-site compatibility but only
-    consulted for queries the ledger cannot place (it never overrides
-    the rows-only demotion or the staleness rotation)."""
+    flag).  Window order is derived ENTIRELY from the correctness
+    ledger via :func:`window_priority`; the ``priority`` parameter is
+    accepted for call-site compatibility and IGNORED — rows-only
+    demotion and staleness rotation cannot be overridden by hand."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:

@@ -385,24 +385,43 @@ def encode_mp4_skeleton(
         struct.pack(">IIIIHH", 0, 0, timescale, total, 0x55C4, 0),
     )
     mdia = _box(b"mdia", mdhd + hdlr + minf)
+    # identity transform matrix (16.16 / 2.30 fixed point)
+    matrix = struct.pack(
+        ">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+    )
+    # tkhd v0: creation, modification, track_ID, reserved, duration,
+    # reserved[8], layer, alternate_group, volume, reserved, matrix,
+    # width, height — 80 payload bytes (ISO 14496-12 §8.3.2)
     tkhd = _full(
         b"tkhd",
-        struct.pack(">IIII", 0, 0, 1, 0)
-        + struct.pack(">I", total)
-        + b"\x00" * 52,
+        struct.pack(">IIIII", 0, 0, 1, 0, total)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + matrix
+        + struct.pack(">II", 0, 0),
         flags=7,
     )
+    # mvhd v0: creation, modification, timescale, duration, rate,
+    # volume, reserved, reserved[8], matrix, pre_defined[24],
+    # next_track_ID — 96 payload bytes (§8.2.2)
     mvhd = _full(
         b"mvhd",
         struct.pack(">IIII", 0, 0, timescale, total)
-        + struct.pack(">I", 0x00010000) + b"\x00" * 76
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + b"\x00" * 8
+        + matrix
+        + b"\x00" * 24
         + struct.pack(">I", 2),
     )
     moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp42")
-    # mdat: deterministic pattern bytes, one run per frame
+    # mdat: deterministic pattern bytes, one run per frame (vectorized
+    # — a per-byte Python loop here was ~10 MB of interpreter work per
+    # generated table)
     body = b"".join(
-        bytes([(i * 37 + j) % 256 for j in range(int(s))])
+        ((np.arange(int(s), dtype=np.int64) + i * 37) % 256)
+        .astype(np.uint8)
+        .tobytes()
         for i, s in enumerate(sizes)
     )
     mdat = _box(b"mdat", body)

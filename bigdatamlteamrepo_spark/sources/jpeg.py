@@ -462,9 +462,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while i < len(payload):
         if payload[i] != 0xFF:
             raise ValueError(f"expected marker at {i}")
-        marker = payload[i + 1]
+        # T.81 B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip to the marker byte proper
+        j = i + 1
+        while j < len(payload) and payload[j] == 0xFF:
+            j += 1
+        marker = payload[j]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers with no length field
+            i = j + 1
+            continue
+        i = j - 1  # normalize so segment arithmetic below is unchanged
         (length,) = struct.unpack_from(">H", payload, i + 2)
         body = payload[i + 4 : i + 2 + length]
         if marker == 0xDB:  # DQT (possibly several tables)

@@ -111,7 +111,14 @@ def shared(key: tuple, builder: Callable[[], DataFrame]) -> DataFrame:
         df = _frames.get(key)
         if df is not None and not _stale(df):
             return df
-        if df is not None:  # stale: owning session gone — drop silently
+        if df is not None:  # stale: drop AND release — the owning
+            # session may still be alive in this JVM (merely not
+            # active), and an un-unpersisted frame would pin executor
+            # storage until that session is GC'd
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # owning session truly dead: blocks die with it
             _frames.pop(key, None)
             _build_secs.pop(key, None)
         t0 = time.perf_counter()

@@ -244,7 +244,10 @@ def _heal_index(spark: SparkSession, index_dir: str) -> None:
 
 
 def compact_index(
-    spark: SparkSession, index_dir: str, keep_last: int = 1
+    spark: SparkSession,
+    index_dir: str,
+    keep_last: int = 1,
+    retire_after_sec: float | None = None,
 ) -> dict[str, int]:
     """Fold increment subdirectories into the partitioned base tables
     (rename-swap, self-healing).  The ``keep_last`` NEWEST increments
@@ -262,13 +265,18 @@ def compact_index(
     Returns folded-increment counts per table."""
     lease = _acquire_compaction_lease(spark, index_dir)
     try:
-        return _compact_index_locked(spark, index_dir, keep_last)
+        return _compact_index_locked(
+            spark, index_dir, keep_last, retire_after_sec
+        )
     finally:
         _release_compaction_lease(spark, lease)
 
 
 def _compact_index_locked(
-    spark: SparkSession, index_dir: str, keep_last: int
+    spark: SparkSession,
+    index_dir: str,
+    keep_last: int,
+    retire_after_sec: float | None = None,
 ) -> dict[str, int]:
     _heal_index(spark, index_dir)
     out = {}
@@ -280,7 +288,7 @@ def _compact_index_locked(
             [c for c in _list_children(spark, root) if c[2]],
             key=lambda c: (_tag_batch_id(c[0]), c[3], c[0]),
         )
-        kept = _kept_newest(subs, keep_last)
+        kept = _kept_newest(subs, keep_last, retire_after_sec)
         fold = [c for c in subs if c[0] not in kept]
         if not fold:
             continue

@@ -184,15 +184,24 @@ def _acquire_compaction_lease(
     Compaction's crash-safety story (manifest + rename-swap + heal)
     assumes ONE maintainer: two compactors interleaving their swaps can
     each fold the other's kept increments.  The lease makes the
-    contract explicit — a marker file created with the filesystem's
-    atomic create-if-absent; a second compactor raises
-    :class:`CompactionLeaseHeld` instead of corrupting.  A lease older
-    than *ttl_sec* belongs to a crashed compactor (the heal path would
-    recover its partial state anyway) and is stolen.  Live triggers are
-    NOT gated: increment writes land in batch-scoped subdirectories
-    and never touch the swap (pinned in
+    contract explicit — a marker file created with create-if-absent; a
+    second compactor raises :class:`CompactionLeaseHeld` instead of
+    corrupting.  A lease older than *ttl_sec* belongs to a crashed
+    compactor (the heal path would recover its partial state anyway)
+    and is STOLEN VIA RENAME: rename is the FileSystem API's atomic
+    primitive, so when several contenders see the same stale lease only
+    the one whose rename succeeds proceeds — a delete+create steal
+    would let a second contender delete the winner's fresh lease.
+    Residual honesty: ``create(overwrite=False)`` is check-then-create
+    on the local filesystem (atomic on HDFS), and a compaction that
+    legitimately outlives the TTL can have its live lease stolen — the
+    lease is an operational guardrail against double-maintainers, not a
+    distributed lock manager; size *ttl_sec* above the worst compaction
+    wall.  Live triggers are NOT gated: increment writes land in
+    batch-scoped subdirectories and never touch the swap (pinned in
     tests/test_streaming_index.py::test_trigger_during_interrupted_compaction).
     """
+    import os as _os
     import time as _time
 
     lease = _join(root, "_compaction.lease")
@@ -207,9 +216,18 @@ def _acquire_compaction_lease(
                 f"(ttl {ttl_sec}s) — a second concurrent compactor is out "
                 "of contract"
             )
-        fs.delete(p, False)  # stale: crashed compactor's leftover
+        # stale: steal by rename — exactly one contender's rename wins
+        steal = jvm.org.apache.hadoop.fs.Path(
+            f"{lease}.steal-{_os.getpid()}-{_time.time_ns()}"
+        )
+        if not fs.rename(p, steal):
+            raise CompactionLeaseHeld(
+                f"stale compaction lease on {root} stolen by a "
+                "concurrent contender"
+            )
+        fs.delete(steal, False)
     try:
-        out = fs.create(p, False)  # atomic create-if-absent
+        out = fs.create(p, False)  # create-if-absent
         try:
             out.write(bytearray(f"{_time.time()}".encode("utf-8")))
         finally:
@@ -234,7 +252,9 @@ def _tag_namespace(name: str) -> str:
     return name.rsplit("-", 1)[0] if "-" in name else ""
 
 
-def _kept_newest(subdirs: list, keep_last: int) -> set:
+def _kept_newest(
+    subdirs: list, keep_last: int, retire_after_sec: float | None = None
+) -> set:
     """Names of the ``keep_last`` NEWEST batch subdirectories PER
     CHECKPOINT NAMESPACE (ADVICE_r7): batch ids restart at 0 per
     checkpoint, so a single global newest-by-id sort would let a dead
@@ -243,15 +263,32 @@ def _kept_newest(subdirs: list, keep_last: int) -> set:
     subdir and double-counts rows already folded into the base.
     ``subdirs`` entries are ``(name, path, is_dir, mtime)``; within a
     namespace, newest = max (batch_id, mtime, name) — id primary,
-    mtime only as tiebreak."""
+    mtime only as tiebreak.
+
+    Per-namespace protection means a RETIRED stream's newest batch
+    would otherwise survive forever (every restart mints a fresh
+    namespace).  ``retire_after_sec`` bounds that: a namespace whose
+    newest subdir is older than the horizon can no longer replay
+    (its checkpoint is gone or abandoned) and loses protection, so
+    compaction eventually drains dead namespaces completely.  None
+    (the default) keeps the conservative keep-everything behavior."""
     if not keep_last:
         return set()
+    import time as _time
+
+    horizon_ms = (
+        _time.time() * 1000 - retire_after_sec * 1000
+        if retire_after_sec is not None
+        else None
+    )
     by_ns: dict[str, list] = {}
     for c in subdirs:
         by_ns.setdefault(_tag_namespace(c[0]), []).append(c)
     kept: set = set()
     for group in by_ns.values():
         group.sort(key=lambda c: (_tag_batch_id(c[0]), c[3], c[0]))
+        if horizon_ms is not None and group[-1][3] < horizon_ms:
+            continue  # retired namespace: fold everything
         kept.update(c[0] for c in group[-keep_last:])
     return kept
 
@@ -479,6 +516,7 @@ def compact_ingest_indexes(
     index_dir: str,
     target_mb: int = 128,
     keep_last: int = 1,
+    retire_after_sec: float | None = None,
 ) -> dict[str, int]:
     """Compact the per-trigger subdirectory writes into ~``target_mb``
     files sorted on the probe key (row-group min/max pruning for the
@@ -500,7 +538,7 @@ def compact_ingest_indexes(
     lease = _acquire_compaction_lease(spark, index_dir)
     try:
         return _compact_ingest_indexes_locked(
-            spark, index_dir, target_mb, keep_last
+            spark, index_dir, target_mb, keep_last, retire_after_sec
         )
     finally:
         _release_compaction_lease(spark, lease)
@@ -511,6 +549,7 @@ def _compact_ingest_indexes_locked(
     index_dir: str,
     target_mb: int,
     keep_last: int,
+    retire_after_sec: float | None = None,
 ) -> dict[str, int]:
     out = {}
     for sub in _TABLES:
@@ -519,7 +558,9 @@ def _compact_ingest_indexes_locked(
         if not _exists(spark, src):
             continue
         children = _list_children(spark, src)
-        kept = _kept_newest([c for c in children if c[2]], keep_last)
+        kept = _kept_newest(
+            [c for c in children if c[2]], keep_last, retire_after_sec
+        )
         fold = [c[1] for c in children if c[0] not in kept]
         fold_names = [c[0] for c in children if c[0] not in kept]
         if not fold:

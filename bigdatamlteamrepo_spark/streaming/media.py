@@ -27,8 +27,11 @@ import hashlib
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from bigdatamlteamrepo_spark.sources.multimodal import (
     decode_media_exact_stats,
+    sample_frames_mp4,
 )
 from bigdatamlteamrepo_spark.streaming.ingest import _batch_tag, _exists, _join
 
@@ -36,13 +39,24 @@ from bigdatamlteamrepo_spark.streaming.ingest import _batch_tag, _exists, _join
 def decode_stats_batch(
     batch: DataFrame, stats_dir: str, batch_id: int, namespace: str = ""
 ) -> None:
-    """Fold one micro-batch of media rows into the stats table: decode
-    -> exact-integer stats -> OVERWRITE of the batch-scoped
-    subdirectory (replay-idempotent)."""
+    """Fold one micro-batch of media rows into the maintained tables,
+    routed BY KIND — MEDIA_SCHEMA's kind domain is image|audio|video
+    and only the first two are per-payload decodable stats; video rows
+    carry ISO BMFF containers whose frame tables go to the sibling
+    ``frames/`` table (sample_frames_mp4).  Each write OVERWRITES its
+    batch-scoped subdirectory (replay-idempotent); the frames write
+    happens unconditionally so a replayed all-image batch still lands
+    identically."""
+    tag = _batch_tag(batch_id, namespace)
     (
-        decode_media_exact_stats(batch)
+        decode_media_exact_stats(batch.filter(F.col("kind") != "video"))
         .write.mode("overwrite")
-        .parquet(_join(stats_dir, _batch_tag(batch_id, namespace)))
+        .parquet(_join(stats_dir, "stats", tag))
+    )
+    (
+        sample_frames_mp4(batch)
+        .write.mode("overwrite")
+        .parquet(_join(stats_dir, "frames", tag))
     )
 
 
@@ -65,14 +79,22 @@ def incremental_media_stream(
 
 
 def read_media_stats(spark: SparkSession, stats_dir: str) -> DataFrame:
-    """The maintained stats table: union of every batch subdirectory
-    (recursive lookup, same read convention as the ingest tables)."""
-    if not _exists(spark, stats_dir):
-        from bigdatamlteamrepo_spark.sources.multimodal import (
-            EXACT_STATS_SCHEMA,
-        )
+    """The maintained image/audio stats table: union of every batch
+    subdirectory (recursive lookup, the ingest-table read convention)."""
+    from bigdatamlteamrepo_spark.sources.multimodal import EXACT_STATS_SCHEMA
 
+    path = _join(stats_dir, "stats")
+    if not _exists(spark, path):
         return spark.createDataFrame([], EXACT_STATS_SCHEMA)
-    return (
-        spark.read.option("recursiveFileLookup", "true").parquet(stats_dir)
-    )
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
+def read_media_frames(spark: SparkSession, stats_dir: str) -> DataFrame:
+    """The maintained video frame table (one row per frame, parsed from
+    the ISO BMFF sample tables at ingest time)."""
+    from bigdatamlteamrepo_spark.sources.multimodal import MP4_FRAMES_SCHEMA
+
+    path = _join(stats_dir, "frames")
+    if not _exists(spark, path):
+        return spark.createDataFrame([], MP4_FRAMES_SCHEMA)
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)

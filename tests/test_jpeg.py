@@ -146,3 +146,17 @@ def test_restart_interval_roundtrip():
         assert with_rst != encode_jpeg(img, 90)
         assert b"\xff\xdd" in with_rst  # DRI present
         assert (decode_jpeg(with_rst) == plain).all()
+
+
+def test_fill_bytes_and_stray_markers_tolerated():
+    """T.81 B.1.1.2: markers may be preceded by 0xFF fill bytes, and
+    TEM (0x01) has no length field — spec-legal streams from foreign
+    encoders must decode identically."""
+    img = synth_image(4, 24, 16)
+    good = encode_jpeg(img, 90)
+    want = decode_jpeg(good)
+    # inject a fill byte before the SOF0 marker and a TEM marker
+    # between segments
+    idx = good.find(b"\xff\xc0")
+    padded = good[:idx] + b"\xff\x01" + b"\xff" + good[idx:]
+    assert (decode_jpeg(padded) == want).all()

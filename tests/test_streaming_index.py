@@ -278,3 +278,53 @@ def test_trigger_during_interrupted_compaction(spark, tmp_path, corpus):
     # next maintenance heals (restores base, keeps b0) then folds
     compact_index(spark, idx, keep_last=0)
     assert _scores(spark, idx) == want
+
+
+def test_retired_namespace_drains(spark, tmp_path, corpus):
+    """retire_after_sec: a namespace whose newest batch is older than
+    the horizon can no longer replay (its checkpoint is gone), so
+    compaction folds it COMPLETELY instead of protecting its newest
+    batch forever — dead restarts stop accreting unfoldable subdirs."""
+    _, base, b1, b2 = corpus
+    idx = str(tmp_path / "retire_idx")
+    build_inverted_index(base, idx)
+    append_batch_to_index(b1, idx, batch_id=0, namespace="dead")
+    append_batch_to_index(b2, idx, batch_id=0, namespace="live")
+    want = _scores(spark, idx)
+    # age the dead namespace's subdirs beyond the horizon
+    for t in ("postings", "df", "stats"):
+        p = os.path.join(idx, f"{t}_inc", "bdead-0")
+        old = os.path.getmtime(p) - 3600
+        os.utime(p, (old, old))
+    compact_index(spark, idx, keep_last=1, retire_after_sec=600)
+    inc = os.path.join(idx, "postings_inc")
+    assert not os.path.isdir(os.path.join(inc, "bdead-0"))  # drained
+    assert os.path.isdir(os.path.join(inc, "blive-0"))  # protected
+    assert _scores(spark, idx) == want
+
+
+def test_stale_lease_steal_race_single_winner(spark, tmp_path, corpus):
+    """Two contenders seeing the SAME stale lease: the rename-based
+    steal admits exactly one (the loser's rename finds the file gone
+    and raises instead of deleting the winner's fresh lease)."""
+    from bigdatamlteamrepo_spark.streaming.ingest import (
+        CompactionLeaseHeld,
+        _acquire_compaction_lease,
+        _release_compaction_lease,
+    )
+
+    _, base, _, _ = corpus
+    idx = str(tmp_path / "race_idx")
+    build_inverted_index(base, idx)
+    lease_file = os.path.join(idx, "_compaction.lease")
+    _acquire_compaction_lease(spark, idx)
+    stale = os.path.getmtime(lease_file) - 3600
+    os.utime(lease_file, (stale, stale))
+    # contender A steals successfully
+    lease = _acquire_compaction_lease(spark, idx)
+    # contender B arrives while A holds a FRESH lease: refused — the
+    # delete+create scheme would have deleted A's lease here
+    with pytest.raises(CompactionLeaseHeld):
+        _acquire_compaction_lease(spark, idx)
+    assert os.path.exists(lease_file)
+    _release_compaction_lease(spark, lease)
