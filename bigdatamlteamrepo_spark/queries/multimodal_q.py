@@ -450,3 +450,81 @@ def multimodal_jpeg_decode_summary(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("total_px").cast("bigint").alias("total_px"),
         F.sum("luma_sum").cast("bigint").alias("luma_sum"),
     )
+
+
+#: G.711 expansions as SQL over the closed-form code bytes — verified
+#: byte-for-byte against the numpy expanders over all 256 codes.  In
+#: µ-law the complemented code's top bit set means NEGATIVE; in A-law
+#: the XOR-0x55'd code's top bit set means POSITIVE (the conventions
+#: really do differ).
+_MU_SQL = (
+    "CASE WHEN (255 - v) >= 128 THEN -1 ELSE 1 END"
+    " * ((((255 - v) % 16) * 8 + 132)"
+    " * CAST(POWER(2, ((255 - v) // 16) % 8) AS BIGINT) - 132)"
+)
+_AL_SQL = (
+    "CASE WHEN (xor(v, 85) // 128) % 2 = 1 THEN 1 ELSE -1 END"
+    " * (CASE WHEN (xor(v, 85) // 16) % 8 = 0"
+    " THEN (xor(v, 85) % 16) * 16 + 8"
+    " ELSE ((xor(v, 85) % 16) * 16 + 264)"
+    " * CAST(POWER(2, (xor(v, 85) // 16) % 8 - 1) AS BIGINT) END)"
+)
+
+_MM_G711_ORACLE = f"""
+WITH m AS (
+  SELECT range AS mid, 400 + (range*13+42)%800 AS n FROM range(100)
+),
+fr AS (SELECT mid, n, unnest(range(n)) AS t FROM m),
+c AS (SELECT mid, n, t, (mid*31 + t*17 + 42) % 256 AS v FROM fr),
+s AS (
+  SELECT mid, n, t,
+         CASE WHEN mid % 2 = 0 THEN {_MU_SQL} ELSE {_AL_SQL} END AS x
+  FROM c
+),
+s2 AS (
+  SELECT mid, n, t, x, LAG(x) OVER (PARTITION BY mid ORDER BY t) AS px
+  FROM s
+),
+per AS (
+  SELECT mid, MAX(n) AS n, COUNT(*) AS ns, SUM(x*x) AS ss,
+         SUM(CASE WHEN px IS NOT NULL AND (x < 0) <> (px < 0)
+                  THEN 1 ELSE 0 END) AS zc
+  FROM s2 GROUP BY mid
+)
+SELECT CASE WHEN mid % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(44 + n) AS BIGINT) AS total_bytes,
+       CAST(SUM(ns) AS BIGINT) AS total_samples,
+       CAST(SUM(ss) AS BIGINT) AS sum_sq,
+       CAST(SUM(zc) AS BIGINT) AS zero_crossings
+FROM per GROUP BY 1
+"""
+
+
+@query("multimodal_g711_decode_summary", oracle=_MM_G711_ORACLE)
+def multimodal_g711_decode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-law EXACT-INTEGER decode summary over REAL G.711 telephony
+    WAVs (sources/codecs.py: fmt-7 µ-law / fmt-6 A-law expanded by the
+    ITU-T integer formulas inside decode_wav).  The oracle recomputes
+    the expansion symbolically over the closed-form code bytes — a hash
+    match pins the WAV header dispatch and both companding laws,
+    including their OPPOSITE sign-bit conventions, across 100 real
+    payloads."""
+    from bigdatamlteamrepo_spark.sources.multimodal import generate_g711_media
+
+    media = generate_g711_media(spark, n_rows=100, seed=42)
+    ex = decode_media_exact_stats(media)
+    return (
+        ex.withColumn(
+            "law",
+            F.when(F.col("media_id") % 2 == 0, "ulaw").otherwise("alaw"),
+        )
+        .groupBy("law")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+            F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+            F.sum("n_samples").cast("bigint").alias("total_samples"),
+            F.sum("sum_sq").cast("bigint").alias("sum_sq"),
+            F.sum("zero_crossings").cast("bigint").alias("zero_crossings"),
+        )
+    )

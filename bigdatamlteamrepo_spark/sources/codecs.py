@@ -273,15 +273,84 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Canonical PCM16 mono WAV → (samples int16, sample_rate)."""
+    """Canonical mono WAV → (samples int16, sample_rate).
+
+    Codecs: 1 = PCM16 (bytes pass through), 7 = G.711 µ-law and
+    6 = A-law (8-bit logarithmic telephony codecs, expanded to int16
+    by the standard ITU-T G.711 formulas — pure integer arithmetic)."""
     (riff, _, wave, fmt, fmt_len, codec, n_ch, rate, _, _, bits, data_tag,
      data_len) = _WAV_HDR.unpack_from(payload, 0)
     if (riff, wave, fmt, data_tag) != (b"RIFF", b"WAVE", b"fmt ", b"data"):
         raise ValueError("not a canonical RIFF/WAVE payload")
-    if (fmt_len, codec, n_ch, bits) != (16, 1, 1, 16):
-        raise ValueError("only PCM16 mono with 16-byte fmt chunk supported")
-    samples = np.frombuffer(payload, dtype="<i2", count=data_len // 2, offset=44)
-    return samples, rate
+    if fmt_len != 16 or n_ch != 1:
+        raise ValueError("only mono with 16-byte fmt chunk supported")
+    if codec == 1 and bits == 16:
+        samples = np.frombuffer(
+            payload, dtype="<i2", count=data_len // 2, offset=44
+        )
+        return samples, rate
+    if codec in (6, 7) and bits == 8:
+        codes = np.frombuffer(payload, np.uint8, count=data_len, offset=44)
+        expand = ulaw_expand if codec == 7 else alaw_expand
+        return expand(codes), rate
+    raise ValueError(f"unsupported WAV codec {codec}/{bits}-bit")
+
+
+def ulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """G.711 µ-law bytes → int16 samples (ITU-T G.711 table 2a/2b):
+    complement, split sign/exponent/mantissa, rebuild
+    ``((m<<3) + 0x84) << e) - 0x84`` with the sign applied."""
+    u = (~codes.astype(np.int64)) & 0xFF
+    sign = (u & 0x80) != 0
+    e = (u >> 4) & 0x07
+    m = u & 0x0F
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def ulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """int16 samples → G.711 µ-law bytes (the companding inverse;
+    round-trips within one quantization step of :func:`ulaw_expand`)."""
+    x = samples.astype(np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    # canonical clip 32635: |x|+BIAS stays < 2^15 so the exponent
+    # never exceeds the 3-bit field
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    e = (np.floor(np.log2(mag)) - 7).astype(np.int64)
+    m = (mag >> (e + 3)) & 0x0F
+    return ((~(sign | (e << 4) | m)) & 0xFF).astype(np.uint8)
+
+
+def alaw_expand(codes: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes → int16 samples (canonical alaw2linear):
+    XOR 0x55, then the segment expansion — segment 0 is linear
+    ``(m<<4)+8``, higher segments ``((m<<4)+0x108) << (seg-1)`` — and
+    in A-law a SET sign bit means POSITIVE (the µ-law convention
+    inverted); 0x55 → −8, 0xD5 → +8, max ±32256."""
+    a = codes.astype(np.int64) ^ 0x55
+    positive = (a & 0x80) != 0
+    e = (a >> 4) & 0x07
+    m = a & 0x0F
+    t = m << 4
+    mag = np.where(e == 0, t + 8, (t + 0x108) << np.maximum(e - 1, 0))
+    return np.where(positive, mag, -mag).astype(np.int16)
+
+
+def encode_wav_g711(
+    codes: np.ndarray, sample_rate: int, law: str = "ulaw"
+) -> bytes:
+    """8-bit G.711 code bytes → canonical 44-byte-header WAV
+    (fmt codec 7 = µ-law, 6 = A-law)."""
+    if codes.dtype != np.uint8 or codes.ndim != 1:
+        raise ValueError(f"expected 1-D uint8 codes, got {codes.dtype}")
+    codec = 7 if law == "ulaw" else 6
+    data = codes.tobytes()
+    hdr = _WAV_HDR.pack(
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        codec, 1, sample_rate, sample_rate, 1, 8,
+        b"data", len(data),
+    )
+    return hdr + data
 
 
 # ---------------------------------------------------------------------------

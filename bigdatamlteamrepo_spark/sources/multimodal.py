@@ -486,3 +486,31 @@ def generate_jpeg_media(
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return spark.range(n_rows).mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def generate_g711_media(
+    spark: SparkSession, n_rows: int = 100, seed: int = 42
+) -> DataFrame:
+    """Media table whose payloads are REAL G.711 telephony WAVs
+    (codecs.encode_wav_g711): 8-bit µ-law (even ids) / A-law (odd ids)
+    code bytes from a closed-form pattern, so the expansion — pure
+    integer arithmetic per ITU-T G.711 — has an analytic SQL twin."""
+    from bigdatamlteamrepo_spark.sources.codecs import encode_wav_g711
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                n = 400 + (mid * 13 + seed) % 800
+                t = np.arange(n, dtype=np.int64)
+                codes = ((mid * 31 + t * 17 + seed) % 256).astype(np.uint8)
+                law = "ulaw" if mid % 2 == 0 else "alaw"
+                rows.append(
+                    (mid, "audio", encode_wav_g711(codes, 8000, law),
+                     "audio/basic" if law == "ulaw" else "audio/x-alaw",
+                     None, None, n * 1000 // 8000, 8000)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(n_rows).mapInPandas(op, schema=MEDIA_SCHEMA)

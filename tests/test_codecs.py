@@ -233,3 +233,50 @@ def test_mp4_frame_sampling_stage(spark):
             assert r.frame_ts_ms == ts
             assert r.frame_bytes == 100 + (mid * 7 + f * 13) % 900
             ts += 33 + (mid + f // 8) % 3
+
+
+def test_g711_expansion_spec_points():
+    """Canonical G.711 reference points: µ-law 0xFF/0x7F are ±0 and
+    0x80/0x00 are ±32124; A-law 0x55/0xD5 are ∓8 (A-law's SET sign bit
+    means POSITIVE — the µ-law convention inverted), max ±32256."""
+    import numpy as np
+
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        alaw_expand,
+        ulaw_compress,
+        ulaw_expand,
+    )
+
+    mu = ulaw_expand(np.array([0xFF, 0x7F, 0x80, 0x00], np.uint8))
+    assert mu.tolist() == [0, 0, 32124, -32124]
+    al = alaw_expand(np.array([0x55, 0xD5, 0xAA, 0x2A], np.uint8))
+    assert al.tolist() == [-8, 8, 32256, -32256]
+    # companding: expand(compress(.)) is a fixed point over the whole
+    # int16 domain, and error stays within the top-segment step
+    x = np.arange(-32768, 32768, dtype=np.int64).astype(np.int16)
+    y = ulaw_expand(ulaw_compress(x))
+    assert (ulaw_expand(ulaw_compress(y)) == y).all()
+    clipped = np.clip(x.astype(int), -32635, 32635)
+    assert np.abs(clipped - y.astype(int)).max() <= 512
+
+
+def test_g711_wav_roundtrip():
+    import numpy as np
+    import pytest
+
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        alaw_expand,
+        decode_wav,
+        encode_wav_g711,
+        ulaw_expand,
+    )
+
+    codes = ((np.arange(700) * 31 + 5) % 256).astype(np.uint8)
+    for law, expand in (("ulaw", ulaw_expand), ("alaw", alaw_expand)):
+        s, rate = decode_wav(encode_wav_g711(codes, 8000, law))
+        assert rate == 8000 and (s == expand(codes)).all()
+    # unknown codec id still refuses loudly
+    bad = bytearray(encode_wav_g711(codes, 8000, "ulaw"))
+    bad[20] = 99
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
