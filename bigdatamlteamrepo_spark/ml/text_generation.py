@@ -273,24 +273,55 @@ TRAIN_CONFIG = {
 }
 
 
-def fit_t5(train_df: DataFrame, val_df: DataFrame, num_processes: int = 1, use_gpu: bool = False):
-    """Distributed fine-tune via TorchDistributor over tokenized parquet.
+def fit_t5(
+    train_df: DataFrame,
+    val_df: DataFrame,
+    output_dir: str,
+    num_processes: int = 1,
+    use_gpu: bool = False,
+    config: dict | None = None,
+) -> dict:
+    """Fine-tune T5 on tokenized (input_ids/attention_mask/labels)
+    DataFrames — the full reference schedule (model.py:137-200): AdamW
+    lr=1e-4, fp16-on-GPU, grad-clip 1.0, accumulate 2, limit 0.5/0.2,
+    val-loss-monitored checkpoint, Lightning-shaped ``metrics.csv``.
 
-    Requires torch+transformers+lightning (absent in this container).
-    The launch shape is: write ``train_df``/``val_df`` to parquet,
-    ``TorchDistributor(num_processes=N, local_mode=False, use_gpu=...)``
-    .run(train_fn, train_path, val_path, TRAIN_CONFIG) where train_fn
-    builds a Lightning module equivalent to model.py:137-176.
+    The loop itself lives in :mod:`.t5_train` — its schedule /
+    checkpoint / logging core is torch-free and pytest-pinned; the only
+    torch-gated piece is the model leaf (``make_torch_module``).  This
+    wrapper writes the token frames to parquet and dispatches
+    ``t5_train.train_fn`` — through ``TorchDistributor`` when
+    ``num_processes > 1`` (each worker reads the shared parquet), else
+    directly in-process.  Raises :class:`NotImplementedError` only when
+    ``import torch`` itself fails (this container).
     """
     try:
         import torch  # noqa: F401
-        from pyspark.ml.torch.distributor import TorchDistributor  # noqa: F401
-    except Exception as exc:  # pragma: no cover
+    except Exception as exc:
         raise NotImplementedError(
-            "torch/transformers not installed in this environment; "
-            "see TRAIN_CONFIG + docstring for the TorchDistributor recipe"
+            "torch/transformers not installed in this environment; the "
+            "full training loop is implemented in ml/t5_train.py and "
+            "activates as soon as torch is importable (TRAIN_CONFIG "
+            "holds the reference hyperparameters)"
         ) from exc
-    raise NotImplementedError("training loop intentionally not bundled in v1")
+    import os
+
+    from .t5_train import train_fn
+
+    cfg = dict(TRAIN_CONFIG)
+    cfg.update(config or {})
+    train_path = os.path.join(output_dir, "tokens_train.parquet")
+    val_path = os.path.join(output_dir, "tokens_val.parquet")
+    cols = ["input_ids", "attention_mask", "labels"]
+    train_df.select(*cols).write.mode("overwrite").parquet(train_path)
+    val_df.select(*cols).write.mode("overwrite").parquet(val_path)
+    if num_processes > 1:
+        from pyspark.ml.torch.distributor import TorchDistributor
+
+        return TorchDistributor(
+            num_processes=num_processes, local_mode=False, use_gpu=use_gpu
+        ).run(train_fn, train_path, val_path, cfg, output_dir)
+    return train_fn(train_path, val_path, cfg, output_dir)
 
 
 #: filename of the deterministic stub decoder inside a model_dir
@@ -351,33 +382,64 @@ def generate_recipes_udf(model_dir: str, num_beams: int = 4, max_length: int = 2
     the model loads once per executor from *model_dir*, batches stream
     via Arrow.
 
-    With torch+transformers present the real T5 path would load here
-    (gated like :func:`fit_t5` — intentionally not bundled in v1).
-    Without them, a *model_dir* containing a stub decoder (written by
-    :func:`save_stub_decoder`) executes the IDENTICAL plumbing —
-    per-partition model load, iterator pandas_udf, deterministic beam
-    search — so the UDF path has a pinned, executed test
-    (tests/test_text_generation.py).  A model_dir with neither raises.
+    A *model_dir* containing a stub decoder (written by
+    :func:`save_stub_decoder`) takes priority regardless of what's
+    installed — the stub is an explicit artifact, so its deterministic
+    pinned tests keep passing even after torch lands in the container
+    (ADVICE_r8 #4).  Otherwise the real T5 path loads the HF model from
+    *model_dir* (beam search, early stopping — model.py:207-231); if
+    torch/transformers are absent or fail to import for ANY reason
+    (version-mismatch RuntimeError/OSError included, not just
+    ImportError) a model_dir without a stub raises NotImplementedError.
     """
-    try:
-        import torch  # noqa: F401
-        from transformers import T5ForConditionalGeneration  # noqa: F401
-
-        raise NotImplementedError(
-            "T5 inference path intentionally not bundled in v1"
-        )
-    except ImportError:
-        pass
     import json
     import os
 
     stub_path = os.path.join(model_dir, _STUB_DECODER)
     if not os.path.exists(stub_path):
-        raise NotImplementedError(
-            "torch/transformers not installed and no stub decoder at "
-            f"{stub_path}; run save_stub_decoder(model_dir) for the "
-            "torch-free plumbing path"
-        )
+        try:
+            import torch  # noqa: F401
+            from transformers import (  # noqa: F401
+                AutoTokenizer,
+                T5ForConditionalGeneration,
+            )
+        except Exception as exc:
+            raise NotImplementedError(
+                "torch/transformers not importable and no stub decoder at "
+                f"{stub_path}; run save_stub_decoder(model_dir) for the "
+                "torch-free plumbing path"
+            ) from exc
+
+        @F.pandas_udf(T.StringType())
+        def gen_real(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            # model + tokenizer load once per partition (U4); batches
+            # stream via Arrow (model.py:207-231 generate_recipe,
+            # vectorized over the batch instead of one prompt at a time)
+            import torch
+            from transformers import AutoTokenizer, T5ForConditionalGeneration
+
+            tok = AutoTokenizer.from_pretrained(model_dir)
+            model = T5ForConditionalGeneration.from_pretrained(model_dir).eval()
+            device = "cuda" if torch.cuda.is_available() else "cpu"
+            model.to(device)
+            for s in batches:
+                enc = tok(
+                    list(s),
+                    return_tensors="pt",
+                    padding=True,
+                    truncation=True,
+                    max_length=256,
+                ).to(device)
+                with torch.no_grad():
+                    out = model.generate(
+                        **enc,
+                        max_length=max_length,
+                        num_beams=num_beams,
+                        early_stopping=True,
+                    )
+                yield pd.Series(tok.batch_decode(out, skip_special_tokens=True))
+
+        return gen_real
     steps = min(max_length, 8)  # stub sequences stay short
 
     @F.pandas_udf(T.StringType())

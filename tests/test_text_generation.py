@@ -92,7 +92,7 @@ def test_torch_paths_gated(spark):
         spark.createDataFrame([("T", '["a"]', '["b"]')], "title string, ingredients string, directions string")
     )
     with pytest.raises(NotImplementedError):
-        tg.fit_t5(pairs, pairs)
+        tg.fit_t5(pairs, pairs, "/tmp/t5_out_never_written")
     with pytest.raises(NotImplementedError):
         tg.generate_recipes_udf("/tmp/nonexistent-model")
 
