@@ -28,10 +28,11 @@ Keys are plain tuples, by convention ``(stage_name, sf_dir, *params)``
 Entries additionally remember their owning SparkSession: a frame cached
 under a stopped/replaced session is rebuilt, never returned (a cached
 DataFrame outliving its session would fail or misbehave downstream).
-All cache state is guarded by a lock; the lock is held across a
-builder's materialization so concurrent first-calls on one key build
-once (builds are idempotent, so this is a throughput choice, not a
-correctness one).
+Locking is two-level (ADVICE_r8 #3): the global lock guards only the
+dicts (lookups, per-key-lock creation — microseconds), while each
+key's materialization serializes under its OWN lock, so concurrent
+first-calls on one key still build once but hits on other keys and
+builds of unrelated keys never wait out a full Spark materialization.
 """
 
 from __future__ import annotations
@@ -45,6 +46,7 @@ from pyspark.storagelevel import StorageLevel
 
 _enabled = False
 _lock = threading.RLock()
+_key_locks: dict[tuple, threading.RLock] = {}
 _frames: dict[tuple, DataFrame] = {}
 #: wall seconds spent materializing each cached prefix (bench.py
 #: reports the sum as ``stage_build_sec`` so the steady-state numbers
@@ -107,23 +109,37 @@ def shared(key: tuple, builder: Callable[[], DataFrame]) -> DataFrame:
     the same session reuse it."""
     if not _enabled:
         return builder()
-    with _lock:
+    with _lock:  # fast path: dict lookups only, never a build
         df = _frames.get(key)
         if df is not None and not _stale(df):
             return df
-        if df is not None:  # stale: drop AND release — the owning
-            # session may still be alive in this JVM (merely not
-            # active), and an un-unpersisted frame would pin executor
-            # storage until that session is GC'd
-            try:
-                df.unpersist()
-            except Exception:
-                pass  # owning session truly dead: blocks die with it
-            _frames.pop(key, None)
-            _build_secs.pop(key, None)
+        key_lock = _key_locks.setdefault(key, threading.RLock())
+    with key_lock:  # same-key builds serialize; other keys proceed
+        with _lock:
+            df = _frames.get(key)
+            if df is not None and not _stale(df):
+                return df  # built by the thread that held key_lock first
+            if df is not None:  # stale: drop AND release — the owning
+                # session may still be alive in this JVM (merely not
+                # active), and an un-unpersisted frame would pin
+                # executor storage until that session is GC'd
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass  # owning session truly dead: blocks die with it
+                _frames.pop(key, None)
+                _build_secs.pop(key, None)
         t0 = time.perf_counter()
         df = builder().persist(StorageLevel.MEMORY_AND_DISK)
         df.count()  # eager: materialize outside downstream query timings
-        _frames[key] = df
-        _build_secs[key] = round(time.perf_counter() - t0, 3)
+        with _lock:
+            if not _enabled:  # disable() ran mid-build: don't strand a
+                # persisted frame in a cleared cache
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+                return df
+            _frames[key] = df
+            _build_secs[key] = round(time.perf_counter() - t0, 3)
         return df

@@ -43,6 +43,8 @@ from bigdatamlteamrepo_spark.streaming.ingest import (
     _acquire_compaction_lease,
     _batch_tag,
     _kept_newest,
+    _ns_checkpoint_alive,
+    _record_namespace,
     _release_compaction_lease,
     _tag_batch_id,
     _delete,
@@ -140,6 +142,9 @@ def incremental_index_stream(
     (a restarted stream with a fresh checkpoint can never clobber an
     older run's contributions).  Returns the started query."""
     ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    _record_namespace(
+        stream_docs.sparkSession, index_dir, ns, checkpoint_dir
+    )
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         append_batch_to_index(batch, index_dir, batch_id=batch_id, namespace=ns)
@@ -280,6 +285,11 @@ def _compact_index_locked(
 ) -> dict[str, int]:
     _heal_index(spark, index_dir)
     out = {}
+    alive = (
+        _ns_checkpoint_alive(spark, index_dir)
+        if retire_after_sec is not None
+        else None
+    )
     for table in _TABLES:
         root = _join(index_dir, f"{table}_inc")
         if not _exists(spark, root):
@@ -288,7 +298,7 @@ def _compact_index_locked(
             [c for c in _list_children(spark, root) if c[2]],
             key=lambda c: (_tag_batch_id(c[0]), c[3], c[0]),
         )
-        kept = _kept_newest(subs, keep_last, retire_after_sec)
+        kept = _kept_newest(subs, keep_last, retire_after_sec, alive)
         fold = [c for c in subs if c[0] not in kept]
         if not fold:
             continue

@@ -197,11 +197,22 @@ def _acquire_compaction_lease(
     legitimately outlives the TTL can have its live lease stolen — the
     lease is an operational guardrail against double-maintainers, not a
     distributed lock manager; size *ttl_sec* above the worst compaction
-    wall.  Live triggers are NOT gated: increment writes land in
-    batch-scoped subdirectories and never touch the swap (pinned in
+    wall.  The lease body is a unique OWNER TOKEN (pid + nanotime +
+    nonce): release compares the token before deleting, so an
+    over-TTL compactor whose lease was stolen can no longer delete the
+    new holder's fresh lease on its way out (ADVICE_r8 #1) — the
+    original double-compactor window stays open only between the
+    stolen-from compactor's read and delete, a microsecond-scale race
+    vs the previous always-delete.  Live triggers are NOT gated:
+    increment writes land in batch-scoped subdirectories and never
+    touch the swap (pinned in
     tests/test_streaming_index.py::test_trigger_during_interrupted_compaction).
+
+    Returns ``(lease_path, owner_token)`` — pass the pair to
+    :func:`_release_compaction_lease`.
     """
     import os as _os
+    import secrets as _secrets
     import time as _time
 
     lease = _join(root, "_compaction.lease")
@@ -226,21 +237,40 @@ def _acquire_compaction_lease(
                 "concurrent contender"
             )
         fs.delete(steal, False)
+    token = f"{_os.getpid()}-{_time.time_ns()}-{_secrets.token_hex(8)}"
     try:
         out = fs.create(p, False)  # create-if-absent
         try:
-            out.write(bytearray(f"{_time.time()}".encode("utf-8")))
+            out.write(bytearray(token.encode("utf-8")))
         finally:
             out.close()
     except Exception as ex:  # create-if-absent lost the race
         raise CompactionLeaseHeld(
             f"compaction lease on {root} taken concurrently: {ex}"
         ) from None
-    return lease
+    return lease, token
 
 
-def _release_compaction_lease(spark: SparkSession, lease: str) -> None:
-    fs, p, _ = _fs_path(spark, lease)
+def _release_compaction_lease(spark: SparkSession, lease) -> None:
+    """Release an acquired lease — ``lease`` is the ``(path, token)``
+    pair from :func:`_acquire_compaction_lease` (a bare path string is
+    accepted for legacy callers and released unconditionally).  With a
+    token, the file is read-and-compared first: a mismatch means a
+    contender stole the lease past its TTL and the fresh lease is
+    THEIRS — deleting it would re-open the double-compactor window
+    (ADVICE_r8 #1), so release becomes a no-op."""
+    if isinstance(lease, str):
+        path, token = lease, None
+    else:
+        path, token = lease
+    fs, p, _ = _fs_path(spark, path)
+    if token is not None:
+        try:
+            current = _read_text(spark, path)
+        except Exception:
+            return  # lease already gone (stolen + released): nothing to do
+        if current != token:
+            return  # stolen by a contender — the fresh lease is theirs
     fs.delete(p, False)
 
 
@@ -252,8 +282,47 @@ def _tag_namespace(name: str) -> str:
     return name.rsplit("-", 1)[0] if "-" in name else ""
 
 
+#: subdirectory of an index dir holding one marker file per checkpoint
+#: namespace, body = the checkpoint location — lets compaction verify a
+#: namespace's checkpoint is really gone before retiring it
+_NS_DIR = "_namespaces"
+
+
+def _record_namespace(
+    spark: SparkSession, index_dir: str, ns: str, checkpoint_dir: str
+) -> None:
+    """Marker ``<index_dir>/_namespaces/<ns>`` → checkpoint location,
+    written when a stream is wired up, so ``retire_after_sec`` can
+    check checkpoint liveness instead of trusting mtime alone
+    (ADVICE_r8 #2)."""
+    _write_text(spark, _join(index_dir, _NS_DIR, ns), checkpoint_dir)
+
+
+def _ns_checkpoint_alive(spark: SparkSession, index_dir: str):
+    """→ ``alive(ns)`` callable: True (checkpoint dir still exists —
+    the stream can restart and replay, never retire), False (marker
+    present, checkpoint gone — safe to retire), None (no marker:
+    hand-built namespace, fall back to the mtime-only horizon, which
+    then must exceed the max trigger gap plus clock skew)."""
+    marks: dict[str, str] = {}
+    root = _join(index_dir, _NS_DIR)
+    if _exists(spark, root):
+        for name, full, is_dir, _ in _list_children(spark, root):
+            if not is_dir:
+                marks[name] = _read_text(spark, full)
+
+    def alive(ns: str):
+        ck = marks.get(ns)
+        return None if ck is None else _exists(spark, ck)
+
+    return alive
+
+
 def _kept_newest(
-    subdirs: list, keep_last: int, retire_after_sec: float | None = None
+    subdirs: list,
+    keep_last: int,
+    retire_after_sec: float | None = None,
+    ckpt_alive=None,
 ) -> set:
     """Names of the ``keep_last`` NEWEST batch subdirectories PER
     CHECKPOINT NAMESPACE (ADVICE_r7): batch ids restart at 0 per
@@ -268,10 +337,19 @@ def _kept_newest(
     Per-namespace protection means a RETIRED stream's newest batch
     would otherwise survive forever (every restart mints a fresh
     namespace).  ``retire_after_sec`` bounds that: a namespace whose
-    newest subdir is older than the horizon can no longer replay
-    (its checkpoint is gone or abandoned) and loses protection, so
+    newest subdir is older than the horizon loses protection, so
     compaction eventually drains dead namespaces completely.  None
-    (the default) keeps the conservative keep-everything behavior."""
+    (the default) keeps the conservative keep-everything behavior.
+
+    mtime-vs-wall-clock alone can misfire on a live-but-idle stream
+    (ADVICE_r8 #2), so when ``ckpt_alive`` is provided (built by
+    :func:`_ns_checkpoint_alive` from the ``_namespaces`` markers)
+    the horizon only retires a namespace whose checkpoint directory is
+    VERIFIED absent (``alive(ns) is False``) or unknown (no marker —
+    hand-built namespaces keep the legacy mtime-only contract, where
+    ``retire_after_sec`` must exceed the max trigger gap plus clock
+    skew); a namespace whose checkpoint still exists stays protected
+    no matter how stale its newest batch looks."""
     if not keep_last:
         return set()
     import time as _time
@@ -285,10 +363,15 @@ def _kept_newest(
     for c in subdirs:
         by_ns.setdefault(_tag_namespace(c[0]), []).append(c)
     kept: set = set()
-    for group in by_ns.values():
+    for ns, group in by_ns.items():
         group.sort(key=lambda c: (_tag_batch_id(c[0]), c[3], c[0]))
         if horizon_ms is not None and group[-1][3] < horizon_ms:
-            continue  # retired namespace: fold everything
+            # tag namespaces carry the "b" prefix (b{ns}-{id}); the
+            # _namespaces markers use the bare ns
+            bare = ns[1:] if ns.startswith("b") else ns
+            alive = ckpt_alive(bare) if ckpt_alive is not None else None
+            if alive is not True:
+                continue  # retired namespace: fold everything
         kept.update(c[0] for c in group[-keep_last:])
     return kept
 
@@ -552,6 +635,11 @@ def _compact_ingest_indexes_locked(
     retire_after_sec: float | None = None,
 ) -> dict[str, int]:
     out = {}
+    alive = (
+        _ns_checkpoint_alive(spark, index_dir)
+        if retire_after_sec is not None
+        else None
+    )
     for sub in _TABLES:
         src = _join(index_dir, sub)
         _heal_table(spark, src)
@@ -559,7 +647,7 @@ def _compact_ingest_indexes_locked(
             continue
         children = _list_children(spark, src)
         kept = _kept_newest(
-            [c for c in children if c[2]], keep_last, retire_after_sec
+            [c for c in children if c[2]], keep_last, retire_after_sec, alive
         )
         fold = [c[1] for c in children if c[0] not in kept]
         fold_names = [c[0] for c in children if c[0] not in kept]
@@ -612,6 +700,7 @@ def incremental_ingest_stream(
     Returns the started query."""
     spark = stream_docs.sparkSession
     ns = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    _record_namespace(spark, index_dir, ns, checkpoint_dir)
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         ingest_batch(

@@ -146,3 +146,67 @@ def test_hll_ngrams_cached_equals_uncached(spark, sf_dir, cache_session):
     stagecache.enable()
     warm, wcols = _rows(QUERIES["source_distinct_ngrams_hll"](spark, sf_dir))
     assert cols == wcols and cold == warm
+
+
+def test_per_key_locking_hits_dont_wait_for_builds(spark, cache_session):
+    """ADVICE_r8 #3: a slow build on key A must not block a cache HIT
+    on an already-built key B — the global lock guards only the dicts,
+    materialization serializes per key."""
+    import threading
+    import time
+
+    # build B up front
+    b = stagecache.shared(("fast", "b"), lambda: spark.range(10))
+    assert b.count() == 10
+
+    release = threading.Event()
+    a_started = threading.Event()
+
+    def slow_builder():
+        a_started.set()
+        assert release.wait(30), "test deadlock"
+        return spark.range(5)
+
+    t = threading.Thread(
+        target=lambda: stagecache.shared(("slow", "a"), slow_builder)
+    )
+    t.start()
+    assert a_started.wait(30)
+    # while A is mid-build, a hit on B must return promptly
+    t0 = time.perf_counter()
+    again = stagecache.shared(("fast", "b"), lambda: spark.range(10))
+    hit_secs = time.perf_counter() - t0
+    assert again is b
+    assert hit_secs < 5.0  # not serialized behind the 30 s build window
+    # and a DIFFERENT key's build proceeds concurrently too
+    c = stagecache.shared(("fast", "c"), lambda: spark.range(3))
+    assert c.count() == 3
+    release.set()
+    t.join(60)
+    assert not t.is_alive()
+
+
+def test_same_key_concurrent_first_calls_build_once(spark, cache_session):
+    """Two threads racing the same cold key: exactly one builder runs."""
+    import threading
+
+    builds = []
+    barrier = threading.Barrier(2)
+    results = []
+
+    def call():
+        barrier.wait(10)
+        results.append(
+            stagecache.shared(
+                ("race", "k"),
+                lambda: (builds.append(1), spark.range(7))[1],
+            )
+        )
+
+    ts = [threading.Thread(target=call) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(60)
+    assert len(builds) == 1
+    assert results[0] is results[1]

@@ -328,3 +328,68 @@ def test_stale_lease_steal_race_single_winner(spark, tmp_path, corpus):
         _acquire_compaction_lease(spark, idx)
     assert os.path.exists(lease_file)
     _release_compaction_lease(spark, lease)
+
+
+def test_overrun_compactor_release_spares_stolen_lease(spark, tmp_path, corpus):
+    """ADVICE_r8 #1: compactor A outlives the TTL, contender B steals
+    the lease; A's finally-release must NOT delete B's fresh lease —
+    the owner token mismatches, so release is a no-op and a third
+    contender is still refused."""
+    from bigdatamlteamrepo_spark.streaming.ingest import (
+        CompactionLeaseHeld,
+        _acquire_compaction_lease,
+        _release_compaction_lease,
+    )
+
+    _, base, _, _ = corpus
+    idx = str(tmp_path / "token_idx")
+    build_inverted_index(base, idx)
+    lease_file = os.path.join(idx, "_compaction.lease")
+
+    lease_a = _acquire_compaction_lease(spark, idx)
+    # A runs past the TTL...
+    stale = os.path.getmtime(lease_file) - 3600
+    os.utime(lease_file, (stale, stale))
+    # ...B steals and holds a FRESH lease
+    lease_b = _acquire_compaction_lease(spark, idx)
+    # A finishes and releases: token mismatch → no-op
+    _release_compaction_lease(spark, lease_a)
+    assert os.path.exists(lease_file)
+    # a third contender is still refused while B works
+    with pytest.raises(CompactionLeaseHeld):
+        _acquire_compaction_lease(spark, idx)
+    # B's own release (token matches) removes the lease
+    _release_compaction_lease(spark, lease_b)
+    assert not os.path.exists(lease_file)
+
+
+def test_retire_checks_checkpoint_liveness(spark, tmp_path, corpus):
+    """ADVICE_r8 #2: a live-but-idle stream (namespace marker points at
+    a checkpoint dir that still exists) keeps its replay protection
+    past the mtime horizon; a namespace whose recorded checkpoint is
+    gone drains."""
+    from bigdatamlteamrepo_spark.streaming.ingest import _record_namespace
+
+    _, base, b1, b2 = corpus
+    idx = str(tmp_path / "liveness_idx")
+    build_inverted_index(base, idx)
+    append_batch_to_index(b1, idx, batch_id=0, namespace="idle")
+    append_batch_to_index(b2, idx, batch_id=0, namespace="gone")
+    want = _scores(spark, idx)
+
+    ck_idle = str(tmp_path / "ck_idle")
+    os.makedirs(ck_idle)  # checkpoint still on disk: stream can replay
+    _record_namespace(spark, idx, "idle", ck_idle)
+    _record_namespace(spark, idx, "gone", str(tmp_path / "ck_gone"))  # absent
+
+    # age BOTH namespaces beyond the horizon
+    for ns in ("idle", "gone"):
+        for t in ("postings", "df", "stats"):
+            p = os.path.join(idx, f"{t}_inc", f"b{ns}-0")
+            old = os.path.getmtime(p) - 3600
+            os.utime(p, (old, old))
+    compact_index(spark, idx, keep_last=1, retire_after_sec=600)
+    inc = os.path.join(idx, "postings_inc")
+    assert os.path.isdir(os.path.join(inc, "bidle-0"))  # protected: ckpt alive
+    assert not os.path.isdir(os.path.join(inc, "bgone-0"))  # drained
+    assert _scores(spark, idx) == want
