@@ -1128,20 +1128,32 @@ def source_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     track distinct types, never corpus tokens.  The ratio is
     integer-over-integer, bit-deterministic."""
     t = ensure_tokens(_with_tokens(spark, sf_dir), "source")
-    sz_parts = [
-        t.select(
-            "source",
-            F.lit(n).alias("n"),
-            F.greatest(
-                F.size("toks") - F.lit(n - 1), F.lit(0)
-            ).alias("c"),
-        )
-        for n in (1, 2, 3)
-    ]
-    sz = sz_parts[0].unionAll(sz_parts[1]).unionAll(sz_parts[2])
-    totals = sz.groupBy("source", "n").agg(
-        F.sum("c").cast("bigint").alias("total_ngrams")
+    # one scan for all three widths: aggregate the three per-doc count
+    # arithmetics together, then unpivot the 20-row result to (source,
+    # n) — the previous 3-way union scanned the (cached) token frame
+    # three times for the same numbers (NOTES_r9, VERDICT_r8 #4)
+    per_src = t.groupBy("source").agg(
+        *[
+            F.sum(
+                F.greatest(F.size("toks") - F.lit(n - 1), F.lit(0))
+            ).cast("bigint").alias(f"t{n}")
+            for n in (1, 2, 3)
+        ]
     )
+    totals = per_src.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n"),
+                        F.col(f"t{n}").alias("total_ngrams"),
+                    )
+                    for n in (1, 2, 3)
+                ]
+            )
+        ).alias("x"),
+    ).select("source", "x.n", "x.total_ngrams")
     types = (
         _tagged_gram_counts(spark, sf_dir)
         .groupBy("source", "n")

@@ -663,8 +663,14 @@ def ann_voronoi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk", priority=90)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib-KMeans IVF top-k — DEREGISTERED from the query registry
+    (VERDICT_r8 #2): the fitted quantizer's cells are nondeterministic,
+    so its driver row could never be more than rows-only and sat
+    permanently non-green in the ledger.  The operator stays fully
+    covered: recall ≥ pinned thresholds in tests/test_ann_dedup.py, and
+    the deterministic-quantizer registry faces of the same family are
+    ``ann_voronoi_topk`` (oracle-green) and ``ann_ivfpq_topk``."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb,
