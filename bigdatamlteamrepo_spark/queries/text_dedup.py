@@ -952,6 +952,17 @@ def bbit_independent_agreement(cand: DataFrame, sk: DataFrame) -> DataFrame:
     )
 
 
+#: hot-bucket salting defaults for :func:`lsh_candidate_pairs`: a band
+#: bucket wider than max(SALT_MIN_WIDTH, SALT_FACTOR × mean width) is
+#: grid-decomposed over SALT_CELLS sub-tasks.  Mirrors the passage
+#: cap's auto rule (curation.passage_neardup_pairs); on a healthy
+#: corpus (mean band width ~1-2) NO bucket crosses the bar and the hot
+#: branch carries zero rows.
+SALT_MIN_WIDTH = 64
+SALT_FACTOR = 8
+SALT_CELLS = 8
+
+
 def lsh_candidate_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -959,6 +970,7 @@ def lsh_candidate_pairs(
     n_bands: int = LSH_N_BANDS,
     sets: DataFrame | None = None,
     corpus_sets: bool = False,
+    salt: str | None = "auto",
 ) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 MinHash band.
 
@@ -980,6 +992,21 @@ def lsh_candidate_pairs(
     cache's materialized band table.  A subset ``sets`` (batch/survivor
     slices) must leave it False, or the cached full-corpus bands would
     silently replace the subset's.
+
+    ``salt="auto"`` (the DEFAULT, VERDICT_r8 #8): boilerplate corpora
+    concentrate docs into a few band buckets, and the self-join then
+    does |bucket|² work in ONE reducer task — the classic skew killer
+    at 100 TB.  Buckets wider than max(SALT_MIN_WIDTH, SALT_FACTOR ×
+    mean width) are grid-decomposed instead: each hot doc gets a
+    deterministic cell = xxhash64(doc_id) mod SALT_CELLS, the probe
+    side of the hot join is replicated once per cell, and the join key
+    becomes (band, cell) — max task work drops by SALT_CELLS× at a
+    SALT_CELLS× replication of ONLY the hot rows.  Every unordered
+    pair (u < v) is emitted exactly once (in u's cell), so the pair
+    set — and every downstream oracle — is IDENTICAL to the unsalted
+    join (pinned in tests/test_skew.py).  The width scan is one agg
+    over the already-materialized band table; its 1-row mean is a
+    bounded collect.  ``salt=None`` disables.
     """
     if sets is None:
         df = _with_tokens(spark, sf_dir).filter(F.size("toks") >= 3)
@@ -998,16 +1025,70 @@ def lsh_candidate_pairs(
         bands = lsh_band_rows(
             df, shingle_col, n_hashes, n_bands
         ).localCheckpoint(eager=True)
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
+
+    def _pairs(frame: DataFrame) -> DataFrame:
+        a, b = frame.alias("a"), frame.alias("b")
+        return a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+
+    if salt is None:
+        return _pairs(bands).distinct()
+
+    # hot-bucket split: width per band (one agg over the materialized
+    # band table), 1-row mean collect (bounded-collect convention,
+    # NOT a broadcast of an un-materialized aggregate — NOTES_r8)
+    widths = bands.groupBy("band").agg(F.count(F.lit(1)).alias("__w"))
+    stats = widths.agg(F.avg("__w"), F.max("__w")).collect()[0]
+    mean_w, max_w = stats[0], stats[1]
+    thr = max(SALT_MIN_WIDTH, int(SALT_FACTOR * mean_w) if mean_w else 0)
+    if max_w is None or max_w <= thr:
+        # healthy corpus: no hot bucket — keep the exact unsalted plan
+        # (the insurance costs one agg over the materialized band
+        # table + a 1-row collect, nothing else)
+        return _pairs(bands).distinct()
+    # hot keys are FEW by construction (≤ |band rows| / thr), so the
+    # split is a broadcast membership mark — the band table itself
+    # never shuffles against the width table.  bands is materialized
+    # (localCheckpoint / stage cache), so building the broadcast side
+    # re-runs only the small width agg, not the signature chain.
+    hot_keys = widths.filter(F.col("__w") > thr).select(
+        "band", F.lit(True).alias("__hot")
     )
+    banded = bands.join(F.broadcast(hot_keys), "band", "left")
+    cold = banded.filter(F.col("__hot").isNull()).drop("__hot")
+    hot = banded.filter(F.col("__hot").isNotNull()).drop("__hot")
+    # grid decomposition of the hot self-join: build side keyed by its
+    # own deterministic cell, probe side replicated once per cell —
+    # pair (u < v) appears exactly once, in the task (band, cell(u))
+    hot_cells = hot.withColumn(
+        "__cell", F.pmod(F.xxhash64("doc_id"), F.lit(SALT_CELLS))
+    )
+    hot_probe = hot.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("bigint"), F.lit(SALT_CELLS - 1).cast("bigint")
+            )
+        ),
+    )
+    hot_pairs = (
+        hot_cells.alias("a")
+        .join(
+            hot_probe.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    return _pairs(cold).unionAll(hot_pairs).distinct()
 
 
 @query(
