@@ -684,6 +684,161 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Prefix-dimension (Matryoshka) ANN: rank by the first PRE_DIM
+# components, exact full-dim rerank of the survivors (Kusupati et al.
+# 2022).  Deterministic truncation — no fitted model — so both the
+# two-stage top-k AND the cosine-distortion audit are oracle-paired.
+# --------------------------------------------------------------------------
+
+_PRE_DIM = 16
+_PRE_CAND = 50
+_FID_DIMS = (8, 16, 32)
+
+
+def _ann_prefix_oracle() -> str:
+    pre_cos = (
+        f"({dot_expr('c.pre', 'q.q_pre')} / "
+        f"({norm_expr('c.pre')} * {norm_expr('q.q_pre')}))"
+    )
+    cos = (
+        f"({dot_expr('q_emb', 'c_emb')} / "
+        f"({norm_expr('q_emb')} * {norm_expr('c_emb')}))"
+    )
+    return f"""
+WITH __pre AS (
+  SELECT vec_id, embedding, embedding[1:{_PRE_DIM}] AS pre FROM embeddings
+),
+__q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, pre AS q_pre
+  FROM __pre WHERE vec_id < {_ANN_NQ}
+),
+__j AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         q.q_emb, c.embedding AS c_emb,
+         ROW_NUMBER() OVER (PARTITION BY q.query_id
+           ORDER BY ({pre_cos}) DESC, c.vec_id) AS pre_rank
+  FROM __pre c CROSS JOIN __q q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, {cos} AS cosine_sim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY {cos} DESC, neighbor_id) AS INT) AS rank
+FROM __j WHERE pre_rank <= {_PRE_CAND}
+QUALIFY rank <= {_ANN_K}
+"""
+
+
+@query("ann_prefix_rerank_topk", oracle=_ann_prefix_oracle())
+def ann_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style two-stage ANN: dim-16 prefix cosine selects 50
+    candidates (¼ of the scan bytes and multiply-adds at 100 TB with a
+    dim-sliced layout), exact dim-64 rerank emits the top-10.  The
+    operator is a deterministic fold chain, so the registered face is
+    value-hash-checked end-to-end; recall vs the exact scan is pinned
+    in tests/test_ann_dedup.py."""
+    from bigdatamlteamrepo_spark.operators.similarity import prefix_rerank_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return prefix_rerank_topk(
+        emb,
+        _queries_set(spark, sf_dir, _ANN_NQ),
+        k=_ANN_K,
+        prefix_dim=_PRE_DIM,
+        candidates=_PRE_CAND,
+        exclude_self=True,
+    )
+
+
+def _prefix_fidelity_oracle() -> str:
+    cos64 = (
+        f"({dot_expr('q', 'e')} / ({norm_expr('q')} * {norm_expr('e')}))"
+    )
+    parts = []
+    for d in _FID_DIMS:
+        cos_d = (
+            f"({dot_expr(f'e[1:{d}]', f'q[1:{d}]')} / "
+            f"({norm_expr(f'e[1:{d}]')} * {norm_expr(f'q[1:{d}]')}))"
+        )
+        parts.append(
+            f"""SELECT {d} AS prefix_dim,
+       CAST(FLOOR(ABS(({cos_d}) - ({cos64})) * 1000000.0) AS BIGINT) AS err
+FROM __p"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH __q AS (
+  SELECT vec_id AS qid, embedding AS q FROM embeddings
+  WHERE vec_id < {_ANN_NQ}
+),
+__p AS (
+  SELECT c.embedding AS e, q.q FROM embeddings c CROSS JOIN __q q
+  WHERE c.vec_id <> q.qid
+),
+__e AS (
+{union}
+)
+SELECT prefix_dim,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(err) AS BIGINT) AS err_micro_sum,
+       CAST(SUM(err) AS DOUBLE) / COUNT(*) AS mean_err_micro
+FROM __e GROUP BY prefix_dim
+"""
+
+
+@query("embedding_prefix_dim_fidelity", oracle=_prefix_fidelity_oracle())
+def embedding_prefix_dim_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement behind the prefix-rerank knob: per prefix width
+    (8/16/32 of 64), the cosine distortion |cos_prefix − cos_full| over
+    every (query, corpus) pair, micro-quantized per pair BEFORE
+    aggregation (the decode-stats discipline: FLOOR(x·1e6) of one IEEE
+    double is bit-identical in both engines, and BIGINT sums need no
+    float tolerance).  Read it as the recall/cost curve's x-axis —
+    widths whose mean distortion is ≪ the top-k cosine gaps are safe
+    candidate widths."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _ANN_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(F.col("embedding").alias("e"), "q")
+    )
+    cos64 = cosine_similarity(F.col("q"), F.col("e"))
+    errs = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("prefix_dim"),
+                F.floor(
+                    F.abs(
+                        cosine_similarity(
+                            F.slice(F.col("q"), 1, d), F.slice(F.col("e"), 1, d)
+                        )
+                        - cos64
+                    )
+                    * 1000000.0
+                )
+                .cast("bigint")
+                .alias("err"),
+            )
+            for d in _FID_DIMS
+        ]
+    )
+    return (
+        pairs.select(F.explode(errs).alias("x"))
+        .select("x.prefix_dim", "x.err")
+        .groupBy("prefix_dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("err").cast("bigint").alias("err_micro_sum"),
+            (F.sum("err").cast("double") / F.count(F.lit(1))).alias(
+                "mean_err_micro"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Product quantization ADC top-k (operators/pq.py): codes-only ranking
 # + exact re-rank on the k survivors.  Codebooks are data-derived
 # anchors (vec_id < PQ_K), the same oracle-reproducibility device as

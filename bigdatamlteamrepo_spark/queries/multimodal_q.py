@@ -510,6 +510,78 @@ def multimodal_video_decode_summary(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+#: oracle twin of multimodal_video_content_dedup: content derives from
+#: mid % 20 (two container re-encodes per content key, with DIFFERENT
+#: frame timestamps), so the per-video pixel signature — md5 over the
+#: frame-ordered luma sums — groups ids exactly by content key.  The
+#: md5 input string is identical in both engines: comma-joined base-10
+#: BIGINTs in frame order.
+_MM_VDEDUP_ORACLE = """
+WITH m AS (SELECT range AS mid, range % 20 AS k FROM range(40)),
+p AS (
+  SELECT mid, k,
+         3 + (k*19+42)%6 AS n,
+         16 + (k*7+42)%33 AS w,
+         16 + (k*11+42)%17 AS h
+  FROM m
+),
+fr AS (SELECT mid, k, n, w, h, unnest(range(n)) AS f FROM p),
+d AS (
+  SELECT mid, f,
+         CAST((68 + 2*((k*23 + f*5 + 42)%60)) AS BIGINT)
+           * w * h AS luma_sum
+  FROM fr
+),
+sig AS (
+  SELECT mid, md5(string_agg(CAST(luma_sum AS VARCHAR), ',' ORDER BY f))
+           AS content_sig
+  FROM d GROUP BY mid
+)
+SELECT content_sig,
+       CAST(MIN(mid) AS BIGINT) AS rep_media_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM sig GROUP BY content_sig
+"""
+
+
+@query("multimodal_video_content_dedup", oracle=_MM_VDEDUP_ORACLE)
+def multimodal_video_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-based video dedup over DECODED PIXELS: the per-video
+    signature is md5 over the frame-ordered luma sums, so container
+    re-encodes with different frame TIMESTAMPS (the fixture gives each
+    copy distinct stts tables) still collapse into one content group —
+    exactly what mtime/checksum dedup misses on re-muxed footage.
+    Composes the r09 in-frame decode tier with the dedup tier: demux →
+    JPEG decode → per-frame integer luma → order-pinned signature →
+    hash-groupBy (linear, the exact-dedup discipline; at 100 TB the
+    signature is 32 bytes/video and the groupBy shuffles signatures,
+    never pixels)."""
+    from bigdatamlteamrepo_spark.sources.multimodal import (
+        decode_video_frames,
+        generate_mjpeg_media,
+    )
+
+    media = generate_mjpeg_media(spark, n_rows=40, seed=42, content_mod=20)
+    frames = decode_video_frames(media)
+    sig = frames.groupBy("media_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("frame_idx", "luma_sum"))
+                    ),
+                    lambda x: x["luma_sum"].cast("string"),
+                ),
+            )
+        ).alias("content_sig")
+    )
+    return sig.groupBy("content_sig").agg(
+        F.min("media_id").cast("bigint").alias("rep_media_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+    )
+
+
 #: G.711 expansions as SQL over the closed-form code bytes — verified
 #: byte-for-byte against the numpy expanders over all 256 codes.  In
 #: µ-law the complemented code's top bit set means NEGATIVE; in A-law

@@ -493,7 +493,10 @@ def generate_jpeg_media(
 
 
 def generate_mjpeg_media(
-    spark: SparkSession, n_rows: int = 40, seed: int = 42
+    spark: SparkSession,
+    n_rows: int = 40,
+    seed: int = 42,
+    content_mod: int | None = None,
 ) -> DataFrame:
     """Media table whose payloads are REAL MJPEG-in-MP4 videos: an ISO
     BMFF container (codecs.encode_mp4_mjpeg) whose every sample is a
@@ -505,7 +508,13 @@ def generate_mjpeg_media(
     the spec-exact JPEG subset (R=G=B, even v: chroma DCs zero, luma DC
     quantizes without remainder at both rotated qualities — see
     generate_jpeg_media), frame durations in runs of 4 so stts is
-    genuinely RLE."""
+    genuinely RLE.
+
+    ``content_mod``: when set, frame CONTENT derives from ``media_id %
+    content_mod`` while container timing keeps the full id — ids that
+    agree mod ``content_mod`` are pixel-identical re-encodes with
+    different timestamps, the duplicate structure the content-dedup
+    query detects."""
     from bigdatamlteamrepo_spark.sources.jpeg import encode_jpeg
     from bigdatamlteamrepo_spark.sources.codecs import encode_mp4_mjpeg
 
@@ -514,14 +523,19 @@ def generate_mjpeg_media(
             rows = []
             for mid in pdf["id"]:
                 mid = int(mid)
-                n = 3 + (mid * 19 + seed) % 6
-                w = 16 + (mid * 7 + seed) % 33
-                h = 16 + (mid * 11 + seed) % 17
+                k = mid if content_mod is None else mid % content_mod
+                n = 3 + (k * 19 + seed) % 6
+                w = 16 + (k * 7 + seed) % 33
+                h = 16 + (k * 11 + seed) % 17
                 frames = []
                 for f in range(n):
-                    v = 68 + 2 * ((mid * 23 + f * 5 + seed) % 60)
+                    v = 68 + 2 * ((k * 23 + f * 5 + seed) % 60)
                     img = np.full((h, w, 3), v, dtype=np.uint8)
-                    frames.append(encode_jpeg(img, 50 + 25 * ((mid + f) % 2)))
+                    frames.append(encode_jpeg(img, 50 + 25 * ((k + f) % 2)))
+                # container timing stays keyed by the FULL mid even when
+                # content repeats: re-encodes of the same footage rarely
+                # share timestamps, and content-based dedup must see
+                # through that (multimodal_video_content_dedup)
                 deltas = np.array(
                     [33 + (mid + f // 4) % 3 for f in range(n)],
                     dtype=np.uint32,

@@ -306,3 +306,27 @@ def test_semdedup_ann_is_refinement_of_exact(spark, sf_dir):
     }
     assert set(ann) == set(exact)
     assert sum(k for k, _ in ann.values()) >= sum(k for k, _ in exact.values())
+
+
+def test_prefix_rerank_recall(spark, clustered_emb):
+    """Matryoshka prefix-rerank (dim-16 candidates, full-dim rerank):
+    recall vs exact on the clustered corpus, and exactness when the
+    candidate pool covers the corpus."""
+    from bigdatamlteamrepo_spark.operators.similarity import prefix_rerank_topk
+
+    exact = _brute_topk(spark, clustered_emb).collect()
+    q = clustered_emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    approx = prefix_rerank_topk(
+        clustered_emb, q, k=10, prefix_dim=16, candidates=30, exclude_self=True
+    ).collect()
+    assert _recall(approx, exact) >= 0.9
+    # candidates >= corpus size -> stage 1 prunes nothing: EXACT result
+    n = clustered_emb.count()
+    full = prefix_rerank_topk(
+        clustered_emb, q, k=10, prefix_dim=16, candidates=n, exclude_self=True
+    ).collect()
+    assert {(r.query_id, r.neighbor_id) for r in full} == {
+        (r.query_id, r.neighbor_id) for r in exact
+    }
