@@ -444,6 +444,58 @@ def build_ivfpq_index(
     )
 
 
+#: increment-table schemas for the streaming appender
+#: (streaming/vectors.py): cell is a DATA column in increments, a
+#: directory-partition value in the base — int in both, so the union
+#: needs no casts
+_PART_SCHEMAS = {
+    "codes": "vec_id bigint, s int, code int, cell int",
+    "vectors": "vec_id bigint, embedding array<float>, cell int",
+}
+
+
+def read_index_part(
+    spark, index_dir: str, table: str, cells: list[int] | None = None
+) -> DataFrame:
+    """``codes`` / ``vectors`` rows across the partitioned base AND any
+    streaming increments (``<table>_inc/b<ns>-<id>/`` subdirectories
+    written by streaming/vectors.py).  Cell restriction prunes base
+    ``cell=`` directories statically; increments carry cell as a data
+    column sorted within files, so the same predicate prunes their row
+    groups.  Missing base (stream-seeded index) or missing increments
+    (batch-built index) are both fine; both missing raises."""
+    from bigdatamlteamrepo_spark.streaming.ingest import (
+        _exists,
+        _join,
+        _list_children,
+    )
+
+    parts = []
+    base = _join(index_dir, table)
+    if _exists(spark, base):
+        parts.append(spark.read.parquet(base))
+    inc_root = _join(index_dir, f"{table}_inc")
+    if _exists(spark, inc_root):
+        subs = sorted(c[1] for c in _list_children(spark, inc_root) if c[2])
+        if subs:
+            parts.append(
+                spark.read.schema(_PART_SCHEMAS[table])
+                .option("recursiveFileLookup", "true")
+                .parquet(*subs)
+            )
+    if not parts:
+        raise FileNotFoundError(
+            f"no index table at {index_dir}/{table} (base or {table}_inc) — "
+            "build_ivfpq_index or streaming/vectors.append_vectors_batch first"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if cells is not None:
+        out = out.filter(F.col("cell").isin([int(c) for c in cells]))
+    return out
+
+
 def semdedup_from_index(
     spark,
     index_dir: str,
@@ -473,7 +525,7 @@ def semdedup_from_index(
     )
     from bigdatamlteamrepo_spark.operators.graph import connected_components
 
-    vecs = spark.read.parquet(index_dir + "/vectors")
+    vecs = read_index_part(spark, index_dir, "vectors")
     pairs = within_cell_cosine_pairs(vecs, threshold).localCheckpoint(
         eager=True
     )
@@ -523,9 +575,7 @@ def ivfpq_index_topk(
     )
     cells = sorted({r.cell for r in probed.select("cell").distinct().collect()})
 
-    codes = spark.read.parquet(index_dir + "/codes").filter(
-        F.col("cell").isin(cells)
-    )
+    codes = read_index_part(spark, index_dir, "codes", cells)
     qs = _subspaces(
         queries.select("query_id", "q_emb"), "q_emb", "query_id", "q_sub", m, sub
     )
@@ -554,10 +604,8 @@ def ivfpq_index_topk(
     shortlist = scored.withColumn("ar", F.row_number().over(w_adc)).filter(
         F.col("ar") <= rerank
     )
-    full = (
-        spark.read.parquet(index_dir + "/vectors")
-        .filter(F.col("cell").isin(cells))
-        .select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    full = read_index_part(spark, index_dir, "vectors", cells).select(
+        F.col("vec_id").alias("neighbor_id"), "embedding"
     )
     w_fin = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")

@@ -1066,6 +1066,185 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Pseudo-relevance feedback (RM3-style query expansion): the top
+# feedback docs of the initial BM25 run vote — score-weighted — for
+# expansion terms; the query re-runs with those terms appended and the
+# two scores interpolate.  Every cross-row accumulation is INTEGER
+# (micro-quantized per (doc, term) BEFORE summing), so the dynamic term
+# set never trips double-summation-order divergence — the convention
+# that makes a data-dependent scoring query value-hash-checkable.
+# --------------------------------------------------------------------------
+
+_RM3_FB = 5       # pseudo-relevant feedback docs
+_RM3_EXP = 8      # expansion terms
+_RM3_TOP = 10
+#: λ = 0.6 original / 0.4 expansion, scaled ×5 to stay integer:
+#: fused = 3·orig_micro + 2·exp_micro
+_RM3_W_ORIG, _RM3_W_EXP = 3, 2
+
+
+def _rm3_oracle() -> str:
+    orig_terms = ", ".join(f"'{w}'" for w in _BM25_TERMS)
+    kernel = (
+        f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+        f" * tf * ({_BM25_K1} + 1.0)"
+        f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+n AS (SELECT COUNT(*) AS n_docs, AVG(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+orig AS (
+  SELECT doc_id, CAST(FLOOR(bm25 * 1000000.0) AS BIGINT) AS orig_micro
+  FROM ({_BM25_ORACLE})
+),
+fb AS (
+  SELECT doc_id, orig_micro AS w_micro FROM orig
+  ORDER BY orig_micro DESC, doc_id LIMIT {_RM3_FB}
+),
+fb_tf AS (
+  SELECT t.doc_id, tok, COUNT(*) AS tf, MAX(fb.w_micro) AS w_micro
+  FROM t JOIN fb USING (doc_id), unnest(t.toks) AS u(tok)
+  WHERE tok NOT IN ({orig_terms}) AND length(tok) >= 3
+  GROUP BY t.doc_id, tok
+),
+exp_terms AS (
+  SELECT tok AS term, SUM(tf * w_micro) AS vote
+  FROM fb_tf GROUP BY tok
+  ORDER BY vote DESC, term LIMIT {_RM3_EXP}
+),
+doc_tf AS (
+  SELECT t.doc_id, tok AS term, CAST(COUNT(*) AS DOUBLE) AS tf,
+         MAX(len(t.toks)) AS dl
+  FROM t, unnest(t.toks) AS u(tok)
+  JOIN exp_terms ON tok = exp_terms.term
+  GROUP BY t.doc_id, tok
+),
+term_df AS (
+  -- df falls out of doc_tf's grain (one row per doc containing the
+  -- term): no second corpus explode
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM doc_tf GROUP BY term
+),
+exp_scores AS (
+  SELECT doc_id,
+         SUM(CAST(FLOOR(({kernel}) * 1000000.0) AS BIGINT)) AS exp_micro
+  FROM doc_tf JOIN term_df USING (term), n
+  GROUP BY doc_id
+),
+fused AS (
+  SELECT COALESCE(o.doc_id, e.doc_id) AS doc_id,
+         {_RM3_W_ORIG} * COALESCE(o.orig_micro, 0)
+           + {_RM3_W_EXP} * COALESCE(e.exp_micro, 0) AS rm3_score_micro
+  FROM orig o FULL OUTER JOIN exp_scores e ON o.doc_id = e.doc_id
+)
+SELECT doc_id, rm3_score_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY rm3_score_micro DESC, doc_id) AS INT)
+         AS rank
+FROM fused
+QUALIFY rank <= {_RM3_TOP}
+"""
+
+
+@query("doc_bm25_rm3_topk", oracle=_rm3_oracle())
+def doc_bm25_rm3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-style pseudo-relevance feedback retrieval: BM25 for the
+    literal query → the top 5 docs vote for expansion terms (vote =
+    tf × the doc's micro-quantized score — INTEGER, so the
+    dynamic-term accumulation has no float order sensitivity) → the 8
+    winners score the corpus through the same BM25 kernel (uniform
+    expansion weights; per-(doc, term) contributions micro-quantized
+    before the per-doc BIGINT sum) → λ-interpolated fusion,
+    integer-scaled 3:2 (λ = 0.6).
+
+    Scale: feedback docs are O(1) rows; the expansion-term table is 8
+    rows broadcast into the one corpus explode; the final top-10 is a
+    TakeOrdered, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tokenize("text").alias("toks"))
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("toks").cast("double")).alias("avgdl"),
+    )
+    orig = doc_bm25_scores(spark, sf_dir).select(
+        "doc_id", F.floor(F.col("bm25") * 1000000.0).cast("bigint").alias("orig_micro")
+    )
+    fb = orig.orderBy(F.desc("orig_micro"), F.asc("doc_id")).limit(_RM3_FB).select(
+        "doc_id", F.col("orig_micro").alias("w_micro")
+    )
+    fb_tok = (
+        t.join(F.broadcast(fb), "doc_id")
+        .select("doc_id", "w_micro", F.explode("toks").alias("tok"))
+        .filter(
+            (~F.col("tok").isin(*_BM25_TERMS)) & (F.length("tok") >= 3)
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("w_micro").alias("w_micro"))
+    )
+    exp_terms = (
+        fb_tok.groupBy("tok")
+        .agg(F.sum(F.col("tf") * F.col("w_micro")).alias("vote"))
+        .orderBy(F.desc("vote"), F.asc("tok"))
+        .limit(_RM3_EXP)
+        .select(F.col("tok").alias("term"))
+    )
+    tok_stream = t.select(
+        "doc_id", F.size("toks").alias("dl"), F.explode("toks").alias("term")
+    )
+    doc_tf = (
+        tok_stream.join(F.broadcast(exp_terms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint(eager=True)  # feeds BOTH df and the kernel —
+        # without it the corpus explode would run twice
+    )
+    # df falls out of doc_tf's grain: one row per doc containing the term
+    term_df = doc_tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    kernel = (
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+        * F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    exp_scores = (
+        doc_tf.join(F.broadcast(term_df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(kernel * 1000000.0).cast("bigint").alias("c_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("exp_micro"))
+    )
+    fused = (
+        orig.join(exp_scores, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                _RM3_W_ORIG * F.coalesce(F.col("orig_micro"), F.lit(0))
+                + _RM3_W_EXP * F.coalesce(F.col("exp_micro"), F.lit(0))
+            ).alias("rm3_score_micro"),
+        )
+        .orderBy(F.desc("rm3_score_micro"), F.asc("doc_id"))
+        .limit(_RM3_TOP)
+    )
+    from pyspark.sql import Window
+
+    return fused.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rm3_score_micro"), F.asc("doc_id")))
+        .cast("int"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-source document caps — the "domain cap" stage of a crawl
 # pipeline: no single source may contribute more than K documents, and
 # the K kept are the highest-quality ones (type-token ratio, doc_id
