@@ -728,7 +728,7 @@ QUALIFY rank <= {_ANN_K}
 """
 
 
-@query("ann_prefix_rerank_topk", oracle=_ann_prefix_oracle())
+@query("ann_prefix_rerank_topk", bench=True, oracle=_ann_prefix_oracle())
 def ann_prefix_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style two-stage ANN: dim-16 prefix cosine selects 50
     candidates (¼ of the scan bytes and multiply-adds at 100 TB with a

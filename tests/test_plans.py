@@ -174,3 +174,33 @@ def test_passages_and_sampling_plans_no_cartesian(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         allowed = {"doc_tfidf_top_terms": 1, "doc_term_burstiness": 1}.get(name, 0)  # n_docs scalar
         assert plan.count("BroadcastNestedLoopJoin") <= allowed, name
+
+
+def test_r09_additions_plans(spark, sf_dir):
+    """r09 tier: prefix-rerank ANN, RM3 expansion, salted LSH — no
+    CartesianProduct; nested-loop joins only for documented one-row
+    scalar attaches (RM3's (n_docs, avgdl) stats frame; the prefix
+    queries broadcast the 5-row query set, which Catalyst plans as a
+    BroadcastNestedLoopJoin only for the crossJoin form — count it)."""
+    from bigdatamlteamrepo_spark.queries.registry import QUERIES as Q
+
+    for name in (
+        "ann_prefix_rerank_topk",
+        "embedding_prefix_dim_fidelity",
+        "doc_bm25_rm3_topk",
+        "neardup_pairs_lsh",
+    ):
+        plan = (
+            Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        allowed = {
+            # broadcast of the bounded query/stats sides via crossJoin:
+            # ann_prefix (5-row query set), fidelity (5-row), rm3
+            # ((n_docs, avgdl) scalar + the BM25 subplan's stats row)
+            "ann_prefix_rerank_topk": 1,
+            "embedding_prefix_dim_fidelity": 1,
+            "doc_bm25_rm3_topk": 2,
+        }.get(name, 0)
+        n = plan.count("BroadcastNestedLoopJoin")
+        assert n <= allowed, f"{name}: {n} nested-loop joins"

@@ -366,3 +366,61 @@ def test_train_fn_gate_is_the_torch_import(tmp_path, monkeypatch):
     src = inspect.getsource(tt)
     assert "NotImplementedError" not in src
     assert "not bundled" not in src
+
+
+def test_train_fn_end_to_end_with_fake_module(spark, tmp_path, monkeypatch):
+    """train_fn's full body — parquet read, per-epoch reshuffled
+    collation, loop, checkpoints, metrics.csv, final save — executed
+    torch-free by swapping only the model leaf (make_torch_module)."""
+    import numpy as np
+
+    rows = []
+    rng = np.random.RandomState(0)
+    for i in range(20):
+        ids = [int(x) for x in rng.randint(1, 50, size=4)]
+        rows.append((ids, [1] * 4, [ids[0]]))
+    df = spark.createDataFrame(
+        rows, "input_ids array<int>, attention_mask array<int>, labels array<int>"
+    )
+    train_p = str(tmp_path / "train.parquet")
+    val_p = str(tmp_path / "val.parquet")
+    df.write.parquet(train_p)
+    df.limit(8).write.parquet(val_p)
+
+    class _FakeLeaf:
+        """Counts labels[0] mean — enough to drive the loop and emit a
+        deterministic val loss."""
+
+        def __init__(self):
+            self.steps = 0
+
+        def training_step(self, batch):
+            assert set(batch) == {"input_ids", "attention_mask", "labels"}
+            assert all(len(x) == 4 for x in batch["input_ids"])
+            return float(sum(x[0] for x in batch["labels"]))
+
+        def validation_step(self, batch):
+            return 1.0
+
+        def optimizer_step(self, clip_val):
+            assert clip_val == 1.0
+            self.steps += 1
+
+        def save(self, dirpath, filename):
+            os.makedirs(os.path.join(dirpath, str(filename)), exist_ok=True)
+
+    monkeypatch.setattr(tt, "make_torch_module", lambda cfg: _FakeLeaf())
+    out = str(tmp_path / "out")
+    summary = tt.train_fn(
+        train_p,
+        val_p,
+        {**{"max_epochs": 2, "batch_size": 8, "log_every_n_steps": 1}},
+        out,
+    )
+    assert summary["best_val_loss"] == 1.0
+    assert summary["best_checkpoint"].startswith("simple-t5-00")
+    assert os.path.isdir(os.path.join(out, "checkpoints", summary["best_checkpoint"]))
+    assert os.path.isdir(os.path.join(out, "saved_model"))
+    with open(summary["metrics_csv"]) as f:
+        body = f.read()
+    assert "val_loss" in body and "train_loss" in body
