@@ -258,6 +258,83 @@ def semdedup_voronoi_pairs(
     return within_cell_cosine_pairs(assigned, threshold, vec_col="v_emb")
 
 
+@query(
+    "embedding_cell_occupancy_drift",
+    oracle=f"""
+WITH __anchors AS (
+  SELECT vec_id AS cell, embedding AS a_emb FROM embeddings
+  WHERE vec_id < {_SEM_ANCHORS}
+),
+__asim AS (
+  SELECT e.vec_id, a.cell,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           ORDER BY ({_SEM_ACOS}) DESC, a.cell) AS r
+  FROM embeddings e CROSS JOIN __anchors a
+),
+__assigned AS (
+  SELECT vec_id, cell, vec_id % 2 AS grp FROM __asim WHERE r = 1
+),
+__per AS (
+  SELECT cell,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+  FROM __assigned GROUP BY cell
+)
+SELECT cell, n_base, n_cur,
+       CAST(FLOOR(ABS(
+         CAST(n_cur AS DOUBLE) / SUM(n_cur) OVER ()
+         - CAST(n_base AS DOUBLE) / SUM(n_base) OVER ()
+       ) * 1000000.0) AS BIGINT) AS drift_ppm
+FROM __per
+""",
+)
+def embedding_cell_occupancy_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantizer-health monitor for the frozen-anchor regime
+    (streaming/vectors.py freezes centroids at build time; THIS is the
+    signal that says when to re-train): per Voronoi cell, baseline
+    occupancy (even vec_ids) vs current occupancy (odd vec_ids) and
+    the share drift in ppm.  Counts are exact integers; each share is
+    ONE double division and the ppm floor is bit-identical across
+    engines (the micro-quantization convention).  At 100 TB the
+    occupancy counts fall out of the cell-partitioned layout's
+    metadata-sized per-cell aggregation — no vector math beyond the
+    one assignment scan a batch pays anyway."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _SEM_ANCHORS).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("a_emb")
+    )
+    asim = cosine_similarity(F.col("c_emb"), F.col("a_emb"))
+    assigned = (
+        emb.select("vec_id", F.col("embedding").alias("c_emb"))
+        .crossJoin(F.broadcast(anchors))
+        .select("vec_id", "cell", asim.alias("a_sim"))
+        .groupBy("vec_id")
+        .agg(F.expr("max_by(cell, struct(a_sim, -cell))").alias("cell"))
+        .select("cell", (F.col("vec_id") % 2).alias("grp"))
+    )
+    per = assigned.groupBy("cell").agg(
+        F.sum((F.col("grp") == 0).cast("int")).cast("bigint").alias("n_base"),
+        F.sum((F.col("grp") == 1).cast("int")).cast("bigint").alias("n_cur"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return per.select(
+        "cell",
+        "n_base",
+        "n_cur",
+        F.floor(
+            F.abs(
+                F.col("n_cur").cast("double") / F.sum("n_cur").over(w)
+                - F.col("n_base").cast("double") / F.sum("n_base").over(w)
+            )
+            * 1000000.0
+        )
+        .cast("bigint")
+        .alias("drift_ppm"),
+    )
+
+
 def _rp_lsh_ctes() -> str:
     """Oracle CTE chain ending in ``__cand(id_a, id_b)`` — the DuckDB
     twin of :func:`rp_band_candidate_pairs` with identical literal

@@ -151,6 +151,56 @@ def incremental_vector_index_stream(
     )
 
 
+def cell_occupancy(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(cell, n_base, n_streamed): occupancy of the partitioned base vs
+    the not-yet-compacted increments — the operational face of the
+    frozen-quantizer drift monitor (the registered corpus-level twin is
+    ``embedding_cell_occupancy_drift``).  A cell whose streamed share
+    runs far from its base share is the re-train signal.  Metadata-
+    cheap: two per-cell counts, no vector math."""
+    from bigdatamlteamrepo_spark.operators.pq import _PART_SCHEMAS
+
+    base_dir = _join(index_dir, "vectors")
+    base = (
+        spark.read.parquet(base_dir).groupBy("cell").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_base")
+        )
+        if _exists(spark, base_dir)
+        else None
+    )
+    inc_root = _join(index_dir, "vectors_inc")
+    subs = (
+        sorted(c[1] for c in _list_children(spark, inc_root) if c[2])
+        if _exists(spark, inc_root)
+        else []
+    )
+    inc = (
+        spark.read.schema(_PART_SCHEMAS["vectors"])
+        .option("recursiveFileLookup", "true")
+        .parquet(*subs)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_streamed"))
+        if subs
+        else None
+    )
+    if base is None and inc is None:
+        raise FileNotFoundError(f"no vectors at {index_dir}")
+    if base is None:
+        return inc.withColumn("n_base", F.lit(0).cast("bigint")).select(
+            "cell", "n_base", "n_streamed"
+        )
+    if inc is None:
+        return base.withColumn("n_streamed", F.lit(0).cast("bigint"))
+    return (
+        base.join(inc, "cell", "full_outer")
+        .select(
+            "cell",
+            F.coalesce("n_base", F.lit(0)).cast("bigint").alias("n_base"),
+            F.coalesce("n_streamed", F.lit(0)).cast("bigint").alias("n_streamed"),
+        )
+    )
+
+
 def _heal_vector_index(spark: SparkSession, index_dir: str) -> None:
     """Recover an interrupted compaction — the streaming/index.py heal
     windows applied to the codes/vectors layout (write order per table:

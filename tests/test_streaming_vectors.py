@@ -161,3 +161,29 @@ def test_query_path_finds_streamed_neighbors(spark, emb, seeded_index):
     best = min(top, key=lambda r: r.rank)
     assert best.neighbor_id == 10_000
     assert best.cosine_sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_cell_occupancy_monitor(spark, emb, seeded_index):
+    """The drift monitor's operational face: base vs streamed per-cell
+    counts reconcile with the index contents before and after
+    compaction."""
+    from bigdatamlteamrepo_spark.streaming.vectors import cell_occupancy
+
+    new = emb.filter(F.col("vec_id") >= _SPLIT)
+    append_vectors_batch(new, seeded_index, batch_id=0, namespace="mon")
+    occ = {r.cell: (r.n_base, r.n_streamed) for r in cell_occupancy(
+        spark, seeded_index
+    ).collect()}
+    assert sum(b for b, _ in occ.values()) == _SPLIT
+    assert sum(s for _, s in occ.values()) == emb.count() - _SPLIT
+    # after compaction everything is base
+    compact_vector_index(spark, seeded_index, keep_last=0)
+    occ2 = {r.cell: (r.n_base, r.n_streamed) for r in cell_occupancy(
+        spark, seeded_index
+    ).collect()}
+    assert sum(b for b, _ in occ2.values()) == emb.count()
+    assert all(s == 0 for _, s in occ2.values())
+    # totals per cell are conserved by compaction
+    assert {c: b + s for c, (b, s) in occ.items()} == {
+        c: b for c, (b, _) in occ2.items()
+    }
