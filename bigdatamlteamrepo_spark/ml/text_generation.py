@@ -324,6 +324,24 @@ def fit_t5(
     return train_fn(train_path, val_path, cfg, output_dir)
 
 
+def format_generated(col: Column | str) -> Column:
+    """The reference's structured-output cleanup (model.py:228-231 /
+    model.eval.py): a decoded generation is returned as-is when it
+    already carries the ``Title:`` / ``Ingredients:`` / ``Directions:``
+    skeleton, else prefixed with ``Generated Recipe:\\n`` — as a pure
+    Column expression, so the post-processing of a billion generations
+    stays inside codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    structured = (
+        c.contains("Title:")
+        & c.contains("Ingredients:")
+        & c.contains("Directions:")
+    )
+    return F.when(structured, c).otherwise(
+        F.concat(F.lit("Generated Recipe:\n"), c)
+    )
+
+
 #: filename of the deterministic stub decoder inside a model_dir
 _STUB_DECODER = "stub_decoder.json"
 

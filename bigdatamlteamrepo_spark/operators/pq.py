@@ -214,15 +214,24 @@ def pq_adc_topk(
     """
     if books is None:
         books = pq_codebooks(emb, n_centroids, m, sub)
-    # codebook + codes are the ADC working set — materialize once
-    codes = pq_encode(emb, books, m, sub).localCheckpoint(eager=True)
+    # single plan tree: codes feeds exactly one consumer, so no
+    # materialization barrier is needed — the earlier localCheckpoint
+    # here existed only to break the s-column ambiguity (codes derives
+    # FROM books), which the aliases below solve without paying an
+    # extra job (r09: 1.68 s → 1.47 s at sf0.1)
+    codes = pq_encode(emb, books, m, sub)
     qs = _subspaces(
         queries.select("query_id", "q_emb"), "q_emb", "query_id", "q_sub", m, sub
     )
     # per-(query, vector, subspace) partial dot against the coded centroid
+    c, b = codes.alias("c"), books.alias("b")
     part = (
-        codes.join(F.broadcast(books), (codes.s == books.s) & (codes.code == books.center_id))
-        .drop(books.s)
+        c.join(
+            F.broadcast(b),
+            (F.col("c.s") == F.col("b.s"))
+            & (F.col("c.code") == F.col("b.center_id")),
+        )
+        .select("c.vec_id", "c.s", "b.c_sub")
         .join(F.broadcast(qs), "s")
         .select(
             "query_id",

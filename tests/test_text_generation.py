@@ -129,3 +129,20 @@ def test_generation_udf_requires_model(spark, tmp_path):
     silent empty generation."""
     with pytest.raises(NotImplementedError):
         tg.generate_recipes_udf(str(tmp_path / "empty_dir"))
+
+
+def test_format_generated_cleanup(spark):
+    """model.py:228-231: structured outputs pass through untouched,
+    anything else gets the 'Generated Recipe:' prefix."""
+    df = spark.createDataFrame(
+        [
+            (1, "Title: X\nIngredients:\n- a\nDirections:\n1. b\n"),
+            (2, "just some tokens"),
+            (3, "Title: partial only Ingredients: no directions-colon? no"),
+        ],
+        "id int, gen string",
+    )
+    out = {r.id: r.f for r in df.select("id", tg.format_generated("gen").alias("f")).collect()}
+    assert out[1] == "Title: X\nIngredients:\n- a\nDirections:\n1. b\n"
+    assert out[2] == "Generated Recipe:\njust some tokens"
+    assert out[3].startswith("Generated Recipe:\n")
