@@ -760,6 +760,61 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MAXSIM_K = 3  # labels returned per query
+
+
+@query(
+    "ann_maxsim_label_topk",
+    oracle=f"""
+WITH __q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {_ANN_NQ}
+),
+__s AS (
+  SELECT q.query_id, c.label,
+         MAX({dot_expr('c.embedding', 'q.q_emb')} /
+             ({norm_expr('c.embedding')} * {norm_expr('q.q_emb')})) AS maxsim
+  FROM embeddings c CROSS JOIN __q q
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.label
+)
+SELECT query_id, label, maxsim,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY maxsim DESC, label) AS INT) AS rank
+FROM __s
+QUALIFY rank <= {_MAXSIM_K}
+""",
+)
+def ann_maxsim_label_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (MaxSim) retrieval over vector GROUPS: each
+    label's vectors act as one multi-vector document and its score for
+    a query is the MAX per-vector cosine — the pooling step of
+    ColBERT-style late interaction (Khattab & Zaharia 2020,
+    arXiv:2004.12832), where a document is represented by many vectors
+    and similarity max-pools over them.  One scan: per-(query, label)
+    MAX is a hash aggregation with map-side combine (no per-group
+    sort), then a top-k window over |labels| rows per query.  At
+    100 TB the scan side is the ANN candidate stage (prefix/IVF
+    buckets), not the full corpus — this query pins the POOLING
+    semantics exactly (max of deterministic folds, hash-checkable)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _queries_set(spark, sf_dir, _ANN_NQ)
+    sim = cosine_similarity(F.col("embedding"), F.col("q_emb"))
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "label")
+        .agg(F.max(sim).alias("maxsim"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("label"))
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= _MAXSIM_K)
+
+
+
 # --------------------------------------------------------------------------
 # Prefix-dimension (Matryoshka) ANN: rank by the first PRE_DIM
 # components, exact full-dim rerank of the survivors (Kusupati et al.
