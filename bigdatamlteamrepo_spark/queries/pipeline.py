@@ -853,6 +853,91 @@ def vocab_coverage_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Quality-staged curriculum: docs bucket into 4 stages by corpus-level
+# type-token-ratio quartiles — the data-schedule a curriculum trainer
+# feeds stage by stage.  Quartile BOUNDARIES come from one percentile
+# agg (Spark `percentile` ≡ DuckDB `quantile_cont`, the (n-1)·p
+# definition pinned by events_value_percentiles); assignment is then a
+# ROW-LOCAL comparison — no global sort/NTILE over the corpus, which
+# would serialize at 100 TB.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_quality_curriculum",
+    oracle=f"""
+WITH t AS (
+  SELECT source, {_TOKENS_SQL} AS toks FROM documents
+),
+m AS (
+  SELECT source, len(toks) AS n,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+  FROM t WHERE len(toks) > 0
+),
+b AS (
+  SELECT quantile_cont(ttr, 0.25) AS b1, quantile_cont(ttr, 0.5) AS b2,
+         quantile_cont(ttr, 0.75) AS b3
+  FROM m
+)
+SELECT CAST(1 + (CASE WHEN ttr > b1 THEN 1 ELSE 0 END)
+              + (CASE WHEN ttr > b2 THEN 1 ELSE 0 END)
+              + (CASE WHEN ttr > b3 THEN 1 ELSE 0 END) AS INT) AS stage,
+       source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(FLOOR(ttr * 1000000.0) AS BIGINT)) AS BIGINT)
+         AS ttr_micro_sum
+FROM m, b
+GROUP BY 1, 2
+""",
+)
+def doc_quality_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(curriculum stage, source) accounting: stage = which
+    type-token-ratio quartile the doc lands in (1 = lowest-quality
+    quarter, trained first in an easy-to-hard schedule; flip for
+    hard-to-easy).  Quartile boundaries are ONE corpus agg broadcast as
+    a scalar row; assignment is row-local arithmetic, so the plan adds
+    zero data-sized shuffles beyond the final (stage, source) rollup.
+    Per-doc ttr micro-quantizes before the BIGINT sum (the established
+    float-free aggregation convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("source", tokenize("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    m = t.select(
+        "source",
+        n.alias("n"),
+        (F.size(F.array_distinct("toks")).cast("double") / n.cast("double")).alias(
+            "ttr"
+        ),
+    )
+    bounds = m.agg(
+        F.expr("percentile(ttr, array(0.25D, 0.5D, 0.75D))").alias("bs")
+    ).select(
+        F.get("bs", 0).alias("b1"), F.get("bs", 1).alias("b2"), F.get("bs", 2).alias("b3")
+    )
+    stage = (
+        F.lit(1)
+        + (F.col("ttr") > F.col("b1")).cast("int")
+        + (F.col("ttr") > F.col("b2")).cast("int")
+        + (F.col("ttr") > F.col("b3")).cast("int")
+    ).cast("int")
+    return (
+        m.crossJoin(F.broadcast(bounds))
+        .select("source", "n", "ttr", stage.alias("stage"))
+        .groupBy("stage", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+            F.sum(F.floor(F.col("ttr") * 1000000.0).cast("bigint"))
+            .cast("bigint")
+            .alias("ttr_micro_sum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Exact percentile profile per event type (Spark `percentile` and DuckDB
 # `quantile_cont` share the (n-1)·p linear-interpolation definition).
 # --------------------------------------------------------------------------
