@@ -88,22 +88,58 @@ def simhash_neardup_pairs(
     not the full candidate multiset.
     """
     fp = simhash_fingerprints(docs, text_col, id_col)
-    band_cols = [
-        F.col("sh_lo").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftright("sh_lo", 16).bitwiseAND(F.lit(0xFFFF)),
-        F.col("sh_hi").bitwiseAND(F.lit(0xFFFF)),
-        F.shiftright("sh_hi", 16).bitwiseAND(F.lit(0xFFFF)),
-    ]
+    return hamming64_neardup_pairs(fp, id_col, "sh_lo", "sh_hi", max_hamming)
+
+
+def hamming64_neardup_pairs(
+    fp: DataFrame,
+    id_col: str,
+    lo_col: str,
+    hi_col: str,
+    max_hamming: int = 3,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs of ANY 64-bit fingerprint stored as two 32-bit
+    words: equal-width banding + exact Hamming filter before the
+    distinct.  By pigeonhole the banding is COMPLETE for
+    ``max_hamming ≤ n_bands - 1``; the function refuses wider radii
+    rather than silently under-recalling.  ``n_bands`` ∈ {4, 8}:
+    4×16-bit is the text-SimHash config (Hamming ≤ 3); 8×8-bit covers
+    the perceptual-image radius (lossy re-encodes drift more bits —
+    sources/multimodal.image_phash_neardup_pairs uses ≤ 6) at the cost
+    of shorter, busier band keys.  The shared engine under both."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding with {n_bands} bands is only complete for "
+            f"Hamming <= {n_bands - 1}; got max_hamming={max_hamming}"
+        )
+    if n_bands == 4:
+        band_cols = [
+            F.col(lo_col).bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright(lo_col, 16).bitwiseAND(F.lit(0xFFFF)),
+            F.col(hi_col).bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright(hi_col, 16).bitwiseAND(F.lit(0xFFFF)),
+        ]
+    elif n_bands == 8:
+        band_cols = [
+            F.shiftright(col, 8 * i).bitwiseAND(F.lit(0xFF))
+            for col in (F.col(lo_col), F.col(hi_col))
+            for i in range(4)
+        ]
+    else:
+        raise ValueError(f"n_bands must be 4 or 8, got {n_bands}")
     bands = fp.select(
         id_col,
-        "sh_lo",
-        "sh_hi",
+        lo_col,
+        hi_col,
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    ham = F.bit_count(F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo"))) + F.bit_count(
-        F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi"))
-    )
+    ham = F.bit_count(
+        F.col(f"a.{lo_col}").bitwiseXOR(F.col(f"b.{lo_col}"))
+    ) + F.bit_count(F.col(f"a.{hi_col}").bitwiseXOR(F.col(f"b.{hi_col}")))
     return (
         a.join(
             b,
@@ -112,8 +148,8 @@ def simhash_neardup_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col(f"a.{id_col}").alias(out_a),
+            F.col(f"b.{id_col}").alias(out_b),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

@@ -582,6 +582,39 @@ def multimodal_video_content_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query("image_phash_dedup_summary")
+def image_phash_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (pHash) image dedup across RE-ENCODES — rows-only by
+    design: the hash is a float DCT + median threshold with no SQL
+    twin; correctness is pinned by pytest instead (planted PPM/PNG/JPEG
+    trios of the same content must pair completely and never across
+    contents — tests/test_multimodal.py).  Per content group: the
+    representative id and the number of collapsed encodings.  The plan
+    is the SimHash plan: 8 bytes/image of state, banded Hamming join,
+    connected components over surviving pairs."""
+    from bigdatamlteamrepo_spark.operators.graph import connected_components
+    from bigdatamlteamrepo_spark.sources.multimodal import (
+        generate_reencoded_media,
+        image_phash_neardup_pairs,
+    )
+
+    media = generate_reencoded_media(spark, n_rows=60, seed=42)
+    pairs = image_phash_neardup_pairs(media, max_hamming=6).select(
+        "media_a", "media_b"
+    )
+    comp = connected_components(pairs, src="media_a", dst="media_b")
+    labeled = (
+        media.select("media_id")
+        .join(comp, comp.node == F.col("media_id"), "left")
+        .select(
+            F.coalesce("component", "media_id").alias("rep_media_id")
+        )
+    )
+    return labeled.groupBy("rep_media_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_encodings")
+    )
+
+
 #: G.711 expansions as SQL over the closed-form code bytes — verified
 #: byte-for-byte against the numpy expanders over all 256 codes.  In
 #: µ-law the complemented code's top bit set means NEGATIVE; in A-law

@@ -615,3 +615,58 @@ def parse_mp4_frame_payloads(
         for s, e in zip(starts, ends)
     ]
     return deltas, frames, timescale
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash): DCT-based 64-bit image fingerprint, robust
+# to re-encoding (codec/quality changes) that byte hashes cannot see.
+# ---------------------------------------------------------------------------
+
+_PHASH_SIDE = 32
+
+
+def _resample_fixed(gray: np.ndarray, side: int = _PHASH_SIDE) -> np.ndarray:
+    """Deterministic area-mean resample of a 2-D array to side×side:
+    integer bucket edges per axis (the box filter any thumbnailer
+    applies), pure numpy reduceat — no interpolation library."""
+    h, w = gray.shape
+    ye = (np.arange(side, dtype=np.int64) * h) // side
+    xe = (np.arange(side, dtype=np.int64) * w) // side
+    ysum = np.add.reduceat(gray.astype(np.float64), ye, axis=0)
+    both = np.add.reduceat(ysum, xe, axis=1)
+    ycnt = np.diff(np.append(ye, h)).astype(np.float64)
+    xcnt = np.diff(np.append(xe, w)).astype(np.float64)
+    return both / np.outer(ycnt, xcnt)
+
+
+def phash64(rgb: np.ndarray) -> int:
+    """64-bit perceptual hash of an HxWx3 uint8 image (pHash family:
+    Zauner 2010): integer luma (2R+5G+B)//8 → 32×32 area-mean resample
+    → orthonormal 2-D DCT-II → top-left 8×8 coefficient block → bit i
+    set iff coeff_i > the median of the 63 AC coefficients (the DC
+    bit compares against the same median, keeping the 64-bit layout).
+    Solid-content re-encodes (PPM vs JPEG at any quality that decodes
+    to the same pixels) hash IDENTICALLY; mild lossy noise moves only
+    a few bits, so banded Hamming search finds re-encoded duplicates
+    that md5 cannot."""
+    luma = (
+        2 * rgb[..., 0].astype(np.int64)
+        + 5 * rgb[..., 1].astype(np.int64)
+        + rgb[..., 2].astype(np.int64)
+    ) // 8
+    small = _resample_fixed(luma, _PHASH_SIDE)
+    n = _PHASH_SIDE
+    k = np.arange(n, dtype=np.float64)
+    d = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)) * np.sqrt(
+        2.0 / n
+    )
+    d[0, :] = np.sqrt(1.0 / n)
+    coeff = d @ small @ d.T
+    block = coeff[:8, :8].flatten()
+    med = float(np.median(block[1:]))
+    bits = block > med
+    out = 0
+    for i in range(64):
+        if bits[i]:
+            out |= 1 << i
+    return out

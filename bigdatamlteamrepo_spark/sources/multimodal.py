@@ -599,6 +599,89 @@ def decode_video_frames(df: DataFrame) -> DataFrame:
     )
 
 
+def generate_reencoded_media(
+    spark: SparkSession, n_rows: int = 60, seed: int = 42
+) -> DataFrame:
+    """Image corpus with PLANTED re-encoded duplicates: content key =
+    ``media_id % (n_rows // 3)``, so each content appears three times —
+    as a lossless PPM, as a PNG, and as a baseline JPEG (q75) — with
+    different bytes, different sizes, different formats.  The byte-hash
+    dedup a crawler starts with sees three distinct files; perceptual
+    dedup (:func:`image_phash_frame`) must collapse them."""
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        encode_png,
+        encode_ppm,
+        synth_image,
+    )
+    from bigdatamlteamrepo_spark.sources.jpeg import encode_jpeg
+
+    groups = max(1, n_rows // 3)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                k = mid % groups
+                w, h = 32 + (k * 7 + seed) % 49, 32 + (k * 11 + seed) % 33
+                img = synth_image(k, w, h)
+                variant = mid // groups
+                if variant == 0:
+                    payload, mime = encode_ppm(img), "image/x-portable-pixmap"
+                elif variant == 1:
+                    payload, mime = encode_png(img, filter_type=k % 5), "image/png"
+                else:
+                    payload, mime = encode_jpeg(img, 75), "image/jpeg"
+                rows.append((mid, "image", payload, mime, w, h, None, None))
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return spark.range(n_rows).mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+PHASH_SCHEMA = "media_id long, ph_lo long, ph_hi long"
+
+
+def image_phash_frame(df: DataFrame) -> DataFrame:
+    """(media_id, ph_lo, ph_hi): the 64-bit perceptual hash
+    (codecs.phash64 — luma → 32×32 box resample → DCT → median-
+    thresholded 8×8 block) split into two 32-bit words, the layout the
+    banded Hamming join consumes.  Decode dispatches by magic, so one
+    stage covers PPM/PNG/JPEG payloads alike."""
+    from bigdatamlteamrepo_spark.sources.codecs import decode_image, phash64
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ph = phash64(decode_image(bytes(payload)))
+                rows.append((mid, ph & 0xFFFFFFFF, ph >> 32))
+            yield pd.DataFrame(rows, columns=["media_id", "ph_lo", "ph_hi"])
+
+    return df.filter(F.col("kind") == "image").mapInPandas(op, schema=PHASH_SCHEMA)
+
+
+def image_phash_neardup_pairs(df: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-dup pairs across re-encodes: pHash frame →
+    8×8-bit banded Hamming join (complete for Hamming ≤ 7 — the shared
+    :func:`operators.dedup.hamming64_neardup_pairs` engine; lossy
+    re-encodes drift more bits than text SimHash, so images get the
+    wider-radius banding).  The 100 TB plan is the SimHash plan:
+    8 bytes/image of state, hash-keyed band join, exact Hamming verify
+    before the distinct."""
+    from bigdatamlteamrepo_spark.operators.dedup import hamming64_neardup_pairs
+
+    return hamming64_neardup_pairs(
+        image_phash_frame(df),
+        "media_id",
+        "ph_lo",
+        "ph_hi",
+        max_hamming,
+        out_a="media_a",
+        out_b="media_b",
+        n_bands=8,
+    )
+
+
 def generate_g711_media(
     spark: SparkSession, n_rows: int = 100, seed: int = 42
 ) -> DataFrame:

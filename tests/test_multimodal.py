@@ -170,3 +170,58 @@ def test_decode_video_frames_matches_fixture(spark):
         for r in mm.decode_video_frames(media.coalesce(1)).collect()
     }
     assert one == {k: (r.luma_sum, r.frame_ts_ms) for k, r in rows.items()}
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash: cross-codec image dedup (r09)
+# ---------------------------------------------------------------------------
+
+
+def test_phash_collapses_reencodes_pure():
+    """codec-level pins: PPM/PNG/JPEG re-encodes of the same content
+    hash within a small Hamming ball; distinct contents sit far."""
+    import numpy as np
+
+    from bigdatamlteamrepo_spark.sources.codecs import (
+        decode_image,
+        encode_png,
+        encode_ppm,
+        phash64,
+        synth_image,
+    )
+    from bigdatamlteamrepo_spark.sources.jpeg import encode_jpeg
+
+    img = synth_image(3, 60, 44)
+    h_ppm = phash64(decode_image(encode_ppm(img)))
+    h_png = phash64(decode_image(encode_png(img, filter_type=2)))
+    h_jpg = phash64(decode_image(encode_jpeg(img, 75)))
+    assert h_ppm == h_png  # lossless: identical pixels, identical hash
+    assert bin(h_ppm ^ h_jpg).count("1") <= 6  # lossy: inside the band bar
+    other = phash64(synth_image(29, 60, 44))
+    assert bin(h_ppm ^ other).count("1") > 10
+
+
+def test_image_phash_neardup_pairs_finds_planted_dups(spark):
+    """The Spark face: 20 contents × 3 encodings — every content's
+    three variants must pair up (3 pairs per content), and no
+    cross-content pair may appear."""
+    media = mm.generate_reencoded_media(spark, n_rows=60, seed=42)
+    pairs = mm.image_phash_neardup_pairs(media, max_hamming=6).collect()
+    groups = 20
+    got = {(r.media_a, r.media_b) for r in pairs}
+    for a, b in got:
+        assert a % groups == b % groups, f"cross-content pair {(a, b)}"
+    # every planted trio pairs completely: (k, k+20), (k, k+40), (k+20, k+40)
+    want = set()
+    for k in range(groups):
+        want |= {(k, k + groups), (k, k + 2 * groups), (k + groups, k + 2 * groups)}
+    missing = want - got
+    assert not missing, f"unpaired re-encodes: {sorted(missing)[:5]}"
+    # partitioning invariance
+    again = {
+        (r.media_a, r.media_b)
+        for r in mm.image_phash_neardup_pairs(
+            media.coalesce(1), max_hamming=6
+        ).collect()
+    }
+    assert again == got
