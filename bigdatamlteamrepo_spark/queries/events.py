@@ -571,3 +571,114 @@ def events_zorder_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("y_max"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis: strict-order view → click → purchase per user.
+# Stage k's reach time is the MIN event time AFTER the stage-(k-1)
+# reach time — the standard product-analytics funnel, computed as a
+# chain of per-user conditional MIN aggregations (one row per user per
+# stage, each a hash agg + a user-keyed join; no window over the raw
+# event stream, no per-user sort).
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query(
+    "events_funnel_conversion",
+    oracle=f"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage, '{_FUNNEL_STEPS[0]}' AS step,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(NULL AS BIGINT) AS total_elapsed_us
+  FROM s1
+  UNION ALL
+  SELECT 2, '{_FUNNEL_STEPS[1]}', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(date_diff('microsecond', s1.t1, s2.t2)) AS BIGINT)
+  FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+  UNION ALL
+  SELECT 3, '{_FUNNEL_STEPS[2]}', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(date_diff('microsecond', s1.t1, s3.t3)) AS BIGINT)
+  FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+)
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage funnel reach: users whose first 'view' precedes a
+    later 'click' precedes a later 'purchase' (strict ts order), with
+    the summed view→stage elapsed microseconds for reached stages —
+    exact integers from timestamp arithmetic, no floats anywhere.
+
+    Scale: each stage is one type-filtered hash agg (map-side combine)
+    joined user-keyed to the previous stage's one-row-per-user frame —
+    the k-step funnel is k bounded shuffles on user_id, never a
+    per-user event sort; type pushdown reaches the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    us = lambda a, b: (  # exact epoch-microsecond difference
+        F.unix_micros(b) - F.unix_micros(a)
+    ).cast("bigint")
+    r1 = s1.agg(
+        F.lit(1).alias("stage"),
+        F.lit(_FUNNEL_STEPS[0]).alias("step"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.lit(None).cast("bigint").alias("total_elapsed_us"),
+    )
+    r2 = (
+        s2.join(s1, "user_id")
+        .agg(
+            F.lit(2).alias("stage"),
+            F.lit(_FUNNEL_STEPS[1]).alias("step"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(us(F.col("t1"), F.col("t2"))).cast("bigint").alias(
+                "total_elapsed_us"
+            ),
+        )
+    )
+    r3 = (
+        s3.join(s1, "user_id")
+        .agg(
+            F.lit(3).alias("stage"),
+            F.lit(_FUNNEL_STEPS[2]).alias("step"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(us(F.col("t1"), F.col("t3"))).cast("bigint").alias(
+                "total_elapsed_us"
+            ),
+        )
+    )
+    return r1.unionByName(r2).unionByName(r3)
