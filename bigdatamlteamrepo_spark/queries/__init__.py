@@ -23,5 +23,6 @@ from bigdatamlteamrepo_spark.queries import graphs  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import passages  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import curation  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import health  # noqa: F401,E402
+from bigdatamlteamrepo_spark.queries import baskets  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "BENCH_SET"]

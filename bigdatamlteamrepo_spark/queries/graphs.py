@@ -28,7 +28,7 @@ equi-joins — exactly reproducible in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatamlteamrepo_spark.catalog import load_table
@@ -137,3 +137,108 @@ def part_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring for the degree-ordered plan."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return triangle_count(cooccurrence_edges(li))
+
+
+# --------------------------------------------------------------------------
+# Community detection: synchronous label propagation (LPA).
+# --------------------------------------------------------------------------
+
+#: LPA rounds — FIXED, not run-to-convergence: synchronous LPA can
+#: oscillate on bipartite structures, and a fixed round count makes the
+#: computation a pure deterministic function both engines replay
+#: identically (the integer-PageRank lesson in operators/pagerank.py)
+LPA_ROUNDS = 4
+#: minimum co-purchase weight for an LPA edge — ≥2 repeat co-purchases
+#: keeps the graph sparse (the weight-1 layer under TPC-H's uniform
+#: draw is near-random noise that merges everything into one blob)
+LPA_MIN_WEIGHT = 2
+
+
+def _lpa_oracle() -> str:
+    """Unrolled LPA rounds (Raghavan et al. 2007, synchronous variant,
+    min-label tie-break) as chained CTEs — each round is mode-of-
+    neighbor-labels via a windowed argmax, exactly the Spark plan."""
+    parts = [
+        f"""
+WITH ew AS (
+  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {LPA_MIN_WEIGHT}
+),
+adj AS (
+  SELECT u AS node, v AS nbr FROM ew UNION ALL SELECT v, u FROM ew
+),
+l0 AS (
+  SELECT DISTINCT node, node AS lbl FROM adj
+)"""
+    ]
+    for r in range(1, LPA_ROUNDS + 1):
+        parts.append(
+            f""",
+n{r} AS (
+  SELECT a.node, l.lbl, COUNT(*) AS c
+  FROM adj a JOIN l{r - 1} l ON a.nbr = l.node
+  GROUP BY a.node, l.lbl
+),
+l{r} AS (
+  SELECT node, lbl FROM n{r}
+  QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1
+)"""
+        )
+    parts.append(
+        f"\nSELECT node, lbl AS community FROM l{LPA_ROUNDS}"
+    )
+    return "".join(parts)
+
+
+def label_propagation(e: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Synchronous LPA over an undirected (u, v) edge set: every node
+    starts as its own label; each round every node adopts the most
+    frequent label among its neighbors (ties → smallest label).
+
+    Distributed shape per round: one (node, lbl) count aggregation
+    (map-side combinable) + one per-node windowed argmax — O(|E|)
+    shuffled bytes, no all-pairs anything.  ``localCheckpoint`` per
+    round truncates the lineage so the plan does not double every
+    round (the star-contraction lesson in ``operators/graph.py``).
+    Rounds are FIXED for cross-engine determinism; see ``LPA_ROUNDS``."""
+    adj = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    labels = adj.select("node").distinct().withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(rounds):
+        cand = adj.join(
+            labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
+        ).select("node", "lbl")
+        cnt = cand.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+@query("part_copurchase_communities", oracle=_lpa_oracle())
+def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities of the REPEAT co-purchase graph (edge weight ≥
+    {LPA_MIN_WEIGHT}) after {LPA_ROUNDS} synchronous LPA rounds — the
+    classic near-linear community detector, here as a fully
+    deterministic cross-engine query (per-node final assignment)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= LPA_MIN_WEIGHT)
+        .select("u", "v")
+    )
+    return label_propagation(e)

@@ -204,3 +204,39 @@ def test_r09_additions_plans(spark, sf_dir):
         }.get(name, 0)
         n = plan.count("BroadcastNestedLoopJoin")
         assert n <= allowed, f"{name}: {n} nested-loop joins"
+
+
+def test_basket_plans(spark, sf_dir):
+    """Market-basket tier: the item prune must be a broadcast hash
+    semi-equi-join and the pair fan-out a hash equi-join on the basket
+    key; nested-loop joins appear only for the one-row n_baskets scalar
+    attaches (3 in the pair query, 6 in rules: the item1 subplan is
+    referenced by both rule sides so its scalar attach plans twice,
+    plus the pair stage's and the final attach — the rule directions
+    are an explode, NOT a union, so the pair stage plans once)."""
+    from bigdatamlteamrepo_spark.queries.registry import QUERIES as Q
+
+    for name, allowed in (
+        ("basket_frequent_pairs", 3),
+        ("basket_association_rules", 6),
+    ):
+        plan = (
+            Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        n = plan.count("BroadcastNestedLoopJoin")
+        assert n <= allowed, f"{name}: {n} nested-loop joins"
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_lpa_plan_no_cartesian(spark, sf_dir):
+    from bigdatamlteamrepo_spark.queries.registry import QUERIES as Q
+
+    plan = (
+        Q["part_copurchase_communities"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
