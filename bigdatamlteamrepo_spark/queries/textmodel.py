@@ -1999,3 +1999,160 @@ def curriculum_phase_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("phase_tokens").over(w_all)
         ).alias("cum_token_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM (interpolated, fixed discount).
+# --------------------------------------------------------------------------
+
+#: absolute discount for interpolated Kneser-Ney (Chen & Goodman 1999's
+#: canonical fixed value; estimating D = n1/(n1+2*n2) would also be
+#: deterministic but a fixed constant keeps the oracle trivially equal)
+KN_D = 0.75
+
+_KN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_TOKENS_SQL} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, lang, unnest({_bigrams_sql('toks')}) AS bigram
+  FROM t WHERE len(toks) >= 2
+),
+lm AS (
+  SELECT bigram, COUNT(*) AS c_xy FROM bg GROUP BY bigram
+),
+lmx AS (
+  SELECT bigram, c_xy,
+         string_split(bigram, ' ')[1] AS x,
+         string_split(bigram, ' ')[2] AS y
+  FROM lm
+),
+ctx AS (
+  SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x, COUNT(*) AS n1f
+  FROM lmx GROUP BY x
+),
+back AS (
+  SELECT y, COUNT(*) AS n1b FROM lmx GROUP BY y
+),
+b AS (SELECT COUNT(*) AS n_bigram_types FROM lm),
+model AS (
+  SELECT lmx.bigram, lmx.c_xy, ctx.c_x, ctx.n1f, back.n1b
+  FROM lmx JOIN ctx ON lmx.x = ctx.x JOIN back ON lmx.y = back.y
+),
+scored AS (
+  SELECT bg.doc_id, bg.lang,
+         CAST(round(ln(
+             (m.c_xy - {KN_D}) / m.c_x
+             + ({KN_D} * m.n1f / m.c_x)
+               * (CAST(m.n1b AS DOUBLE) / b.n_bigram_types)
+           ) * {MICRO}) AS BIGINT) AS lp_micro
+  FROM bg JOIN model m USING (bigram) CROSS JOIN b
+),
+agg AS (
+  SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+         CAST(SUM(lp_micro) AS BIGINT) AS lp_sum_micro
+  FROM scored GROUP BY doc_id, lang
+)
+SELECT doc_id, lang, n_bigrams, lp_sum_micro,
+       round(exp(-(CAST(lp_sum_micro AS DOUBLE) / {MICRO}) / n_bigrams), 6)
+         AS perplexity,
+       ntile(3) OVER (
+         PARTITION BY lang
+         ORDER BY CAST(lp_sum_micro AS DOUBLE) / n_bigrams DESC, doc_id
+       ) AS ppl_tercile
+FROM agg
+"""
+
+
+def kn_bigram_model(docs: DataFrame) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model table from a (doc_id, lang,
+    text) frame: one row per OBSERVED bigram with every statistic the
+    scorer needs — (bigram, c_xy, c_x, n1f, n1b, n_bigram_types) where
+
+    * ``c_xy``/``c_x`` are the raw bigram/context counts,
+    * ``n1f``  = |{{y : c(x,y) > 0}}| (continuation fan-out of x),
+    * ``n1b``  = |{{x : c(x,y) > 0}}| (continuation history count of y —
+      KN's "how many contexts has y completed", the quantity that
+      demotes boilerplate-frequent-but-context-locked tokens),
+    * ``n_bigram_types`` = total distinct bigrams (Σ n1b normalizer).
+
+    All three statistics reduce from the LM TABLE, not the corpus
+    stream — Zipf collapses the heavy token traffic into the bigram
+    vocabulary first, so the extra KN aggregations cost a tiny fraction
+    of the base count stage."""
+    bg = (
+        ensure_tokens(docs, "doc_id", "lang")
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(shingles(F.col("toks"), 2)).alias("bigram"))
+    )
+    lm = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
+    lmx = lm.select(
+        "bigram",
+        "c_xy",
+        F.split("bigram", " ")[0].alias("x"),
+        F.split("bigram", " ")[1].alias("y"),
+    )
+    ctx = lmx.groupBy("x").agg(
+        F.sum("c_xy").cast("bigint").alias("c_x"),
+        F.count(F.lit(1)).alias("n1f"),
+    )
+    back = lmx.groupBy("y").agg(F.count(F.lit(1)).alias("n1b"))
+    b = lm.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    return (
+        lmx.join(ctx, "x")
+        .join(back, "y")
+        .crossJoin(F.broadcast(b))
+        .select("bigram", "c_xy", "c_x", "n1f", "n1b", "n_bigram_types")
+    )
+
+
+@query("doc_lm_perplexity_kn", oracle=_KN_ORACLE)
+def doc_lm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney counterpart of :func:`doc_lm_perplexity`: interpolated
+    KN with fixed discount {KN_D} — p(y|x) = (c_xy − D)/c_x +
+    (D·n1f/c_x)·(n1b/B).  Scoring the training corpus itself means
+    every scored bigram is observed, so the discounted term never goes
+    negative and no unseen-history backoff branch is needed.
+
+    Same distributed shape as the add-k LM (one bigram count agg, model
+    folded to ONE table before the single doc-stream join, micro-nat
+    BIGINT sums, per-language ntile over the per-doc frame); the KN
+    statistics add only LM-table-sized aggregations.  The per-bigram
+    double expression is written with identical association in both
+    engines, then quantized — the house float discipline."""
+    docs = _with_tokens(spark, sf_dir)
+    model = kn_bigram_model(docs)
+    bg = (
+        ensure_tokens(docs, "doc_id", "lang")
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(shingles(F.col("toks"), 2)).alias("bigram"),
+        )
+    )
+    p = (F.col("c_xy") - KN_D) / F.col("c_x") + (
+        F.lit(KN_D) * F.col("n1f") / F.col("c_x")
+    ) * (F.col("n1b").cast("double") / F.col("n_bigram_types"))
+    scored = bg.join(model, "bigram").select(
+        "doc_id",
+        "lang",
+        F.round(F.log(p) * MICRO).cast("bigint").alias("lp_micro"),
+    )
+    agg = scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("lp_micro").cast("bigint").alias("lp_sum_micro"),
+    )
+    mean_lp = F.col("lp_sum_micro").cast("double") / MICRO / F.col("n_bigrams")
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("lp_sum_micro").cast("double") / F.col("n_bigrams")).desc(),
+        "doc_id",
+    )
+    return agg.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "lp_sum_micro",
+        F.round(F.exp(-mean_lp), 6).alias("perplexity"),
+        F.ntile(3).over(w).cast("bigint").alias("ppl_tercile"),
+    )

@@ -131,6 +131,7 @@ def test_textmodel_and_graph_plans_no_cartesian(spark, sf_dir):
     stream — a scalar attach, not an all-pairs join."""
     for name in (
         "doc_lm_perplexity",
+        "doc_lm_perplexity_kn",
         "dsir_importance_weights",
         "bpe_pair_counts",
         "doc_stratified_sample",
@@ -148,6 +149,7 @@ def test_textmodel_and_graph_plans_no_cartesian(spark, sf_dir):
         n_bnlj = plan.count("BroadcastNestedLoopJoin")
         allowed = {
             "doc_lm_perplexity": 1,        # vocab-size scalar
+            "doc_lm_perplexity_kn": 1,     # bigram-type-count scalar
             "dsir_importance_weights": 1,  # model-totals scalar
             "training_corpus_selection": 1,  # LM subplan's vocab scalar
         }.get(name, 0)
