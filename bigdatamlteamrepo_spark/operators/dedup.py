@@ -79,16 +79,25 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Candidate pairs via 16-bit banding + exact Hamming filter.
 
-    With 4 bands over 64 bits, any pair within Hamming distance ≤ 3
-    shares at least one band (pigeonhole) — so for ``max_hamming`` ≤ 3
-    the result is EXACTLY all pairs within that distance; beyond 3 the
-    banding is a (documented) recall<1 candidate generator.  The exact
-    Hamming filter runs on the raw band-join output BEFORE the distinct,
-    so the shuffled dedup payload is only the surviving near-dup pairs,
-    not the full candidate multiset.
+    The band count adapts to the radius so pigeonhole completeness
+    always holds: 4×16-bit bands for ``max_hamming`` ≤ 3 (longer, more
+    selective band keys), 8×8-bit for ≤ 7.  Radii past 7 are refused by
+    the underlying banding (``hamming64_neardup_pairs``) rather than
+    silently under-recalling — at 64-bit SimHash, Hamming > 7 is no
+    longer "near-duplicate" territory anyway.  The exact Hamming filter
+    runs on the raw band-join output BEFORE the distinct, so the
+    shuffled dedup payload is only the surviving near-dup pairs, not
+    the full candidate multiset.
     """
     fp = simhash_fingerprints(docs, text_col, id_col)
-    return hamming64_neardup_pairs(fp, id_col, "sh_lo", "sh_hi", max_hamming)
+    return hamming64_neardup_pairs(
+        fp,
+        id_col,
+        "sh_lo",
+        "sh_hi",
+        max_hamming,
+        n_bands=4 if max_hamming <= 3 else 8,
+    )
 
 
 def hamming64_neardup_pairs(

@@ -148,12 +148,12 @@ def test_simhash_on_documents(spark, sf_dir):
     from bigdatamlteamrepo_spark.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_neardup_pairs(docs, max_hamming=8).collect()
+    pairs = simhash_neardup_pairs(docs, max_hamming=7).collect()
     for r in pairs:
         assert r.doc_a < r.doc_b
-        assert 0 <= r.hamming <= 8
+        assert 0 <= r.hamming <= 7
     # deterministic
-    again = simhash_neardup_pairs(docs, max_hamming=8).collect()
+    again = simhash_neardup_pairs(docs, max_hamming=7).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(r.doc_a, r.doc_b) for r in again}
 
 
@@ -166,7 +166,7 @@ def test_simhash_identical_texts_hamming_zero(spark):
         ],
         "doc_id long, text string",
     )
-    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_neardup_pairs(df, max_hamming=32).collect()}
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_neardup_pairs(df, max_hamming=7).collect()}
     assert pairs.get((0, 1)) == 0
 
 
