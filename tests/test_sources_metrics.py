@@ -214,3 +214,39 @@ def test_xml_roundtrip_with_pinned_schema(spark, tmp_path):
     back = read_xml(spark, dst, row_tag="doc", schema=schema)
     assert back.schema == schema
     assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+
+def test_render_loss_svg(metrics_df):
+    """The loss plot (model.eval.py:34-53) as SVG: both series render as
+    polylines, val gets markers, axes carry the true min/max, and the
+    output is pure deterministic text."""
+    svg = ml_metrics.render_loss_svg(metrics_df)
+    assert svg.startswith("<svg") and svg.endswith("</svg>")
+    assert svg.count("<polyline") == 2  # train + val
+    assert "train_loss" in svg and "val_loss" in svg
+    assert "<circle" in svg  # val markers
+    # deterministic: same frame → same bytes
+    assert svg == ml_metrics.render_loss_svg(metrics_df)
+    # the y labels carry the actual extremes of the two series
+    import re
+
+    vals = [float(m) for m in re.findall(r">([0-9]+\.[0-9]{3})</text>", svg)]
+    rows = ml_metrics.clean_metrics(metrics_df).collect()
+    losses = [
+        x
+        for r in rows
+        for x in (r["train_loss"], r["val_loss"])
+        if x is not None
+    ]
+    assert min(vals) == round(min(losses), 3)
+    assert max(vals) == round(max(losses), 3)
+
+
+def test_render_loss_svg_empty_raises(spark):
+    import pytest as _pytest
+
+    empty = spark.createDataFrame(
+        [], "step bigint, epoch bigint, train_loss double, val_loss double"
+    )
+    with _pytest.raises(ValueError, match="no loss points"):
+        ml_metrics.render_loss_svg(empty)
