@@ -224,7 +224,7 @@ def label_propagation(e: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     return labels.select("node", F.col("lbl").alias("community"))
 
 
-@query("part_copurchase_communities", oracle=_lpa_oracle())
+@query("part_copurchase_communities", bench=True, oracle=_lpa_oracle())
 def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Communities of the REPEAT co-purchase graph (edge weight ≥
     {LPA_MIN_WEIGHT}) after {LPA_ROUNDS} synchronous LPA rounds — the

@@ -800,3 +800,157 @@ def events_cms_hourly_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rank") <= _CMS_EV_TOPK)
         .select("window_start", "user_id", "true_count", "cms_estimate", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# KMV set algebra: cross-source n-gram overlap without a gram join.
+# --------------------------------------------------------------------------
+
+_G3_SQL = (
+    "list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])"
+)
+
+
+def _overlap_oracle() -> str:
+    from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL
+
+    hg = h60_sql("g")
+    return f"""
+WITH t AS (
+  SELECT source, {_TOKENS_SQL} AS toks FROM documents
+),
+g AS (
+  SELECT DISTINCT source, {hg} AS h
+  FROM (SELECT source, unnest({_G3_SQL}) AS g FROM t WHERE len(toks) >= 3)
+),
+sk AS (
+  SELECT source, h FROM g
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= {KMV_K}
+),
+st AS (
+  SELECT source, MAX(h) AS kth, COUNT(*) AS n_kept FROM sk GROUP BY source
+),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM st a JOIN st b ON a.source < b.source
+),
+u AS (
+  SELECT p.sa, p.sb, s.h,
+         MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+  GROUP BY p.sa, p.sb, s.h
+),
+ur AS (
+  SELECT sa, sb, h, in_a, in_b FROM u
+  QUALIFY row_number() OVER (PARTITION BY sa, sb ORDER BY h) <= {KMV_K}
+),
+us AS (
+  SELECT sa, sb, MAX(h) AS kth_u, COUNT(*) AS n_kept_u,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS k_int
+  FROM ur GROUP BY sa, sb
+)
+SELECT us.sa AS source_a, us.sb AS source_b, us.k_int, us.n_kept_u,
+       {kmv_estimate_sql('sta.kth', 'sta.n_kept')} AS est_a,
+       {kmv_estimate_sql('stb.kth', 'stb.n_kept')} AS est_b,
+       {kmv_estimate_sql('us.kth_u', 'us.n_kept_u')} AS est_union,
+       (2 * us.k_int * 1000000 + us.n_kept_u) // (2 * us.n_kept_u)
+         AS jaccard_ppm
+FROM us
+JOIN st sta ON us.sa = sta.source
+JOIN st stb ON us.sb = stb.source
+"""
+
+
+@query("source_ngram_overlap_kmv", oracle=_overlap_oracle())
+def source_ngram_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source 3-gram overlap from MERGEABLE bottom-k
+    sketches — the contamination / near-clone-source triage that never
+    joins gram tables: each source is reduced to its KMV sketch (64
+    longs), and every pairwise union/Jaccard estimate is computed from
+    sketches alone (Beyer et al. 2007's KMV set algebra; the same
+    union-merge a datasketches theta sketch does).
+
+    Estimators: union via the k-th-minimum formula on the MERGED
+    sketch; Jaccard = |members of the union bottom-k present in both
+    sketches| / k (exact when the union fits in the sketch, unbiased
+    otherwise), emitted as half-away integer ppm.
+
+    Scale shape: the only corpus-scale stages are the distinct on
+    (source, gram-hash) and a rank-limit window that Spark executes
+    with WindowGroupLimit pushdown (per-map-task partial bottom-k —
+    nothing ever sorts a full source's gram set).  Everything after is
+    sketch-sized: 20 sources → 190 pairs × ≤2k rows.
+    """
+    from bigdatamlteamrepo_spark.functions.text import ensure_tokens, shingles
+    from bigdatamlteamrepo_spark.queries.text_dedup import _with_tokens
+
+    docs = _with_tokens(spark, sf_dir)
+    t = ensure_tokens(docs, "doc_id", "source")
+    g = (
+        t.filter(F.size("toks") >= 3)
+        .select("source", F.explode(shingles(F.col("toks"), 3)).alias("g"))
+        .select("source", h60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    w_src = Window.partitionBy("source").orderBy("h")
+    sk = (
+        g.withColumn("rn", F.row_number().over(w_src))
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+        .localCheckpoint(eager=True)  # reused by pair expansion + stats
+    )
+    st = sk.groupBy("source").agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("n_kept")
+    )
+    pairs = (
+        st.select(F.col("source").alias("sa"))
+        .join(st.select(F.col("source").alias("sb")), F.col("sa") < F.col("sb"))
+    )
+    rows_a = pairs.join(sk.withColumnRenamed("source", "sa"), "sa").select(
+        "sa", "sb", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    rows_b = pairs.join(sk.withColumnRenamed("source", "sb"), "sb").select(
+        "sa", "sb", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    u = (
+        rows_a.unionByName(rows_b)
+        .groupBy("sa", "sb", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w_pair = Window.partitionBy("sa", "sb").orderBy("h")
+    ur = u.withColumn("rn", F.row_number().over(w_pair)).filter(
+        F.col("rn") <= KMV_K
+    )
+    us = ur.groupBy("sa", "sb").agg(
+        F.max("h").alias("kth_u"),
+        F.count(F.lit(1)).alias("n_kept_u"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("k_int"),
+    )
+    sta = st.select(
+        F.col("source").alias("sa"),
+        F.col("kth").alias("kth_a"),
+        F.col("n_kept").alias("n_kept_a"),
+    )
+    stb = st.select(
+        F.col("source").alias("sb"),
+        F.col("kth").alias("kth_b"),
+        F.col("n_kept").alias("n_kept_b"),
+    )
+    return (
+        us.join(F.broadcast(sta), "sa")
+        .join(F.broadcast(stb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "k_int",
+            "n_kept_u",
+            kmv_estimate(F.col("kth_a"), F.col("n_kept_a")).alias("est_a"),
+            kmv_estimate(F.col("kth_b"), F.col("n_kept_b")).alias("est_b"),
+            kmv_estimate(F.col("kth_u"), F.col("n_kept_u")).alias("est_union"),
+            F.expr(
+                "(2 * k_int * 1000000 + n_kept_u) DIV (2 * n_kept_u)"
+            ).alias("jaccard_ppm"),
+        )
+    )

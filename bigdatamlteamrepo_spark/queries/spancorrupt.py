@@ -123,7 +123,7 @@ def _positions(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("t5_span_corruption_stats", oracle=_STATS_ORACLE)
+@query("t5_span_corruption_stats", bench=True, oracle=_STATS_ORACLE)
 def t5_span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document span-corruption accounting: span/mask counts, the
     exact encoder/decoder sequence lengths a trainer must budget for

@@ -2106,7 +2106,7 @@ def kn_bigram_model(docs: DataFrame) -> DataFrame:
     )
 
 
-@query("doc_lm_perplexity_kn", oracle=_KN_ORACLE)
+@query("doc_lm_perplexity_kn", bench=True, oracle=_KN_ORACLE)
 def doc_lm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kneser-Ney counterpart of :func:`doc_lm_perplexity`: interpolated
     KN with fixed discount {KN_D} — p(y|x) = (c_xy − D)/c_x +
