@@ -1217,8 +1217,11 @@ exp_scores AS (
 ),
 fused AS (
   SELECT COALESCE(o.doc_id, e.doc_id) AS doc_id,
-         {_RM3_W_ORIG} * COALESCE(o.orig_micro, 0)
-           + {_RM3_W_EXP} * COALESCE(e.exp_micro, 0) AS rm3_score_micro
+         -- CAST: DuckDB SUM(BIGINT) is HUGEINT; the driver hash is
+         -- type-sensitive (the r02 doc_pack_plan lesson)
+         CAST({_RM3_W_ORIG} * COALESCE(o.orig_micro, 0)
+              + {_RM3_W_EXP} * COALESCE(e.exp_micro, 0) AS BIGINT)
+           AS rm3_score_micro
   FROM orig o FULL OUTER JOIN exp_scores e ON o.doc_id = e.doc_id
 )
 SELECT doc_id, rm3_score_micro,
