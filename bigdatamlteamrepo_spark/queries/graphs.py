@@ -198,7 +198,10 @@ def label_propagation(e: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     frequent label among its neighbors (ties → smallest label).
 
     Distributed shape per round: one (node, lbl) count aggregation
-    (map-side combinable) + one per-node windowed argmax — O(|E|)
+    (map-side combinable) + one per-node argmax executed as a hash
+    aggregation of ``max(struct(c, -lbl))`` — NOT a sort window, so no
+    per-node sort and the partial agg combines map-side; ties break to
+    the smallest label because -lbl maximizes at the minimum.  O(|E|)
     shuffled bytes, no all-pairs anything.  ``localCheckpoint`` per
     round truncates the lineage so the plan does not double every
     round (the star-contraction lesson in ``operators/graph.py``).
@@ -209,16 +212,19 @@ def label_propagation(e: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     labels = adj.select("node").distinct().withColumn("lbl", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(rounds):
         cand = adj.join(
             labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
         ).select("node", "lbl")
         cnt = cand.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
         labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).alias("lbl"))
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
