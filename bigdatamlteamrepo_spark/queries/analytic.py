@@ -1247,3 +1247,118 @@ def datacard_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'mean_type_token_ratio', mean_type_token_ratio"
         ") AS (metric, value)",
     )
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation matrix from exact integer moments.
+# --------------------------------------------------------------------------
+
+_CORR_VARS = [
+    ("quantity", "l_quantity"),
+    ("price", "l_extendedprice"),
+    ("discount", "l_discount"),
+    ("tax", "l_tax"),
+]
+_CORR_PAIRS = [
+    (a, b)
+    for i, (a, _) in enumerate(_CORR_VARS)
+    for b, _ in _CORR_VARS[i + 1 :]
+]
+
+
+def _corr_expr_sql(a: str, b: str) -> str:
+    """The one shared double expression (identical text in both
+    engines): every moment is an EXACT integer sum (cents), cast to
+    double once, then the textbook Pearson formula row-locally."""
+    n = "CAST(n AS DOUBLE)"
+    sa, sb = f"CAST(s_{a} AS DOUBLE)", f"CAST(s_{b} AS DOUBLE)"
+    saa, sbb = f"CAST(ss_{a}{a} AS DOUBLE)", f"CAST(ss_{b}{b} AS DOUBLE)"
+    sab = f"CAST(ss_{a}{b} AS DOUBLE)"
+    return (
+        f"round(({n} * {sab} - {sa} * {sb}) / "
+        f"(sqrt({n} * {saa} - {sa} * {sa}) * "
+        f"sqrt({n} * {sbb} - {sb} * {sb})), 6)"
+    )
+
+
+def _corr_oracle() -> str:
+    cents = ",\n         ".join(
+        f"CAST(round({col} * 100) AS BIGINT) AS {name}"
+        for name, col in _CORR_VARS
+    )
+    sums = ["COUNT(*) AS n"]
+    for name, _ in _CORR_VARS:
+        sums.append(f"SUM({name}) AS s_{name}")
+    for i, (a, _) in enumerate(_CORR_VARS):
+        for b, _ in _CORR_VARS[i:]:
+            sums.append(f"SUM({a} * {b}) AS ss_{a}{b}")
+    rows = ", ".join(
+        f"('{a}', '{b}', {_corr_expr_sql(a, b)})" for a, b in _CORR_PAIRS
+    )
+    return f"""
+WITH cents AS (
+  SELECT {cents}
+  FROM lineitem
+),
+m AS (
+  SELECT {", ".join(sums)} FROM cents
+)
+SELECT u.col_a, u.col_b, CAST(m.n AS BIGINT) AS n, u.corr
+FROM m, (SELECT * FROM (VALUES {rows}) v(col_a, col_b, corr_expr)) q,
+LATERAL (SELECT q.col_a, q.col_b, q.corr_expr AS corr) u
+"""
+
+
+@query("lineitem_numeric_correlations", oracle=_corr_oracle())
+def lineitem_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numerics — the
+    multivariate half of the ANALYZE tier (feature-engineering /
+    data-quality layers threshold on |r|).
+
+    Float discipline, pushed further than the LM tier: the five raw
+    moments per pair (n, Σx, Σy, Σx², Σy², Σxy) are accumulated as
+    EXACT integers (values quantized to cents row-locally; per-row
+    products ≤1e14 fit BIGINT; the sums ride Spark DECIMAL(38,0) /
+    DuckDB HUGEINT, both exact), so the reduction is order-free by
+    construction.  Each exact sum is cast to double ONCE and the
+    textbook formula runs row-locally on the one-row moment frame —
+    the only doubles in the plan are that final expression.
+
+    Scale shape: ONE map-side-combinable aggregation over the fact
+    table computes all 15 moments (one pass, no shuffle beyond the
+    1-row final combine); the correlation matrix itself is a constant-
+    size explode.  Adding columns grows the agg width, never the pass
+    count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        *[
+            F.round(F.col(col) * 100).cast("bigint").alias(name)
+            for name, col in _CORR_VARS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for name, _ in _CORR_VARS:
+        aggs.append(
+            F.sum(F.col(name).cast("decimal(38,0)")).alias(f"s_{name}")
+        )
+    for i, (a, _) in enumerate(_CORR_VARS):
+        for b, _ in _CORR_VARS[i:]:
+            aggs.append(
+                F.sum(
+                    (F.col(a) * F.col(b)).cast("decimal(38,0)")
+                ).alias(f"ss_{a}{b}")
+            )
+    m = cents.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.expr(_corr_expr_sql(a, b)).alias("corr"),
+            )
+            for a, b in _CORR_PAIRS
+        ]
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n"), F.explode(pairs).alias("r")
+    ).select("r.col_a", "r.col_b", "n", "r.corr")

@@ -75,3 +75,34 @@ def test_hist_quantiles_bracket_crossing_rank(spark, duck, sf_dir):
                 v_k,
                 width,
             )
+
+
+def test_lineitem_correlations_match_numpy(spark, sf_dir):
+    """Exact-integer-moment Pearson must agree with numpy's float64
+    corrcoef to ~1e-6 on the real table (numpy reduces in float, ours
+    in exact integers — agreement validates both)."""
+    import numpy as np
+
+    from bigdatamlteamrepo_spark.catalog import load_table
+    from bigdatamlteamrepo_spark.queries.analytic import (
+        lineitem_numeric_correlations,
+    )
+
+    cols = {
+        "quantity": "l_quantity",
+        "price": "l_extendedprice",
+        "discount": "l_discount",
+        "tax": "l_tax",
+    }
+    pdf = load_table(spark, sf_dir, "lineitem").select(*cols.values()).toPandas()
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in lineitem_numeric_correlations(spark, sf_dir).collect()
+    }
+    assert len(got) == 6
+    for (a, b), r in got.items():
+        # quantize to cents exactly as the query does before comparing
+        x = np.round(pdf[cols[a]].to_numpy() * 100)
+        y = np.round(pdf[cols[b]].to_numpy() * 100)
+        expect = np.corrcoef(x, y)[0, 1]
+        assert abs(r - expect) < 2e-6, (a, b, r, expect)
