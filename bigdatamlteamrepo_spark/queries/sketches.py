@@ -954,3 +954,77 @@ def source_ngram_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CBO-style join-size estimation by correlated key sampling.
+# --------------------------------------------------------------------------
+
+#: sample 1/64 of the key space (h60(key) < 2^60/64) — both relations
+#: sample the SAME keys because the hash is shared, which is what makes
+#: the estimator work for joins (independent row sampling underestimates
+#: join hits quadratically; Vengerov et al., VLDB 2015)
+JOIN_SAMPLE_SHIFT = 6
+
+
+def _join_est_sql(fact: str, fk: str, dim: str, pk: str, name: str) -> str:
+    thr = POW60 >> JOIN_SAMPLE_SHIFT
+    hf, hp = h60_sql(fk), h60_sql(pk)
+    return f"""
+SELECT '{name}' AS join_name,
+       (SELECT COUNT(*) FROM (
+          SELECT 1 FROM (SELECT {fk} AS k, {hf} AS h FROM {fact}) f
+          JOIN (SELECT {pk} AS k FROM {dim}) d USING (k)
+          WHERE f.h < {thr})) * {1 << JOIN_SAMPLE_SHIFT} AS est_pairs,
+       (SELECT COUNT(*) FROM {fact} f JOIN {dim} d ON f.{fk} = d.{pk})
+         AS exact_pairs
+"""
+
+
+_JOINEST_ORACLE = (
+    _join_est_sql("lineitem", "l_orderkey", "orders", "o_orderkey", "orders_lineitem")
+    + " UNION ALL "
+    + _join_est_sql("lineitem", "l_partkey", "part", "p_partkey", "part_lineitem")
+)
+
+
+@query("join_size_estimates", oracle=_JOINEST_ORACLE)
+def join_size_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join cardinality estimates from CORRELATED key sampling —
+    the cost-based-optimizer statistic that decides join order before
+    any join runs.  Both relations keep only keys with h60(key) <
+    2^60/64 (the same 1/64 key-space slice on both sides, because the
+    hash is shared — per-row independent sampling would miss matches
+    quadratically), the join runs on that slice, and the count scales
+    by 64.  Deterministic: the "sample" is a pure hash predicate.
+
+    The exact count is emitted alongside for the error story; at
+    100 TB a CBO computes ONLY the estimate — a join over 1/64 of the
+    key space, pre-filtered at the scan by the hash predicate.  The
+    estimator is exact in expectation for any key-multiplicity
+    distribution; accuracy is pinned in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    thr = POW60 >> JOIN_SAMPLE_SHIFT
+    out = []
+    for fact, fk, dim, pk, name in [
+        (li, "l_orderkey", orders, "o_orderkey", "orders_lineitem"),
+        (li, "l_partkey", part, "p_partkey", "part_lineitem"),
+    ]:
+        f = fact.select(F.col(fk).alias("k")).filter(h60(F.col(fk)) < thr)
+        d = dim.select(F.col(pk).alias("k"))
+        est = f.join(d, "k").agg(
+            (F.count(F.lit(1)) * (1 << JOIN_SAMPLE_SHIFT))
+            .cast("bigint")
+            .alias("est_pairs")
+        )
+        exact = fact.join(dim, fact[fk] == dim[pk]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_pairs")
+        )
+        out.append(
+            est.crossJoin(exact).select(
+                F.lit(name).alias("join_name"), "est_pairs", "exact_pairs"
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -80,3 +80,36 @@ def test_bottom_k_window_uses_group_limit_pushdown(spark, sf_dir):
     )
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_join_size_estimate_accuracy(spark):
+    """Correlated sampling with a 1/64 key slice: on a 20k-key join the
+    estimate must land within 3 standard errors (the key sample is
+    ~312 keys → se/mean ≈ 1/sqrt(312) ≈ 5.7%)."""
+    from pyspark.sql import functions as F
+
+    from bigdatamlteamrepo_spark.operators.sketches import POW60, h60
+    from bigdatamlteamrepo_spark.queries.sketches import JOIN_SAMPLE_SHIFT
+
+    n_keys = 20_000
+    fact = spark.range(n_keys * 3).select(
+        (F.col("id") % n_keys).alias("k")
+    )  # every key ×3
+    dim = spark.range(n_keys).select(F.col("id").alias("k"))
+    thr = POW60 >> JOIN_SAMPLE_SHIFT
+    sampled = (
+        fact.filter(h60(F.col("k")) < thr).join(dim, "k").count()
+        * (1 << JOIN_SAMPLE_SHIFT)
+    )
+    exact = n_keys * 3
+    assert abs(sampled - exact) / exact < 0.18  # 3σ
+
+
+def test_join_size_estimates_rows(spark, sf_dir):
+    from bigdatamlteamrepo_spark.queries.sketches import join_size_estimates
+
+    rows = {r["join_name"]: r for r in join_size_estimates(spark, sf_dir).collect()}
+    assert set(rows) == {"orders_lineitem", "part_lineitem"}
+    for r in rows.values():
+        assert r["est_pairs"] > 0 and r["exact_pairs"] > 0
+        assert r["est_pairs"] % (1 << 6) == 0  # scaled sample count
