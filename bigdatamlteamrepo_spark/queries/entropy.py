@@ -26,7 +26,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdatamlteamrepo_spark.functions.text import tokenize
+from bigdatamlteamrepo_spark.functions.text import ensure_tokens
 from bigdatamlteamrepo_spark.queries.registry import query
 from bigdatamlteamrepo_spark.queries.text_dedup import _TOKENS_SQL, _with_tokens
 
@@ -134,7 +134,9 @@ def doc_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "char",
     )
     tk = _dist_entropy(
-        docs.select("doc_id", F.explode(tokenize("text")).alias("sym")),
+        ensure_tokens(docs, "doc_id").select(
+            "doc_id", F.explode("toks").alias("sym")
+        ),
         "tok",
     )
     return ch.join(tk, "doc_id").select(
