@@ -98,28 +98,38 @@ JOIN tok_h ON cn.doc_id = tok_h.doc_id
 """
 
 
-def _dist_entropy(sym: DataFrame, prefix: str) -> DataFrame:
-    """(doc_id, {prefix}_n, {prefix}_distinct, {prefix}_h_micro) from an
-    exploded (doc_id, sym) stream."""
-    cc = sym.groupBy("doc_id", "sym").agg(F.count(F.lit(1)).alias("c"))
-    cn = cc.groupBy("doc_id").agg(
+def entropy_from_counts(
+    cc: DataFrame, keys: list[str], prefix: str
+) -> DataFrame:
+    """Entropy of a (keys..., sym, c) COUNT table — the additive
+    sufficient statistic form, so streaming monitors can fold counts
+    across micro-batches and compute the same entropy from the folded
+    state (``streaming/drift.py::source_entropy_snapshot``)."""
+    cn = cc.groupBy(*keys).agg(
         F.sum("c").cast("bigint").alias("n"),
         F.count(F.lit(1)).alias("n_distinct"),
     )
     p = F.col("c").cast("double") / F.col("n")
     term = F.round(p * (F.log(p) / F.lit(_LN2)) * MICRO).cast("bigint")
     return (
-        cc.join(cn, "doc_id")
-        .select("doc_id", "n", "n_distinct", term.alias("t_micro"))
-        .groupBy("doc_id", "n", "n_distinct")
+        cc.join(cn, keys)
+        .select(*keys, "n", "n_distinct", term.alias("t_micro"))
+        .groupBy(*keys, "n", "n_distinct")
         .agg((-F.sum("t_micro")).cast("bigint").alias("h_micro"))
         .select(
-            "doc_id",
+            *keys,
             F.col("n").alias(f"{prefix}_n"),
             F.col("n_distinct").alias(f"{prefix}_distinct"),
             F.col("h_micro").alias(f"{prefix}_h_micro"),
         )
     )
+
+
+def _dist_entropy(sym: DataFrame, prefix: str) -> DataFrame:
+    """(doc_id, {prefix}_n, {prefix}_distinct, {prefix}_h_micro) from an
+    exploded (doc_id, sym) stream."""
+    cc = sym.groupBy("doc_id", "sym").agg(F.count(F.lit(1)).alias("c"))
+    return entropy_from_counts(cc, ["doc_id"], prefix)
 
 
 @query("doc_entropy_profile", oracle=_ENTROPY_ORACLE)

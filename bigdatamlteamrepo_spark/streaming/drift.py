@@ -115,3 +115,19 @@ def drift_monitor_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def source_entropy_snapshot(counts: DataFrame) -> DataFrame:
+    """Per-source token Shannon entropy of the corpus-so-far, computed
+    from the SAME maintained (source, token, c_st) state the divergence
+    monitor folds — entropy is a function of the count table, so the
+    stream gets a second quality signal (collapsing diversity = mode
+    failure upstream, e.g. a crawler stuck in a template farm) for zero
+    additional state.
+
+    Columns: (source, tok_n, tok_distinct, tok_h_micro) — same
+    micro-bit fixed-point discipline as ``queries/entropy.py``."""
+    from bigdatamlteamrepo_spark.queries.entropy import entropy_from_counts
+
+    cc = counts.select("source", F.col("token").alias("sym"), F.col("c_st").alias("c"))
+    return entropy_from_counts(cc, ["source"], "tok")

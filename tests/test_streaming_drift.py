@@ -190,3 +190,74 @@ def test_replay_idempotent_counts(spark, tmp_path, waves):
     ).collect()[0][0]
     expect = unigram_counts(w1).agg(F.sum("c_st")).collect()[0][0]
     assert total == expect
+
+
+def test_source_entropy_snapshot_equals_batch(spark, sf_dir, waves):
+    """Entropy is a pure function of the maintained count state: the
+    snapshot over counts folded from two halves must equal the batch
+    entropy over the full corpus, per source, to the micro-bit."""
+    from bigdatamlteamrepo_spark.queries.entropy import entropy_from_counts
+    from bigdatamlteamrepo_spark.streaming.drift import source_entropy_snapshot
+
+    docs, first, second = waves
+    # fold = sum of the two halves' sufficient statistics
+    folded = (
+        unigram_counts(first)
+        .unionByName(unigram_counts(second))
+        .groupBy("source", "token")
+        .agg(F.sum("c_st").cast("bigint").alias("c_st"))
+    )
+    got = {r["source"]: r.asDict() for r in source_entropy_snapshot(folded).collect()}
+    want_cc = unigram_counts(docs).select(
+        "source", F.col("token").alias("sym"), F.col("c_st").alias("c")
+    )
+    want = {
+        r["source"]: r.asDict()
+        for r in entropy_from_counts(want_cc, ["source"], "tok").collect()
+    }
+    assert got == want
+    # sanity: entropy positive and bounded by log2(distinct)
+    for r in want.values():
+        h = r["tok_h_micro"] / 1_000_000
+        assert 0 < h <= math.log2(r["tok_distinct"]) + 1e-4
+
+
+def test_source_entropy_from_streamed_counts(spark, sf_dir, tmp_path, waves):
+    """End-to-end through the streaming fold: run the drift monitor on
+    a two-wave stream, then compute the entropy snapshot from the
+    PERSISTED running counts — must equal the batch core."""
+    from bigdatamlteamrepo_spark.queries.entropy import entropy_from_counts
+    from bigdatamlteamrepo_spark.streaming.drift import source_entropy_snapshot
+
+    docs, first, second = waves
+    base = str(tmp_path / "ent")
+    ref_dir = os.path.join(base, "ref")
+    counts_dir = os.path.join(base, "counts")
+    snaps_dir = os.path.join(base, "snaps")
+    ckpt = os.path.join(base, "ckpt")
+    src_dir = os.path.join(base, "src")
+    build_reference_distribution(docs, ref_dir)
+    first.write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(_DOC_SCHEMA).parquet(src_dir)
+    drift_monitor_stream(stream, ref_dir, counts_dir, snaps_dir, ckpt).awaitTermination(
+        120
+    )
+    second.write.mode("append").parquet(src_dir)
+    stream2 = spark.readStream.schema(_DOC_SCHEMA).parquet(src_dir)
+    drift_monitor_stream(stream2, ref_dir, counts_dir, snaps_dir, ckpt).awaitTermination(
+        120
+    )
+    got = {
+        r["source"]: r.asDict()
+        for r in source_entropy_snapshot(
+            read_running_counts(spark, counts_dir)
+        ).collect()
+    }
+    want_cc = unigram_counts(docs).select(
+        "source", F.col("token").alias("sym"), F.col("c_st").alias("c")
+    )
+    want = {
+        r["source"]: r.asDict()
+        for r in entropy_from_counts(want_cc, ["source"], "tok").collect()
+    }
+    assert got == want
