@@ -1362,3 +1362,71 @@ def lineitem_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame
     return m.select(
         F.col("n").cast("bigint").alias("n"), F.explode(pairs).alias("r")
     ).select("r.col_a", "r.col_b", "n", "r.corr")
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit: every FK edge of the star schema.
+# --------------------------------------------------------------------------
+
+#: (name, fact table, fk, dim table, pk) — the schema's FK edges
+_FK_EDGES = [
+    ("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier.nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation.regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+_RI_ORACLE = " UNION ALL ".join(
+    f"""
+SELECT '{name}' AS fk_edge,
+       (SELECT COUNT(*) FROM {fact}) AS n_rows,
+       (SELECT COUNT(*) FROM {fact} f
+        WHERE f.{fk} IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{pk} = f.{fk}))
+         AS n_orphans,
+       (SELECT COUNT(*) FROM {fact} WHERE {fk} IS NULL) AS n_null_fk
+"""
+    for name, fact, fk, dim, pk in _FK_EDGES
+)
+
+
+@query("referential_integrity_audit", oracle=_RI_ORACLE)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan / null-FK counts for every foreign-key edge of the star
+    schema — the constraint check a warehouse runs after every load
+    (parquet enforces nothing; dangling keys silently drop rows from
+    inner joins downstream, which is how revenue vanishes without an
+    error).
+
+    Each edge is one LEFT ANTI join (hash equi-join; the dim side is
+    broadcast when bounded) plus a null count — the same pass a 100 TB
+    load-validation job runs per edge, fact table scanned once per
+    edge with only the key column read (pruned scan).  A healthy load
+    reports all zeros; the row set is the contract."""
+    out = []
+    for name, fact, fk, dim, pk in _FK_EDGES:
+        f = load_table(spark, sf_dir, fact)
+        d = load_table(spark, sf_dir, dim).select(F.col(pk).alias("__pk"))
+        n_rows = f.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        orphans = (
+            f.filter(F.col(fk).isNotNull())
+            .join(d, F.col(fk) == F.col("__pk"), "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+        )
+        nulls = f.filter(F.col(fk).isNull()).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_null_fk")
+        )
+        out.append(
+            n_rows.crossJoin(orphans)
+            .crossJoin(nulls)
+            .select(
+                F.lit(name).alias("fk_edge"), "n_rows", "n_orphans", "n_null_fk"
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

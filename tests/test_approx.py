@@ -106,3 +106,44 @@ def test_lineitem_correlations_match_numpy(spark, sf_dir):
         y = np.round(pdf[cols[b]].to_numpy() * 100)
         expect = np.corrcoef(x, y)[0, 1]
         assert abs(r - expect) < 2e-6, (a, b, r, expect)
+
+
+def test_referential_integrity_detects_planted_orphans(spark, tmp_path):
+    """The audit must report zero on the healthy tables and count
+    planted orphans/null-FKs exactly on a corrupted copy."""
+    import shutil
+
+    from bigdatamlteamrepo_spark.queries.analytic import (
+        referential_integrity_audit,
+    )
+
+    src = "/root/testdata/sf0.001"
+    dst = str(tmp_path / "corrupt")
+    shutil.copytree(src, dst)
+    healthy = {
+        r["fk_edge"]: r
+        for r in referential_integrity_audit(spark, src).collect()
+    }
+    assert all(
+        r["n_orphans"] == 0 and r["n_null_fk"] == 0 for r in healthy.values()
+    )
+    # corrupt: 3 orphan custkeys + 2 null custkeys in orders
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    bad = orders.limit(5).withColumn(
+        "o_custkey",
+        F.when(F.monotonically_increasing_id() < 3, F.lit(-999)).otherwise(
+            F.lit(None).cast("bigint")
+        ),
+    )
+    orders.unionByName(bad).write.mode("overwrite").parquet(
+        f"{dst}/orders.parquet"
+    )
+    got = {
+        r["fk_edge"]: r
+        for r in referential_integrity_audit(spark, dst).collect()
+    }
+    assert got["orders.custkey"]["n_orphans"] == 3
+    assert got["orders.custkey"]["n_null_fk"] == 2
+    assert got["nation.regionkey"]["n_orphans"] == 0
