@@ -1430,3 +1430,83 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out[1:]:
         res = res.unionByName(df)
     return res
+
+
+# --------------------------------------------------------------------------
+# Active-interval accounting: orders in flight per month.
+# --------------------------------------------------------------------------
+
+_INFLIGHT_ORACLE = """
+WITH iv AS (
+  SELECT o.o_orderkey,
+         strftime(o.o_orderdate, '%Y-%m') AS m_open,
+         -- the driver's synthetic ship dates are uncorrelated with the
+         -- order date, so clamp: an interval never closes before it opens
+         strftime(greatest(MAX(l.l_shipdate), o.o_orderdate), '%Y-%m')
+           AS m_close
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+delta AS (
+  SELECT m_open AS month, 1 AS d FROM iv
+  UNION ALL
+  -- the close month still counts as in flight: decrement AFTER it
+  SELECT strftime(CAST(m_close || '-01' AS DATE) + INTERVAL 1 MONTH,
+                  '%Y-%m'), -1
+  FROM iv
+),
+agg AS (
+  SELECT month, CAST(SUM(d) AS BIGINT) AS net FROM delta GROUP BY month
+)
+SELECT month, net AS net_change,
+       CAST(SUM(net) OVER (ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS orders_in_flight
+FROM agg
+"""
+
+
+@query("orders_in_flight_monthly", oracle=_INFLIGHT_ORACLE)
+def orders_in_flight_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are open (placed but not fully shipped) in each
+    month — the active-interval pattern done the scale-correct way:
+    each interval becomes TWO delta events (+1 at open month, -1 the
+    month AFTER last shipment, inclusive close), deltas aggregate to a
+    tiny per-month table, and one running sum over that table yields
+    the concurrency curve.  The naive form explodes one row per
+    interval-month (quadratic in interval length); this is linear in
+    orders, and the window runs over ~dozens of month rows.
+
+    Interval close = MAX(l_shipdate) over the order's lineitems — one
+    co-partitioned join + max agg."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            # clamp: synthetic ship dates can precede the order date
+            F.greatest(F.max("l_shipdate"), F.col("o_orderdate")).alias(
+                "last_ship"
+            )
+        )
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("m_open"),
+            F.date_format(
+                F.add_months(F.to_date(F.date_format("last_ship", "yyyy-MM-01")), 1),
+                "yyyy-MM",
+            ).alias("m_after_close"),
+        )
+    )
+    delta = iv.select(
+        F.col("m_open").alias("month"), F.lit(1).alias("d")
+    ).unionByName(
+        iv.select(F.col("m_after_close").alias("month"), F.lit(-1).alias("d"))
+    )
+    agg = delta.groupBy("month").agg(F.sum("d").cast("bigint").alias("net"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        "month",
+        F.col("net").alias("net_change"),
+        F.sum("net").over(w).cast("bigint").alias("orders_in_flight"),
+    )

@@ -147,3 +147,40 @@ def test_referential_integrity_detects_planted_orphans(spark, tmp_path):
     assert got["orders.custkey"]["n_orphans"] == 3
     assert got["orders.custkey"]["n_null_fk"] == 2
     assert got["nation.regionkey"]["n_orphans"] == 0
+
+
+def test_orders_in_flight_matches_brute_force(spark, sf_dir):
+    """The delta/prefix-sum curve must equal the brute-force 'count
+    intervals covering each month' answer (inclusive close month)."""
+    from pyspark.sql import functions as F
+
+    from bigdatamlteamrepo_spark.catalog import load_table
+    from bigdatamlteamrepo_spark.queries.analytic import orders_in_flight_monthly
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = [
+        (r["m_open"], r["m_close"])
+        for r in o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.greatest(F.max("l_shipdate"), F.col("o_orderdate")).alias(
+                "last_ship"
+            )
+        )
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("m_open"),
+            F.date_format("last_ship", "yyyy-MM").alias("m_close"),
+        )
+        .collect()
+    ]
+    got = {
+        r["month"]: r["orders_in_flight"]
+        for r in orders_in_flight_monthly(spark, sf_dir).collect()
+    }
+    months = sorted(got)
+    for m in months:
+        brute = sum(1 for a, b in iv if a <= m <= b)
+        assert got[m] == brute, (m, got[m], brute)
+    # concurrency returns to zero after the last close
+    assert got[months[-1]] == 0 or months[-1] <= max(b for _, b in iv)
