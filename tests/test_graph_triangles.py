@@ -110,3 +110,32 @@ def test_degree_ordering_caps_out_degree(spark, sf_dir):
         .collect()[0][0]
     )
     assert out_max <= math.isqrt(2 * n_edges) + 1
+
+
+def test_local_clustering_on_known_graph(spark, tmp_path):
+    """K4 + pendant + disjoint K3 via a synthetic lineitem (each edge
+    materialized as two repeat co-purchase orders): K4 inner nodes and
+    K3 nodes have lcc=1; the K4 node with the pendant has deg 4, 3
+    triangles → lcc = 0.5; the pendant (deg 1) is excluded."""
+    from bigdatamlteamrepo_spark.queries.graphs import part_local_clustering
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+             (7, 8), (7, 9), (8, 9)]
+    rows, ok = [], 0
+    for u, v in edges:
+        for _ in range(2):  # weight 2 → passes LPA_MIN_WEIGHT
+            rows += [(ok, u), (ok, v)]
+            ok += 1
+    li = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    d = str(tmp_path)
+    li.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = {
+        r["node"]: (r["degree"], r["n_triangles"], r["lcc_ppm"])
+        for r in part_local_clustering(spark, d).collect()
+    }
+    assert 5 not in got  # pendant: degree 1
+    for n in (1, 2, 3):
+        assert got[n] == (3, 3, 1_000_000)
+    assert got[4] == (4, 3, 500_000)
+    for n in (7, 8, 9):
+        assert got[n] == (2, 1, 1_000_000)
