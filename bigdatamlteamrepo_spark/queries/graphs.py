@@ -353,3 +353,103 @@ def part_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lcc_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# k-core: fixed-round degree peel.
+# --------------------------------------------------------------------------
+
+#: core order (minimum degree inside the surviving subgraph)
+KCORE_K = 3
+#: fixed peel rounds — same determinism rationale as LPA_ROUNDS; on
+#: these graphs the peel reaches its fixpoint well inside the budget,
+#: and a fixed count keeps the unrolled oracle exactly the Spark loop
+KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        f"""
+WITH ew AS (
+  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {LPA_MIN_WEIGHT}
+),
+e0 AS (SELECT u, v FROM ew)"""
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+d{r} AS (
+  SELECT node FROM (
+    SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1}
+  ) GROUP BY node HAVING COUNT(*) >= {KCORE_K}
+),
+e{r} AS (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN d{r} a ON e.u = a.node JOIN d{r} b ON e.v = b.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_degree FROM (
+  SELECT u AS node FROM e{KCORE_ROUNDS}
+  UNION ALL SELECT v FROM e{KCORE_ROUNDS}
+) GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+def kcore_peel(e: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Fixed-round k-core peel of an undirected (u, v) edge set: each
+    round drops every node whose CURRENT degree is < k, then restricts
+    the edge set to surviving endpoints.  Returns the surviving nodes
+    with their in-core degree.
+
+    Per round: one degree count (map-side combinable) + two hash
+    semi-equi-joins — O(|E|) shuffled bytes, lineage truncated per
+    round.  Rounds are FIXED (see :data:`KCORE_ROUNDS`): both engines
+    replay the identical prefix of the peel sequence, converged or
+    not, so parity never depends on a fixpoint test."""
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("u").alias("node"))
+            .unionAll(e.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("node")
+        )
+        e = (
+            e.join(deg.withColumnRenamed("node", "u"), "u")
+            .join(deg.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )
+
+
+@query("part_kcore_membership", oracle=_kcore_oracle())
+def part_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nodes surviving a {KCORE_ROUNDS}-round {KCORE_K}-core peel of
+    the repeat co-purchase graph, with their in-core degree — the
+    density skeleton recommendation/fraud pipelines mine (a hub with
+    pendant noise peels away; a dense bundle survives)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= LPA_MIN_WEIGHT)
+        .select("u", "v")
+    )
+    return kcore_peel(e)

@@ -139,3 +139,51 @@ def test_local_clustering_on_known_graph(spark, tmp_path):
     assert got[4] == (4, 3, 500_000)
     for n in (7, 8, 9):
         assert got[n] == (2, 1, 1_000_000)
+
+
+def test_kcore_peel_on_known_graph(spark):
+    """K4 + a chain of pendants: the 3-core is exactly the K4 (chain
+    nodes peel in cascading rounds — the fixed budget must cover the
+    cascade), and every survivor has in-core degree 3."""
+    from bigdatamlteamrepo_spark.queries.graphs import kcore_peel
+
+    # K4 on {1,2,3,4}; chain 4-5-6-7 peels back node by node
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6), (6, 7)]
+    e = spark.createDataFrame(sorted(edges), "u bigint, v bigint")
+    got = {r["node"]: r["core_degree"] for r in kcore_peel(e, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_reaches_fixpoint_within_budget(spark, sf_dir):
+    """On the real graph the peel must be at its fixpoint: one more
+    round changes nothing (otherwise KCORE_ROUNDS is too small and the
+    registered face reports a non-converged intermediate)."""
+    from bigdatamlteamrepo_spark.queries.graphs import (
+        KCORE_ROUNDS,
+        part_kcore_membership,
+    )
+    from bigdatamlteamrepo_spark.queries import graphs as G
+    from bigdatamlteamrepo_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= G.LPA_MIN_WEIGHT)
+        .select("u", "v")
+    )
+    at_budget = {
+        (r["node"], r["core_degree"])
+        for r in G.kcore_peel(e, rounds=KCORE_ROUNDS).collect()
+    }
+    one_more = {
+        (r["node"], r["core_degree"])
+        for r in G.kcore_peel(e, rounds=KCORE_ROUNDS + 1).collect()
+    }
+    assert at_budget == one_more
