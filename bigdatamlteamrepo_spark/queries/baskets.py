@@ -13,11 +13,17 @@ Distributed shape (the part that matters at 100 TB):
   generation.  The prune is a broadcast semi-join BEFORE the pair
   fan-out, so infrequent items never pay the quadratic cost — the
   downward-closure property executed as a plan, not a loop.
-* **Bounded pair fan-out.**  Pair generation is a per-basket self-join
-  on the basket key; baskets are small and bounded (≤16 lineitems →
-  ≤16 distinct brands), so the blow-up is O(1) per basket and the only
-  large shuffle keys on the basket id both sides — one co-partitioned
-  join, then a map-side-combinable count per (u, v).
+* **Bounded pair fan-out — with a volume guard.**  Pair generation is
+  a per-basket self-join on the basket key; baskets are small and
+  bounded (≤16 lineitems → ≤16 distinct brands), so the blow-up is
+  O(1) per basket and the only large shuffle keys on the basket id
+  both sides — one co-partitioned join, then a map-side-combinable
+  count per (u, v).  Because "bounded" is a property of the DATA, not
+  the plan, :func:`frequent_pairs` predicts the exact fan-out
+  Σ C(f_basket, 2) from one histogram agg before joining and raises
+  ``CandidateVolumeExceeded`` past 50 M candidate pairs (an
+  adversarial mega-basket of frequent items is quadratic in that
+  basket alone).
 * **Exact integer statistics.**  Support counts are integers;
   confidence and lift are emitted as half-away-from-zero micro units
   via pure integer arithmetic (``(2·a·1e6 + b) DIV (2·b)``) — the same
@@ -42,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.operators.setjoin import CandidateVolumeExceeded
 from bigdatamlteamrepo_spark.queries.registry import query
 
 #: relative minimum support: an itemset must appear in ≥1% of baskets
@@ -50,6 +57,13 @@ MINSUP_REL_PPM = 10_000  # parts-per-million of n_baskets, integer-exact
 MIN_CONF_MICRO = 100_000
 #: fixed-point scale shared with the textmodel tier
 MICRO = 1_000_000
+#: refuse pair fan-outs predicted to emit more than this many raw
+#: candidate rows (same guard bound as ``operators/setjoin.py``): a
+#: single mega-basket of f frequent items contributes C(f, 2) pairs,
+#: so an adversarial corpus can turn the "bounded per-basket" claim
+#: quadratic — predict the volume from one histogram agg and refuse
+#: loudly instead of launching the shuffle.
+MAX_PAIR_CANDIDATES = 50_000_000
 
 _BASKETS_SQL = """
   SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
@@ -108,11 +122,27 @@ def _half_away_expr(num_sql: str, den_sql: str):
     ).cast("bigint")
 
 
-def frequent_pairs(b: DataFrame, minsup_ppm: int = MINSUP_REL_PPM) -> DataFrame:
+def frequent_pairs(
+    b: DataFrame,
+    minsup_ppm: int = MINSUP_REL_PPM,
+    max_candidates: int | None = MAX_PAIR_CANDIDATES,
+) -> DataFrame:
     """Frequent 1-itemset prune → per-basket pair fan-out → pair counts.
 
     ``b`` is the (ok, item) basket table.  Returns
-    (item_a, item_b, supp_ab, supp_ppm) for pairs at/above minsup."""
+    (item_a, item_b, supp_ab, supp_ppm) for pairs at/above minsup.
+
+    **Candidate-volume guard**: the per-basket fan-out is quadratic in
+    the number of FREQUENT items a basket holds — bounded on order-like
+    baskets (TPC-H: ≤7 lineitems), but an adversarial corpus with one
+    mega-basket of frequent items is C(f, 2) for that basket alone.
+    Before the self-join, one histogram agg over the pruned basket
+    table predicts the exact pair volume Σ_basket C(f_basket, 2); if it
+    exceeds ``max_candidates`` the operator raises
+    :class:`~bigdatamlteamrepo_spark.operators.setjoin.CandidateVolumeExceeded`
+    (pass ``max_candidates=None`` to disable).  The prediction is a
+    bounded scalar agg (one row to the driver), the same honesty idiom
+    as ``operators/setjoin.py``."""
     n = b.agg(F.countDistinct("ok").alias("n_baskets"))
     item1 = (
         b.groupBy("item")
@@ -123,6 +153,23 @@ def frequent_pairs(b: DataFrame, minsup_ppm: int = MINSUP_REL_PPM) -> DataFrame:
     )
     # Apriori prune: broadcast the (tiny) frequent-item set before fan-out
     bf = b.join(F.broadcast(item1.select("item")), "item").select("ok", "item")
+    if max_candidates is not None:
+        twice_pairs = (
+            bf.groupBy("ok")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .agg(F.sum(F.col("f") * (F.col("f") - F.lit(1))).alias("tp"))
+            .collect()[0]["tp"]
+        )
+        predicted = (twice_pairs or 0) // 2
+        if predicted > max_candidates:
+            raise CandidateVolumeExceeded(
+                f"basket pair fan-out predicts {predicted:,} candidate "
+                f"pairs (> {max_candidates:,}): a basket with f frequent "
+                "items emits C(f,2) pairs, and this corpus is in the "
+                "quadratic regime.  Raise minsup_ppm (fewer frequent "
+                "items per basket), cap basket size upstream, or pass "
+                "max_candidates=None deliberately."
+            )
     b1 = bf.select("ok", F.col("item").alias("item_a"))
     b2 = bf.select("ok", F.col("item").alias("item_b"))
     pair = (
@@ -161,9 +208,10 @@ _RULES_ORACLE = (
 )
 SELECT d.antecedent, d.consequent, d.supp_ab,
        (2 * d.supp_ab * {MICRO} + ia.supp) // (2 * ia.supp) AS conf_micro,
-       (2 * d.supp_ab * (SELECT n_baskets FROM n) * {MICRO}
-          + ia.supp * ic.supp)
-         // (2 * ia.supp * ic.supp) AS lift_micro
+       CAST((2 * CAST(d.supp_ab AS HUGEINT) * (SELECT n_baskets FROM n)
+               * {MICRO} + CAST(ia.supp AS HUGEINT) * ic.supp)
+         // (2 * CAST(ia.supp AS HUGEINT) * ic.supp) AS BIGINT)
+         AS lift_micro
 FROM directed d
 JOIN item1 ia ON d.antecedent = ia.item
 JOIN item1 ic ON d.consequent = ic.item
@@ -227,9 +275,17 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "consequent",
             "supp_ab",
             _half_away_expr(f"supp_ab * {MICRO}", "supp_a").alias("conf_micro"),
-            _half_away_expr(
-                f"supp_ab * n_baskets * {MICRO}", "supp_a * supp_c"
-            ).alias("lift_micro"),
+            # the lift numerator supp_ab·N·1e6 grows as N² (supp_ab is a
+            # share of N baskets) and the denominator supp_a·supp_c too:
+            # past ~SF10 (~1.5e7 baskets) both exceed int64, so the
+            # rational runs in DECIMAL(38,0) (HUGEINT in the oracle) and
+            # only the rounded micro quotient comes back as BIGINT —
+            # values bit-identical at every SF where int64 sufficed.
+            F.expr(
+                f"(2 * CAST(supp_ab AS DECIMAL(38,0)) * n_baskets * {MICRO}"
+                "  + CAST(supp_a AS DECIMAL(38,0)) * supp_c)"
+                " DIV (2 * CAST(supp_a AS DECIMAL(38,0)) * supp_c)"
+            ).cast("bigint").alias("lift_micro"),
         )
         .filter(F.col("conf_micro") >= MIN_CONF_MICRO)
     )
