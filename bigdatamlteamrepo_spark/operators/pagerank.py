@@ -19,14 +19,18 @@ decays — the defined algorithm, not an approximation of float PageRank.
 
 At cluster scale each iteration is one shuffle (join ranks⋈edges on src,
 aggregate on dst); lineage is truncated per iteration with an eager
-localCheckpoint so 10 iterations never replay 10 joins (same pattern as
-operators/graph.connected_components).
+``operators.checkpoint.truncate`` — executor-local by default, reliable
+``checkpoint`` when the session has a checkpoint dir configured — so 10
+iterations never replay 10 joins and a cluster run survives executor
+loss (same pattern as operators/graph.connected_components).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.operators.checkpoint import truncate
 
 #: share scale — 2^20 per-edge weight granularity
 SHARE_SCALE = 1 << 20
@@ -65,8 +69,8 @@ def integer_pagerank(
             # promotes — mirror the BIGINT cast the oracle's outw CTE does.
             F.expr(f"(CAST(weight AS BIGINT) * {SHARE_SCALE}) div tw").alias("share"),
         )
-        .localCheckpoint(eager=True)
     )
+    shares = truncate(shares)
 
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
     for _ in range(n_iter):
@@ -85,8 +89,8 @@ def integer_pagerank(
                     + F.expr(f"({num} * coalesce(inc, 0L)) div {den}")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = truncate(ranks)
     return ranks
 
 

@@ -1478,7 +1478,16 @@ def orders_in_flight_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, and the window runs over ~dozens of month rows.
 
     Interval close = MAX(l_shipdate) over the order's lineitems — one
-    co-partitioned join + max agg."""
+    co-partitioned join + max agg.
+
+    **Gap semantics**: rows exist only for months carrying a ±1 delta
+    event.  A month inside a long open interval with no opens/closes of
+    its own gets NO row; its in-flight count is the PREVIOUS row's
+    ``orders_in_flight`` (the running sum is a step function — readers
+    walking the curve month-by-month must forward-fill).  TPC-H order
+    dates make every month dense, so tests and the oracle never see a
+    gap; a sparse calendar consumer can densify with a month spine
+    joined before the running sum without changing any emitted value."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     iv = (

@@ -28,10 +28,11 @@ equi-joins — exactly reproducible in both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.operators.checkpoint import truncate
 from bigdatamlteamrepo_spark.queries.registry import query
 
 _TRI_ORACLE = """
@@ -154,10 +155,27 @@ LPA_ROUNDS = 4
 LPA_MIN_WEIGHT = 2
 
 
-def _lpa_oracle() -> str:
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repeat co-purchase edge set (u < v, weight ≥
+    ``LPA_MIN_WEIGHT``) shared by the LPA / LCC / k-core faces."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= LPA_MIN_WEIGHT)
+        .select("u", "v")
+    )
+
+
+def _lpa_cte_prefix(rounds: int) -> str:
     """Unrolled LPA rounds (Raghavan et al. 2007, synchronous variant,
-    min-label tie-break) as chained CTEs — each round is mode-of-
-    neighbor-labels via a windowed argmax, exactly the Spark plan."""
+    min-label tie-break) as chained CTEs l0 … l{rounds} — each round is
+    mode-of-neighbor-labels via a windowed argmax, exactly the Spark
+    plan."""
     parts = [
         f"""
 WITH ew AS (
@@ -173,7 +191,7 @@ l0 AS (
   SELECT DISTINCT node, node AS lbl FROM adj
 )"""
     ]
-    for r in range(1, LPA_ROUNDS + 1):
+    for r in range(1, rounds + 1):
         parts.append(
             f""",
 n{r} AS (
@@ -186,10 +204,14 @@ l{r} AS (
   QUALIFY row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1
 )"""
         )
-    parts.append(
-        f"\nSELECT node, lbl AS community FROM l{LPA_ROUNDS}"
-    )
     return "".join(parts)
+
+
+def _lpa_oracle() -> str:
+    return (
+        _lpa_cte_prefix(LPA_ROUNDS)
+        + f"\nSELECT node, lbl AS community FROM l{LPA_ROUNDS}"
+    )
 
 
 def label_propagation(e: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
@@ -202,22 +224,34 @@ def label_propagation(e: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     aggregation of ``max(struct(c, -lbl))`` — NOT a sort window, so no
     per-node sort and the partial agg combines map-side; ties break to
     the smallest label because -lbl maximizes at the minimum.  O(|E|)
-    shuffled bytes, no all-pairs anything.  ``localCheckpoint`` per
-    round truncates the lineage so the plan does not double every
-    round (the star-contraction lesson in ``operators/graph.py``).
-    Rounds are FIXED for cross-engine determinism; see ``LPA_ROUNDS``."""
-    adj = (
+    shuffled bytes, no all-pairs anything.  Lineage is truncated per
+    round via :func:`~bigdatamlteamrepo_spark.operators.checkpoint.truncate`
+    so the plan does not double every round (the star-contraction
+    lesson in ``operators/graph.py``) — set a checkpoint dir on the
+    SparkContext for executor-loss-tolerant reliable checkpoints at
+    cluster scale.  Rounds are FIXED for cross-engine determinism; see
+    ``LPA_ROUNDS``."""
+    return _lpa_label_frames(e, rounds)[-1].select(
+        "node", F.col("lbl").alias("community")
+    )
+
+
+def _lpa_label_frames(e: DataFrame, rounds: int) -> list[DataFrame]:
+    """All per-round LPA label frames [l0 … l_rounds], each
+    materialized with truncated lineage (the convergence audit reads
+    consecutive pairs; :func:`label_propagation` takes the last)."""
+    adj = truncate(
         e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        .localCheckpoint(eager=True)
     )
     labels = adj.select("node").distinct().withColumn("lbl", F.col("node"))
+    frames = [labels]
     for _ in range(rounds):
         cand = adj.join(
             labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
         ).select("node", "lbl")
         cnt = cand.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
-        labels = (
+        labels = truncate(
             cnt.groupBy("node")
             .agg(
                 F.max(
@@ -225,9 +259,9 @@ def label_propagation(e: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
                 ).alias("m")
             )
             .select("node", (-F.col("m.nl")).alias("lbl"))
-            .localCheckpoint(eager=True)
         )
-    return labels.select("node", F.col("lbl").alias("community"))
+        frames.append(labels)
+    return frames
 
 
 @query("part_copurchase_communities", bench=True, oracle=_lpa_oracle())
@@ -236,18 +270,7 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     {LPA_MIN_WEIGHT}) after {LPA_ROUNDS} synchronous LPA rounds — the
     classic near-linear community detector, here as a fully
     deterministic cross-engine query (per-node final assignment)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    e = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= LPA_MIN_WEIGHT)
-        .select("u", "v")
-    )
-    return label_propagation(e)
+    return label_propagation(_copurchase_edges(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -307,18 +330,7 @@ def part_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-struct explode, then one per-node count.  High lcc + low degree
     = tight bundle; high degree + low lcc = hub — the
     recommendation-quality split."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    e = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= LPA_MIN_WEIGHT)
-        .select("u", "v")
-        .localCheckpoint(eager=True)
-    )
+    e = truncate(_copurchase_edges(spark, sf_dir))
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -361,32 +373,38 @@ def part_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: core order (minimum degree inside the surviving subgraph)
 KCORE_K = 3
-#: fixed peel rounds — same determinism rationale as LPA_ROUNDS; on
-#: these graphs the peel reaches its fixpoint well inside the budget,
-#: and a fixed count keeps the unrolled oracle exactly the Spark loop
-KCORE_ROUNDS = 4
+#: fixed peel rounds — same determinism rationale as LPA_ROUNDS; sized
+#: to cover the fixpoint at every tested SF (the r10 convergence audit
+#: caught the old budget of 4 clipping sf0.01's pendant cascade: node
+#: counts 1892→1294→1154→1104→1078→1065→1058→1056→1055, stable from
+#: round 8), and a fixed count keeps the unrolled oracle exactly the
+#: Spark loop.  The audit face's probe round certifies the budget per
+#: dataset — at 100× scale a non-zero probe means raise this.
+KCORE_ROUNDS = 8
 
 
 def _kcore_oracle() -> str:
+    # MATERIALIZED: each e{r} is referenced 3× (d{r+1} twice, e{r+1})
+    # — inlined, the unrolled tree grows 3^rounds; see the audit oracle
     parts = [
         f"""
-WITH ew AS (
+WITH ew AS MATERIALIZED (
   SELECT l1.l_partkey AS u, l2.l_partkey AS v
   FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
   WHERE l1.l_partkey < l2.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= {LPA_MIN_WEIGHT}
 ),
-e0 AS (SELECT u, v FROM ew)"""
+e0 AS MATERIALIZED (SELECT u, v FROM ew)"""
     ]
     for r in range(1, KCORE_ROUNDS + 1):
         parts.append(
             f""",
-d{r} AS (
+d{r} AS MATERIALIZED (
   SELECT node FROM (
     SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1}
   ) GROUP BY node HAVING COUNT(*) >= {KCORE_K}
 ),
-e{r} AS (
+e{r} AS MATERIALIZED (
   SELECT e.u, e.v FROM e{r - 1} e
   JOIN d{r} a ON e.u = a.node JOIN d{r} b ON e.v = b.node
 )"""
@@ -409,9 +427,25 @@ def kcore_peel(e: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> Da
 
     Per round: one degree count (map-side combinable) + two hash
     semi-equi-joins — O(|E|) shuffled bytes, lineage truncated per
-    round.  Rounds are FIXED (see :data:`KCORE_ROUNDS`): both engines
-    replay the identical prefix of the peel sequence, converged or
-    not, so parity never depends on a fixpoint test."""
+    round (:func:`~bigdatamlteamrepo_spark.operators.checkpoint.truncate`:
+    reliable checkpoints when a checkpoint dir is set).  Rounds are
+    FIXED (see :data:`KCORE_ROUNDS`): both engines replay the
+    identical prefix of the peel sequence, converged or not, so parity
+    never depends on a fixpoint test."""
+    e = _kcore_edge_frames(e, k, rounds)[-1]
+    return (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+    )
+
+
+def _kcore_edge_frames(e: DataFrame, k: int, rounds: int) -> list[DataFrame]:
+    """Per-round surviving edge sets [e0 … e_rounds] of the peel, each
+    materialized with truncated lineage (the convergence audit counts
+    surviving nodes per round; :func:`kcore_peel` takes the last)."""
+    frames = [truncate(e)]
     for _ in range(rounds):
         deg = (
             e.select(F.col("u").alias("node"))
@@ -421,18 +455,13 @@ def kcore_peel(e: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> Da
             .filter(F.col("d") >= k)
             .select("node")
         )
-        e = (
+        e = truncate(
             e.join(deg.withColumnRenamed("node", "u"), "u")
             .join(deg.withColumnRenamed("node", "v"), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
         )
-    return (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
-    )
+        frames.append(e)
+    return frames
 
 
 @query("part_kcore_membership", oracle=_kcore_oracle())
@@ -441,15 +470,231 @@ def part_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repeat co-purchase graph, with their in-core degree — the
     density skeleton recommendation/fraud pipelines mine (a hub with
     pendant noise peels away; a dense bundle survives)."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    e = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= LPA_MIN_WEIGHT)
-        .select("u", "v")
+    return kcore_peel(_copurchase_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Convergence observability for the fixed-round loops (VERDICT_r9 #6).
+# --------------------------------------------------------------------------
+#
+# The registered LPA / k-core faces run a FIXED number of rounds for
+# cross-engine determinism; at tested SFs that budget reaches the
+# fixpoint (pinned below and in tests), but at 100x scale "k-core
+# membership" could silently become "a 4-round peel prefix".  These
+# audit faces make that visible: one PROBE round past the budget, with
+# the per-round delta (labels changed / nodes dropped) as the result —
+# a probe-round delta of 0 certifies the registered face IS the
+# fixpoint; anything else is the operator's signal to raise the budget.
+
+
+def _lpa_audit_oracle() -> str:
+    probe = LPA_ROUNDS + 1
+    deltas = []
+    for r in range(1, probe + 1):
+        cyc = (
+            f"""(SELECT CAST(SUM(CASE WHEN a.lbl <> c.lbl THEN 1 ELSE 0 END)
+                 AS BIGINT)
+         FROM l{r} a JOIN l{r - 2} c ON a.node = c.node)"""
+            if r >= 2
+            else "CAST(-1 AS BIGINT)"
+        )
+        deltas.append(
+            f"""
+  SELECT CAST({r} AS BIGINT) AS round,
+         CAST(SUM(CASE WHEN a.lbl <> b.lbl THEN 1 ELSE 0 END) AS BIGINT)
+           AS labels_changed,
+         {cyc} AS cycle_changed
+  FROM l{r} a JOIN l{r - 1} b ON a.node = b.node"""
+        )
+    return _lpa_cte_prefix(probe) + "\nSELECT * FROM (" + "\n  UNION ALL".join(
+        deltas
+    ) + "\n)"
+
+
+@query("part_lpa_convergence_audit", oracle=_lpa_audit_oracle())
+def part_lpa_convergence_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-round convergence telemetry of the co-purchase LPA, with one
+    probe round PAST the registered budget: (round, labels_changed,
+    cycle_changed) for rounds 1 … LPA_ROUNDS+1, where ``labels_changed``
+    compares round r to r−1 and ``cycle_changed`` to r−2 (−1 sentinel
+    at round 1, which has no r−2).
+
+    Why two deltas: SYNCHRONOUS label propagation does not converge to
+    a fixpoint in general — like any symmetric threshold automaton it
+    converges to a limit cycle of period ≤ 2 (Poljak & Sůra 1983;
+    the bipartite oscillator in tests/test_label_propagation.py is the
+    minimal case), and the driver graphs really do enter that regime
+    (sf0.1: ~6.1 k of 6.2 k labels flip at EVERY round while the
+    two-round delta falls to ~10 — a stable oscillation, not drift).
+    So ``labels_changed = 0`` at the probe certifies a true fixpoint;
+    ``cycle_changed ≈ 0`` with large ``labels_changed`` certifies the
+    orbit has stabilized and the fixed-round face is sampling a stable
+    2-cycle — the honest interpretation a 100x-scale operator needs
+    before trusting (or re-budgeting) the community assignment.
+
+    Cost: one extra LPA round over the same materialized frames — each
+    delta is a node-level hash join of checkpointed label frames + a
+    one-row count."""
+    frames = _lpa_label_frames(
+        _copurchase_edges(spark, sf_dir), LPA_ROUNDS + 1
     )
-    return kcore_peel(e)
+
+    def _delta(a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.select("node", "lbl")
+            .join(b.select("node", F.col("lbl").alias("prev")), "node")
+            .agg(
+                F.sum(F.when(F.col("lbl") != F.col("prev"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("d")
+            )
+        )
+
+    deltas = []
+    for r in range(1, LPA_ROUNDS + 2):
+        step = _delta(frames[r], frames[r - 1]).withColumnRenamed(
+            "d", "labels_changed"
+        )
+        if r >= 2:
+            cyc = _delta(frames[r], frames[r - 2]).withColumnRenamed(
+                "d", "cycle_changed"
+            )
+            row = step.crossJoin(F.broadcast(cyc))
+        else:
+            row = step.withColumn(
+                "cycle_changed", F.lit(-1).cast("bigint")
+            )
+        deltas.append(
+            row.select(
+                F.lit(r).cast("bigint").alias("round"),
+                "labels_changed",
+                "cycle_changed",
+            )
+        )
+    out = deltas[0]
+    for d in deltas[1:]:
+        out = out.unionAll(d)
+    return out
+
+
+def _kcore_audit_oracle() -> str:
+    # every e{r} is referenced by d{r+1} (twice), e{r+1}, AND the
+    # per-round node census below — DuckDB inlines single-reference
+    # CTEs but this fan-out makes the unrolled tree EXPONENTIAL in
+    # rounds without MATERIALIZED (measured: the un-hinted form ran
+    # minutes at sf0.01; materialized, sub-second).  The hint is
+    # DuckDB-only syntax, which is fine — this string never reaches
+    # Spark.
+    probe = KCORE_ROUNDS + 1
+    parts = [
+        f"""
+WITH ew AS MATERIALIZED (
+  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {LPA_MIN_WEIGHT}
+),
+e0 AS MATERIALIZED (SELECT u, v FROM ew)"""
+    ]
+    for r in range(1, probe + 1):
+        parts.append(
+            f""",
+d{r} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT u AS node FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1}
+  ) GROUP BY node HAVING COUNT(*) >= {KCORE_K}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{r - 1} e
+  JOIN d{r} a ON e.u = a.node JOIN d{r} b ON e.v = b.node
+)"""
+        )
+    tagged = "\n    UNION ALL".join(
+        f"""
+    SELECT {r} AS r, u AS node FROM e{r}
+    UNION ALL SELECT {r}, v FROM e{r}"""
+        for r in range(probe + 1)
+    )
+    parts.append(
+        f""",
+nr AS (
+  SELECT r, COUNT(DISTINCT node) AS n FROM ({tagged}
+  ) GROUP BY r
+),
+-- a round whose edge set is EMPTY contributes no nr row (the sf0.1
+-- 3-core empties in round 1); the spine keeps every round present
+-- with n = 0 so the running diff never skips
+spine AS (
+  SELECT range AS r FROM range(0, {probe + 1})
+),
+dense AS (
+  SELECT s.r, COALESCE(nr.n, 0) AS n
+  FROM spine s LEFT JOIN nr ON s.r = nr.r
+)
+SELECT CAST(r AS BIGINT) AS round,
+       CAST(LAG(n) OVER (ORDER BY r) - n AS BIGINT) AS nodes_dropped
+FROM dense QUALIFY r >= 1"""
+    )
+    return "".join(parts)
+
+
+@query("part_kcore_convergence_audit", oracle=_kcore_audit_oracle())
+def part_kcore_convergence_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-round surviving-node drops of the k-core peel, including one
+    probe round PAST the registered budget: (round, nodes_dropped) for
+    rounds 1 … KCORE_ROUNDS+1.  nodes_dropped = 0 at the probe round
+    certifies the fixed-round membership face is the true k-core;
+    non-zero means the budget truncated the peel cascade (pendant
+    chains peel one node per round).  The per-round node counts reuse
+    the loop's checkpointed edge frames; the 6-row running diff is a
+    bounded global window (the house metadata-frame pattern)."""
+    from pyspark.sql import Window
+
+    frames = _kcore_edge_frames(
+        _copurchase_edges(spark, sf_dir), KCORE_K, KCORE_ROUNDS + 1
+    )
+    tagged = None
+    for r, f in enumerate(frames):
+        nodes = (
+            f.select(F.col("u").alias("node"))
+            .unionAll(f.select(F.col("v").alias("node")))
+            .distinct()
+            .select(F.lit(r).cast("bigint").alias("r"), "node")
+        )
+        tagged = nodes if tagged is None else tagged.unionAll(nodes)
+    per_round = tagged.groupBy("r").agg(F.count(F.lit(1)).alias("n"))
+    # an empty round contributes no per_round row (the sf0.1 3-core
+    # empties in round 1) — densify over a round spine so the running
+    # diff never skips a round
+    spine = spark.range(0, KCORE_ROUNDS + 2).select(
+        F.col("id").cast("bigint").alias("r")
+    )
+    dense = (
+        spine.join(per_round, "r", "left")
+        .na.fill({"n": 0})
+        .select("r", F.col("n").cast("bigint").alias("n"))
+    )
+    w = Window.orderBy("r")
+    return (
+        dense.select(
+            "r", (F.lag("n").over(w) - F.col("n")).alias("dropped")
+        )
+        .filter(F.col("r") >= 1)
+        .select(
+            F.col("r").alias("round"),
+            F.col("dropped").cast("bigint").alias("nodes_dropped"),
+        )
+    )
+
+
+# the budget constants are module data, not literals — render them into
+# the registered docstrings (plain strings, not f-strings: an f-string
+# first statement would not bind __doc__ at all)
+part_copurchase_communities.__doc__ = part_copurchase_communities.__doc__.format(
+    LPA_MIN_WEIGHT=LPA_MIN_WEIGHT, LPA_ROUNDS=LPA_ROUNDS
+)
+part_kcore_membership.__doc__ = part_kcore_membership.__doc__.format(
+    KCORE_ROUNDS=KCORE_ROUNDS, KCORE_K=KCORE_K
+)

@@ -26,6 +26,18 @@ in-repo ``CORRECTNESS_r*.json`` ledger at import time:
   driver writes the next ledger file.
 
 ``tests/test_registry_rotation.py`` pins window == f(ledger).
+
+**Steady-state size policy (VERDICT_r9 #7)**: with a 50-query window
+per round, worst-case driver-evidence age for a green query is
+``ceil(n_oracle_paired / 50)`` rounds — 5 rounds at the current ~225.
+The registry is CAPPED at 250 oracle-paired queries (age bound 5;
+``tests/test_registry.py`` enforces it): past the cap, a new face must
+displace a family-redundant one (deregistration drops only the driver
+rotation slot — the operator keeps its pytest pins, which are the
+stronger per-semantics checks anyway).  Rationale: driver evidence is
+a CROSS-ENGINE parity spot-check, not the primary correctness story;
+five-round-old parity on a frozen query is fine, but an unbounded
+registry would push the age past what a 20-round build ever refreshes.
 """
 
 from __future__ import annotations

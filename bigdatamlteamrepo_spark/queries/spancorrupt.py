@@ -223,3 +223,10 @@ def t5_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _joined("i").alias("input_text"),
         _joined("g").alias("target_text"),
     )
+
+
+# render the module constant into the registered docstring (plain
+# string, not an f-string — an f-string first statement binds no __doc__)
+t5_span_corruption_pairs.__doc__ = t5_span_corruption_pairs.__doc__.format(
+    PAIR_SAMPLE_MOD=PAIR_SAMPLE_MOD
+)
