@@ -242,3 +242,24 @@ def test_lpa_plan_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_r10_convergence_audit_plans(spark, sf_dir):
+    """r10 tier: the convergence audits are unions of one-row delta
+    aggs over checkpointed frames — no CartesianProduct anywhere;
+    nested-loop joins only for the LPA audit's documented one-row
+    (step × cycle) scalar attaches (one broadcast crossJoin per round
+    that has a cycle delta, = LPA_ROUNDS)."""
+    from bigdatamlteamrepo_spark.queries.graphs import LPA_ROUNDS
+    from bigdatamlteamrepo_spark.queries.registry import QUERIES as Q
+
+    for name, allowed in (
+        ("part_lpa_convergence_audit", LPA_ROUNDS),
+        ("part_kcore_convergence_audit", 0),
+    ):
+        plan = (
+            Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        n = plan.count("BroadcastNestedLoopJoin")
+        assert n <= allowed, f"{name}: {n} nested-loop joins"
