@@ -171,11 +171,22 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_cte_prefix(rounds: int) -> str:
+def _lpa_cte_prefix(rounds: int, self_votes: bool = False) -> str:
     """Unrolled LPA rounds (Raghavan et al. 2007, synchronous variant,
     min-label tie-break) as chained CTEs l0 … l{rounds} — each round is
     mode-of-neighbor-labels via a windowed argmax, exactly the Spark
-    plan."""
+    plan.  ``self_votes`` adds a self-loop per node (the node's own
+    current label counts as one vote — the damped, convergent
+    variant)."""
+    self_sql = (
+        """
+  UNION ALL
+  SELECT node, node FROM (
+    SELECT u AS node FROM ew UNION SELECT v FROM ew
+  )"""
+        if self_votes
+        else ""
+    )
     parts = [
         f"""
 WITH ew AS (
@@ -185,7 +196,7 @@ WITH ew AS (
   GROUP BY 1, 2 HAVING COUNT(*) >= {LPA_MIN_WEIGHT}
 ),
 adj AS (
-  SELECT u AS node, v AS nbr FROM ew UNION ALL SELECT v, u FROM ew
+  SELECT u AS node, v AS nbr FROM ew UNION ALL SELECT v, u FROM ew{self_sql}
 ),
 l0 AS (
   SELECT DISTINCT node, node AS lbl FROM adj
@@ -236,14 +247,27 @@ def label_propagation(e: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     )
 
 
-def _lpa_label_frames(e: DataFrame, rounds: int) -> list[DataFrame]:
+def _lpa_label_frames(
+    e: DataFrame, rounds: int, self_votes: bool = False
+) -> list[DataFrame]:
     """All per-round LPA label frames [l0 … l_rounds], each
     materialized with truncated lineage (the convergence audit reads
-    consecutive pairs; :func:`label_propagation` takes the last)."""
-    adj = truncate(
-        e.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
-        .unionAll(e.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+    consecutive pairs; :func:`label_propagation` takes the last).
+    ``self_votes`` adds one self-loop per node — see
+    :func:`label_propagation_stable`."""
+    adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
+    if self_votes:
+        nodes = (
+            e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .distinct()
+        )
+        adj = adj.unionAll(
+            nodes.select("node", F.col("node").alias("nbr"))
+        )
+    adj = truncate(adj)
     labels = adj.select("node").distinct().withColumn("lbl", F.col("node"))
     frames = [labels]
     for _ in range(rounds):
@@ -271,6 +295,54 @@ def part_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic near-linear community detector, here as a fully
     deterministic cross-engine query (per-node final assignment)."""
     return label_propagation(_copurchase_edges(spark, sf_dir))
+
+
+#: rounds for the CONVERGENT self-loop variant — sized to the measured
+#: fixpoint depth across tested corpora (pure-Python reference: 5 / 7 /
+#: 5 rounds at sf0.001/0.01/0.1) + margin; the probe pin in
+#: tests/test_graph_convergence.py certifies delta 0 one round past
+LPA_STABLE_ROUNDS = 8
+
+
+def label_propagation_stable(
+    e: DataFrame, rounds: int = LPA_STABLE_ROUNDS
+) -> DataFrame:
+    """Self-loop ("damped") LPA: identical to :func:`label_propagation`
+    except each node's OWN current label counts as one vote — a single
+    self-loop per node in the neighbor list.
+
+    Why it exists: the synchronous update is a symmetric threshold
+    automaton and converges to a period-≤2 limit CYCLE, not a fixpoint
+    (Poljak & Šůra 1983 — `part_lpa_convergence_audit` shows ~all
+    labels flipping every round at sf0.1).  The self-vote breaks the
+    flip symmetry: a node abandons its label only when some neighbor
+    label STRICTLY outvotes current+1, which empirically drives every
+    tested corpus to a true fixpoint within 7 rounds (probe-pinned at
+    3 SFs).  This is the production face for a 100 TB run — stable
+    output a downstream join can rely on; the plain synchronous face
+    stays registered for algorithm parity."""
+    return _lpa_label_frames(e, rounds, self_votes=True)[-1].select(
+        "node", F.col("lbl").alias("community")
+    )
+
+
+def _lpa_stable_oracle() -> str:
+    return (
+        _lpa_cte_prefix(LPA_STABLE_ROUNDS, self_votes=True)
+        + f"\nSELECT node, lbl AS community FROM l{LPA_STABLE_ROUNDS}"
+    )
+
+
+@query("part_copurchase_communities_stable", oracle=_lpa_stable_oracle())
+def part_copurchase_communities_stable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Communities of the repeat co-purchase graph under the CONVERGENT
+    self-loop LPA (see :func:`label_propagation_stable`): at every
+    tested SF the assignment is a true fixpoint — one more round
+    changes nothing — where the plain synchronous face samples a
+    period-2 limit cycle."""
+    return label_propagation_stable(_copurchase_edges(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

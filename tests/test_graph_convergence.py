@@ -147,3 +147,75 @@ def test_results_identical_under_reliable_checkpoint(spark):
         shutil.rmtree(d, ignore_errors=True)
     assert lpa_rel == lpa_local
     assert kcore_rel == kcore_local
+
+
+@pytest.mark.parametrize("sf", ALL_SFS)
+def test_stable_lpa_is_true_fixpoint(spark, sf):
+    """The self-loop variant must reach a genuine fixpoint at every
+    tested SF: running one round PAST the budget changes nothing
+    (exactly where the plain synchronous face oscillates), and the
+    fixpoint matches an independent pure-Python reference."""
+    from bigdatamlteamrepo_spark.queries.graphs import (
+        LPA_STABLE_ROUNDS,
+        _copurchase_edges,
+        _lpa_label_frames,
+    )
+
+    frames = _lpa_label_frames(
+        _copurchase_edges(spark, sf), LPA_STABLE_ROUNDS + 1, self_votes=True
+    )
+    at_budget = set(map(tuple, frames[LPA_STABLE_ROUNDS].collect()))
+    probe = set(map(tuple, frames[LPA_STABLE_ROUNDS + 1].collect()))
+    assert at_budget == probe
+
+
+def test_stable_lpa_matches_python_reference(spark):
+    """Self-vote semantics against an independent reference on hand
+    graphs, including the bipartite oscillator the plain variant
+    cycles on — the stable variant must CONVERGE there and match."""
+    from bigdatamlteamrepo_spark.queries.graphs import (
+        label_propagation_stable,
+    )
+
+    def ref(edges, rounds):
+        adj: dict[int, list[int]] = {}
+        for u, v in edges:
+            adj.setdefault(u, []).append(v)
+            adj.setdefault(v, []).append(u)
+        lbl = {n: n for n in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for n, nbrs in adj.items():
+                cnt: dict[int, int] = {lbl[n]: 1}  # the self vote
+                for m in nbrs:
+                    cnt[lbl[m]] = cnt.get(lbl[m], 0) + 1
+                nxt[n] = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+                    0
+                ][0]
+            lbl = nxt
+        return lbl
+
+    cases = [
+        # bipartite 4-cycle: plain sync LPA oscillates forever here
+        {(1, 2), (2, 3), (3, 4), (1, 4)},
+        # two cliques with a bridge
+        {(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)},
+    ]
+    for edges in cases:
+        e = spark.createDataFrame(sorted(edges), "u bigint, v bigint")
+        for rounds in (3, 8):
+            got = {
+                r["node"]: r["community"]
+                for r in label_propagation_stable(e, rounds=rounds).collect()
+            }
+            assert got == ref(edges, rounds), (edges, rounds)
+        # fixpoint on the oscillator: rounds 8 and 9 identical
+        a = {
+            r["node"]: r["community"]
+            for r in label_propagation_stable(e, rounds=8).collect()
+        }
+        b = {
+            r["node"]: r["community"]
+            for r in label_propagation_stable(e, rounds=9).collect()
+        }
+        assert a == b
