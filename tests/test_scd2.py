@@ -1,0 +1,146 @@
+"""SCD Type-2 collapse + point-in-time enrichment: hand-stream pins
+(known change points), interval invariants, as-of tie semantics, and
+the one-Exchange plan gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.queries.scd2 import pit_enrich, scd2_collapse
+
+
+def _d(s: str) -> dt.date:
+    return dt.date.fromisoformat(s)
+
+
+#: (key, ts, tiebreak, attr) — customer 1 changes A→B→A; customer 2 is
+#: constant; customer 3 flips twice on the SAME day (tiebreak decides)
+_OBS = [
+    (1, "2024-01-01", 10, "A"),
+    (1, "2024-01-05", 11, "A"),   # no change — collapses
+    (1, "2024-02-01", 12, "B"),
+    (1, "2024-03-01", 13, "A"),
+    (2, "2024-01-02", 20, "X"),
+    (2, "2024-04-01", 21, "X"),
+    (3, "2024-01-03", 30, "P"),
+    (3, "2024-01-03", 31, "Q"),   # same-day change, higher tiebreak
+]
+
+
+def _obs_df(spark):
+    return spark.createDataFrame(
+        [(k, _d(ts), tb, a) for k, ts, tb, a in _OBS],
+        "k bigint, ts date, tb bigint, attr string",
+    )
+
+
+def _collapse(spark):
+    return scd2_collapse(_obs_df(spark), "k", "attr", "ts", "tb")
+
+
+def test_hand_stream_versions(spark):
+    rows = {
+        (r["k"], r["version"]): (
+            r["attr"], r["valid_from"], r["valid_to"], r["is_current"]
+        )
+        for r in _collapse(spark).collect()
+    }
+    assert rows == {
+        (1, 1): ("A", _d("2024-01-01"), _d("2024-02-01"), False),
+        (1, 2): ("B", _d("2024-02-01"), _d("2024-03-01"), False),
+        (1, 3): ("A", _d("2024-03-01"), None, True),
+        (2, 1): ("X", _d("2024-01-02"), None, True),
+        # same-day flip: two versions sharing valid_from, Q wins as
+        # current (zero-length [P) interval records the observation)
+        (3, 1): ("P", _d("2024-01-03"), _d("2024-01-03"), False),
+        (3, 2): ("Q", _d("2024-01-03"), None, True),
+    }
+
+
+def test_interval_invariants(spark):
+    """Per key: versions dense from 1, intervals chain exactly
+    (valid_to == next valid_from), exactly one open current row, and no
+    two consecutive versions repeat the attr (else they'd collapse)."""
+    by_key: dict[int, list] = {}
+    for r in _collapse(spark).collect():
+        by_key.setdefault(r["k"], []).append(r)
+    for rows in by_key.values():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["attr"] != b["attr"]
+
+
+def _facts_df(spark):
+    facts = [
+        (100, 1, "2023-12-31"),  # before any version → NULL
+        (101, 1, "2024-01-15"),  # inside v1 → A
+        (102, 1, "2024-02-01"),  # ON the change date → new tier B
+        (103, 1, "2024-12-01"),  # after last change → current A
+        (104, 3, "2024-01-03"),  # same-day double flip → highest version Q
+        (105, 9, "2024-06-01"),  # unknown key → NULL
+    ]
+    return spark.createDataFrame(
+        [(i, k, _d(ts)) for i, k, ts in facts],
+        "fid bigint, k bigint, fdate date",
+    )
+
+
+def test_pit_enrich_asof_semantics(spark):
+    out = pit_enrich(
+        _facts_df(spark), _collapse(spark),
+        fact_key="k", dim_key="k", fact_date="fdate", attr="attr",
+    )
+    got = {r["fid"]: r["attr"] for r in out.collect()}
+    assert got == {100: None, 101: "A", 102: "B", 103: "A", 104: "Q", 105: None}
+
+
+def test_pit_enrich_preserves_fact_rows(spark):
+    """PIT is an enrichment, never a filter/multiplier: row count and
+    fact columns pass through 1:1."""
+    facts = _facts_df(spark)
+    out = pit_enrich(
+        facts, _collapse(spark),
+        fact_key="k", dim_key="k", fact_date="fdate", attr="attr",
+    )
+    assert out.count() == facts.count()
+    assert sorted(out.columns) == sorted([*facts.columns, "attr"])
+
+
+def test_scd2_plan_single_exchange(spark):
+    """Both window passes share (partition key, sort order): the whole
+    collapse must cost exactly ONE Exchange (plus its Sort) — a second
+    shuffle would break the claim in the module docstring."""
+    plan = _collapse(spark)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, plan
+
+
+def test_pit_plan_no_range_join(spark):
+    """The as-of union must not plan a nested-loop/cartesian interval
+    join at any size."""
+    out = pit_enrich(
+        _facts_df(spark), _collapse(spark),
+        fact_key="k", dim_key="k", fact_date="fdate", attr="attr",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_collapse_is_partition_layout_invariant(spark):
+    """Same versions regardless of the input's physical partitioning."""
+    base = _obs_df(spark)
+    a = {tuple(r) for r in scd2_collapse(base, "k", "attr", "ts", "tb").collect()}
+    b = {
+        tuple(r)
+        for r in scd2_collapse(
+            base.repartition(7, F.col("tb")), "k", "attr", "ts", "tb"
+        ).collect()
+    }
+    assert a == b
