@@ -27,5 +27,6 @@ from bigdatamlteamrepo_spark.queries import baskets  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import spancorrupt  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import entropy  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import scd2  # noqa: F401,E402
+from bigdatamlteamrepo_spark.queries import linkpred  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "BENCH_SET"]
