@@ -52,7 +52,10 @@ def integer_pagerank(
     num, den = damping
     teleport = (100 - num) * scale // den
 
-    nodes = (
+    # nodes joins into EVERY iteration — truncate it once, or each round
+    # replays the node derivation from the raw edge lineage (for a
+    # corpus-derived graph that is a full re-scan per iteration)
+    nodes = truncate(
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()

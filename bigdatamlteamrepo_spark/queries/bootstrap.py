@@ -1,0 +1,188 @@
+"""Poisson bootstrap: uncertainty for massive-data aggregates in ONE
+pass (Chamandy, Muralidharan, Najmi & Naidu 2012, "Estimating
+uncertainty for massive data streams", Google TR; the streaming
+formulation of the m-out-of-n/Little-Bootstraps family of Kleiner et
+al. 2014, JRSS-B).
+
+Classic resampling draws B full resamples — impossible when one pass is
+all you get at 100 TB.  The Poisson trick: in a bootstrap resample each
+row's multiplicity is Binomial(n, 1/n) ≈ Poisson(1), independent across
+rows, so B replicates need only B deterministic per-row multiplicities
+— generated here from a portable md5 hash (row id × replicate id), NOT
+``rand()``, so every engine and every re-run draws the identical
+resample.
+
+Pipeline shape (the part that matters at 100 TB):
+
+* one scan of events; each row fans out to its B (type, b) cells with
+  multiplicity m ∈ 0..8 — map-side combine collapses the fan-out to
+  ``|types| · B`` partial cells per task, so shuffle volume is
+  O(cells), independent of row count;
+* replicate means are exact integer rationals (micro-quantized values,
+  half-away division) — BIGINT end to end, no float accumulation
+  order to disagree on;
+* the final reduce is over ``B`` replicate rows per type: bootstrap
+  standard error + the replicate envelope (min/max of the B means).
+
+Multiplicity thresholds: ``T_k = floor(CDF_Poisson(1)(k) · 2^32)`` are
+computed ONCE driver-side and embedded as integer literals in both the
+Spark expression and the DuckDB oracle, so cross-engine equality is by
+construction — m = #{k : h ≥ T_k} for the row's 32-bit hash h.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.queries.registry import query
+
+#: bootstrap replicates (B) — 32 gives a ~±25% SE on the SE itself,
+#: the standard operating point for pipeline-health error bars
+N_REPLICATES = 32
+#: fixed-point scale for values and means
+MICRO = 1_000_000
+#: multiplicity cap: P(Poisson(1) > 8) < 1e-6 — truncation bias is
+#: far below the bootstrap's own Monte-Carlo noise
+_MAX_MULT = 8
+
+#: Poisson(1) CDF thresholds scaled to the 32-bit hash space, computed
+#: once driver-side: T_k = floor(P(X <= k) * 2^32), k = 0.._MAX_MULT-1
+_THRESHOLDS = [
+    math.floor(
+        sum(math.exp(-1.0) / math.factorial(j) for j in range(k + 1)) * 2**32
+    )
+    for k in range(_MAX_MULT)
+]
+
+
+def _mult_sql(h: str) -> str:
+    """Multiplicity m = #{k : h >= T_k} as portable integer SQL."""
+    terms = " + ".join(
+        f"(CASE WHEN {h} >= {t} THEN 1 ELSE 0 END)" for t in _THRESHOLDS
+    )
+    return f"({terms})"
+
+
+_BOOT_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(event_id AS VARCHAR) AS rid,
+         CAST(round(value * {MICRO}) AS BIGINT) AS v_micro
+  FROM events
+),
+hashed AS (
+  SELECT ev.event_type, t.b, ev.v_micro,
+         ('0x' || substr(md5(ev.rid || ':' || t.b), 1, 8))::BIGINT AS h
+  FROM ev CROSS JOIN (SELECT unnest(range(0, {N_REPLICATES})) AS b) t
+),
+cells AS (
+  SELECT event_type, b, v_micro, {_mult_sql("h")} AS m FROM hashed
+),
+reps AS (
+  SELECT event_type, b,
+         CAST((2 * SUM(m * v_micro) + SUM(m)) // (2 * SUM(m)) AS BIGINT)
+           AS mean_b
+  FROM cells GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type,
+         COUNT(*) AS n_events,
+         CAST((2 * SUM(v_micro) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT)
+           AS mean_micro
+  FROM ev GROUP BY 1
+)
+SELECT base.event_type, base.n_events, base.mean_micro,
+       CAST(round(sqrt(
+         (CAST({N_REPLICATES} AS DOUBLE) * SUM(mean_b * mean_b)
+          - CAST(SUM(mean_b) AS DOUBLE) * SUM(mean_b))
+         / ({N_REPLICATES} * ({N_REPLICATES} - 1.0))
+       )) AS BIGINT) AS boot_se_micro,
+       MIN(mean_b) AS rep_min_micro,
+       MAX(mean_b) AS rep_max_micro
+FROM reps JOIN base USING (event_type)
+GROUP BY 1, 2, 3
+"""
+
+
+def poisson_bootstrap_means(
+    rows: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_micro_col: str,
+    n_replicates: int = N_REPLICATES,
+) -> DataFrame:
+    """B deterministic Poisson-bootstrap replicate means per group.
+
+    Returns ``(group_col, b, mean_b)`` — ``mean_b`` the half-away
+    micro-unit mean of replicate ``b``'s weighted resample.  The hash
+    is md5 of ``id:b``, so the resample is a pure function of the row
+    identity (engine-portable, rerun-stable).
+    """
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("b")
+    m_terms = " + ".join(
+        f"(CASE WHEN __h >= {t} THEN 1 ELSE 0 END)" for t in _THRESHOLDS
+    )
+    return (
+        rows.select(
+            F.col(group_col),
+            F.col(id_col).alias("__rid"),
+            F.col(value_micro_col).alias("__v"),
+            b,
+        )
+        .withColumn(
+            "__h",
+            F.expr(
+                "cast(conv(substring(md5(concat(cast(__rid as string),"
+                " ':', b)), 1, 8), 16, 10) as bigint)"
+            ),
+        )
+        .withColumn("m", F.expr(m_terms))
+        .groupBy(group_col, "b")
+        .agg(
+            F.expr("CAST((2 * SUM(m * __v) + SUM(m)) div (2 * SUM(m)) AS BIGINT)")
+            .alias("mean_b")
+        )
+    )
+
+
+@query("events_bootstrap_ci", oracle=_BOOT_ORACLE)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mean value with Poisson-bootstrap uncertainty:
+    point estimate, bootstrap standard error over {B} deterministic
+    replicates, and the replicate envelope (min/max replicate mean) —
+    all in micro units."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").alias("rid"),
+        F.expr(f"CAST(round(value * {MICRO}) AS BIGINT)").alias("v_micro"),
+    )
+    reps = poisson_bootstrap_means(
+        ev, group_col="event_type", id_col="rid", value_micro_col="v_micro"
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            "CAST((2 * SUM(v_micro) + COUNT(*)) div (2 * COUNT(*)) AS BIGINT)"
+        ).alias("mean_micro"),
+    )
+    n = N_REPLICATES
+    return (
+        reps.join(F.broadcast(base), "event_type")
+        .groupBy("event_type", "n_events", "mean_micro")
+        .agg(
+            F.expr(
+                f"CAST(round(sqrt((CAST({n} AS DOUBLE) * SUM(mean_b * mean_b)"
+                f" - CAST(SUM(mean_b) AS DOUBLE) * SUM(mean_b))"
+                f" / ({n} * ({n} - 1.0)))) AS BIGINT)"
+            ).alias("boot_se_micro"),
+            F.min("mean_b").alias("rep_min_micro"),
+            F.max("mean_b").alias("rep_max_micro"),
+        )
+    )
+
+
+events_bootstrap_ci.__doc__ = events_bootstrap_ci.__doc__.format(B=N_REPLICATES)

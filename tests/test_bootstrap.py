@@ -1,0 +1,113 @@
+"""Poisson bootstrap: multiplicity law (mean ≈ 1, matches the embedded
+CDF thresholds), SE agreement with the analytic sd/sqrt(n) on a
+synthetic sample, exact point-estimate arithmetic, and partitioning
+invariance of the deterministic resample."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import statistics
+
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.queries.bootstrap import (
+    MICRO,
+    N_REPLICATES,
+    _THRESHOLDS,
+    poisson_bootstrap_means,
+)
+
+
+def _py_mult(rid: str, b: int) -> int:
+    h = int(hashlib.md5(f"{rid}:{b}".encode()).hexdigest()[:8], 16)
+    return sum(h >= t for t in _THRESHOLDS)
+
+
+def test_thresholds_are_the_poisson1_cdf():
+    cdf = 0.0
+    for k, t in enumerate(_THRESHOLDS):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        assert t == math.floor(cdf * 2**32)
+    assert _THRESHOLDS == sorted(_THRESHOLDS)
+
+
+def test_multiplicity_mean_is_one():
+    """E[m] = 1 for Poisson(1); the hash-derived multiplicities must
+    land near it (10k draws → SE ≈ 0.01)."""
+    ms = [_py_mult(str(i), b) for i in range(500) for b in range(20)]
+    assert abs(statistics.mean(ms) - 1.0) < 0.04
+    assert max(ms) <= len(_THRESHOLDS)
+
+
+def _sample_df(spark, n=400):
+    # deterministic synthetic sample: v_i = 1000 + (i*37 % 100) micro-ish
+    rows = [(i, "g", (1000 + (i * 37) % 100) * MICRO) for i in range(n)]
+    return spark.createDataFrame(rows, "rid bigint, grp string, v bigint")
+
+
+def test_replicate_means_match_python(spark):
+    df = _sample_df(spark, n=120)
+    got = {
+        (r["grp"], r["b"]): r["mean_b"]
+        for r in poisson_bootstrap_means(
+            df, "grp", "rid", "v", n_replicates=8
+        ).collect()
+    }
+    vals = {i: (1000 + (i * 37) % 100) * MICRO for i in range(120)}
+    for b in range(8):
+        s1 = sum(_py_mult(str(i), b) * v for i, v in vals.items())
+        s0 = sum(_py_mult(str(i), b) for i in vals)
+        assert got[("g", b)] == (2 * s1 + s0) // (2 * s0)
+
+
+def test_bootstrap_se_tracks_analytic_se(spark):
+    """For an i.i.d.-ish sample the bootstrap SE must sit near the
+    analytic sd/sqrt(n) — the whole point of the method."""
+    df = _sample_df(spark, n=400)
+    reps = [
+        r["mean_b"]
+        for r in poisson_bootstrap_means(df, "grp", "rid", "v").collect()
+    ]
+    assert len(reps) == N_REPLICATES
+    boot_se = statistics.stdev(reps)
+    vals = [(1000 + (i * 37) % 100) * MICRO for i in range(400)]
+    analytic_se = statistics.pstdev(vals) / math.sqrt(len(vals))
+    assert 0.6 * analytic_se < boot_se < 1.6 * analytic_se
+
+
+def test_resample_is_partitioning_invariant(spark):
+    df = _sample_df(spark, n=200)
+    a = sorted(
+        tuple(r) for r in poisson_bootstrap_means(df, "grp", "rid", "v").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in poisson_bootstrap_means(
+            df.repartition(13, F.col("rid")), "grp", "rid", "v"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_registered_face_point_estimate(spark, sf_dir):
+    """mean_micro must be the exact half-away mean of the quantized
+    values — independent of anything bootstrap."""
+    from bigdatamlteamrepo_spark.catalog import load_table
+    from bigdatamlteamrepo_spark.queries.bootstrap import events_bootstrap_ci
+
+    out = {r["event_type"]: r for r in events_bootstrap_ci(spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr(f"CAST(round(value * {MICRO}) AS BIGINT)").alias("v"))
+        .groupBy("event_type")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    for r in ev:
+        exp_mean = (2 * r["s"] + r["n"]) // (2 * r["n"])
+        got = out[r["event_type"]]
+        assert got["mean_micro"] == exp_mean
+        assert got["n_events"] == r["n"]
+        assert got["rep_min_micro"] <= exp_mean <= got["rep_max_micro"]
+        assert got["boot_se_micro"] > 0
