@@ -263,3 +263,23 @@ def test_r10_convergence_audit_plans(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         n = plan.count("BroadcastNestedLoopJoin")
         assert n <= allowed, f"{name}: {n} nested-loop joins"
+
+
+def test_r10b_additions_plans(spark, sf_dir):
+    """This session's tier — SCD2 build/PIT, link prediction, TextRank,
+    Poisson bootstrap: every join must be a hash equi-join (the PIT
+    lookup in particular must NOT plan the naive interval range join)."""
+    from bigdatamlteamrepo_spark.queries.registry import QUERIES as Q
+
+    for name in (
+        "customer_tier_scd2",
+        "events_tier_pit_counts",
+        "part_link_prediction_topk",
+        "corpus_textrank_keywords",
+        "events_bootstrap_ci",
+    ):
+        plan = (
+            Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
