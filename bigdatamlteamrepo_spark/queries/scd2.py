@@ -156,6 +156,80 @@ def customer_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: split instant for the incremental-merge face: observations up to it
+#: form the "existing" dimension, later ones arrive as the merge batch
+MERGE_SPLIT = "1998-01-01 00:00:00"
+
+
+def scd2_merge(
+    dim: DataFrame,
+    new_obs: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+) -> DataFrame:
+    """Incrementally MERGE a batch of new observations into an existing
+    SCD2 dimension — the production upsert path (Kimball's incremental
+    Type-2 load; Delta-style MERGE INTO).
+
+    Contract: every new observation's ``ts`` is strictly later than
+    every ``valid_from`` already in the dimension (append-only arrival;
+    late data takes the batch-recompute path instead).  Under it the
+    merge is EXACTLY equivalent to re-collapsing the full history —
+    pinned in tests and, for the registered face, by the driver oracle
+    which always recomputes from scratch.
+
+    Distributed shape: keys untouched by the batch pass through via an
+    anti-join (at 100 TB: file-pruned by key bucketing, never
+    rewritten); only touched keys re-collapse, and their input is the
+    existing CHANGE rows (one per version — the collapse is
+    idempotent on its own output) plus the batch, so per-key work is
+    O(versions + batch), independent of raw history length.
+    """
+    touched = new_obs.select(key).distinct()
+    untouched = dim.join(touched, key, "left_anti")
+    old_as_obs = dim.join(touched, key, "semi").select(
+        key,
+        attr,
+        F.col("valid_from").alias(ts),
+        # versions are dense ints and all old rows precede all new rows
+        # in ts (the append-only contract), so they are a valid tiebreak
+        F.col("version").alias(tiebreak),
+    )
+    recollapsed = scd2_collapse(
+        old_as_obs.unionByName(new_obs.select(key, attr, ts, tiebreak)),
+        key=key,
+        attr=attr,
+        ts=ts,
+        tiebreak=tiebreak,
+    )
+    return untouched.unionByName(recollapsed)
+
+
+@query("customer_tier_scd2_incremental", oracle=_SCD2_ORACLE)
+def customer_tier_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME SCD2 history as :func:`customer_tier_scd2`, but built
+    INCREMENTALLY: observations up to ``MERGE_SPLIT`` form the existing
+    dimension, the rest arrive as a merge batch — while the oracle
+    always recomputes from scratch, so a green driver row proves
+    incremental == batch across engines."""
+    obs = _tier_obs(spark, sf_dir)
+    split = F.lit(MERGE_SPLIT).cast("timestamp")
+    dim = scd2_collapse(
+        obs.filter(F.col("o_orderdate") <= split),
+        key="c_custkey",
+        attr="tier",
+        ts="o_orderdate",
+        tiebreak="o_orderkey",
+    )
+    batch = obs.filter(F.col("o_orderdate") > split)
+    return scd2_merge(
+        dim, batch,
+        key="c_custkey", attr="tier", ts="o_orderdate", tiebreak="o_orderkey",
+    )
+
+
 def pit_enrich(
     facts: DataFrame,
     dim: DataFrame,

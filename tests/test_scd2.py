@@ -144,3 +144,68 @@ def test_collapse_is_partition_layout_invariant(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_merge_equals_batch_recompute(spark):
+    """The incremental merge must be EXACTLY the batch collapse of the
+    full history, for every split point of the hand stream."""
+    from bigdatamlteamrepo_spark.queries.scd2 import scd2_merge
+
+    obs = _obs_df(spark)
+    full = {tuple(r) for r in scd2_collapse(obs, "k", "attr", "ts", "tb").collect()}
+    for split in ["2024-01-02", "2024-01-04", "2024-02-15"]:
+        dim = scd2_collapse(
+            obs.filter(F.col("ts") <= F.lit(_d(split))), "k", "attr", "ts", "tb"
+        )
+        batch = obs.filter(F.col("ts") > F.lit(_d(split)))
+        merged = scd2_merge(dim, batch, "k", "attr", "ts", "tb")
+        assert {tuple(r) for r in merged.collect()} == full, split
+
+
+def test_merge_equals_batch_on_random_streams(spark):
+    import random
+
+    from bigdatamlteamrepo_spark.queries.scd2 import scd2_merge
+
+    rng = random.Random(11)
+    rows = []
+    tb = 0
+    for k in range(12):
+        for day in sorted(rng.sample(range(1, 28), rng.randint(1, 12))):
+            tb += 1
+            rows.append((k, _d(f"2024-01-{day:02d}"), tb, rng.choice("ABC")))
+    obs = spark.createDataFrame(rows, "k bigint, ts date, tb bigint, attr string")
+    full = {tuple(r) for r in scd2_collapse(obs, "k", "attr", "ts", "tb").collect()}
+    split = _d("2024-01-14")
+    dim = scd2_collapse(obs.filter(F.col("ts") <= F.lit(split)), "k", "attr", "ts", "tb")
+    merged = scd2_merge(
+        dim, obs.filter(F.col("ts") > F.lit(split)), "k", "attr", "ts", "tb"
+    )
+    assert {tuple(r) for r in merged.collect()} == full
+
+
+def test_merge_leaves_untouched_keys_alone_and_handles_new_keys(spark):
+    from bigdatamlteamrepo_spark.queries.scd2 import scd2_merge
+
+    obs = _obs_df(spark)
+    dim = scd2_collapse(obs, "k", "attr", "ts", "tb")
+    # batch touches key 1 (existing) and key 99 (brand new)
+    batch = spark.createDataFrame(
+        [(1, _d("2024-06-01"), 90, "Z"), (99, _d("2024-06-02"), 91, "Q")],
+        "k bigint, ts date, tb bigint, attr string",
+    )
+    merged = {(r["k"], r["version"]): r for r in scd2_merge(
+        dim, batch, "k", "attr", "ts", "tb"
+    ).collect()}
+    # untouched keys identical to the original dim rows
+    for r in dim.collect():
+        if r["k"] in (2, 3):
+            assert merged[(r["k"], r["version"])]["attr"] == r["attr"]
+            assert merged[(r["k"], r["version"])]["valid_from"] == r["valid_from"]
+            assert merged[(r["k"], r["version"])]["is_current"] == r["is_current"]
+    # key 1 gained version 4 (Z), closing version 3
+    assert merged[(1, 4)]["attr"] == "Z" and merged[(1, 4)]["is_current"]
+    assert merged[(1, 3)]["valid_to"] == _d("2024-06-01")
+    assert not merged[(1, 3)]["is_current"]
+    # brand-new key starts at version 1, open
+    assert merged[(99, 1)]["attr"] == "Q" and merged[(99, 1)]["is_current"]
