@@ -149,7 +149,7 @@ def poisson_bootstrap_means(
     )
 
 
-@query("events_bootstrap_ci", oracle=_BOOT_ORACLE)
+@query("events_bootstrap_ci", oracle=_BOOT_ORACLE, bench=True)
 def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type mean value with Poisson-bootstrap uncertainty:
     point estimate, bootstrap standard error over {B} deterministic

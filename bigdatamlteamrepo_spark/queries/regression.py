@@ -114,7 +114,7 @@ def grouped_ols(
     )
 
 
-@query("brand_price_quantity_ols", oracle=_OLS_ORACLE)
+@query("brand_price_quantity_ols", oracle=_OLS_ORACLE, bench=True)
 def brand_price_quantity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-brand OLS of extended price (dollars) on quantity (units):
     slope = marginal dollars per unit, intercept in dollars, and the

@@ -273,10 +273,13 @@ def test_r10b_additions_plans(spark, sf_dir):
 
     for name in (
         "customer_tier_scd2",
+        "customer_tier_scd2_incremental",
         "events_tier_pit_counts",
         "part_link_prediction_topk",
         "corpus_textrank_keywords",
         "events_bootstrap_ci",
+        "events_cdc_snapshot_diff",
+        "brand_price_quantity_ols",
     ):
         plan = (
             Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
