@@ -41,6 +41,7 @@ def integer_pagerank(
     n_iter: int = 10,
     scale: int = 10**9,
     damping: tuple[int, int] = (85, 100),
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over ``edges(src, dst, weight)`` → ``(node, rank)``.
 
@@ -48,6 +49,16 @@ def integer_pagerank(
     node); divide by ``scale`` for a float score.  Deterministic:
     integer sums are order-independent, so the result is independent of
     partitioning and AQE decisions.
+
+    ``seeds`` (a ``node``-column frame) switches to **personalized**
+    PageRank (Jeh & Widom 2003, "Scaling Personalized Web Search"):
+    teleport mass lands ONLY on the seed set and the walk starts there
+    (rank₀ = ``scale`` on seeds, 0 elsewhere), so rank measures
+    proximity to the seeds — the recommendation/similarity variant.
+    Seeds absent from the graph contribute nothing.  Mass is injected
+    per-seed (not split), which rescales every rank by a constant —
+    orderings and ratios are the defined output, as with the mass
+    floor-loss of the global variant.
     """
     num, den = damping
     teleport = (100 - num) * scale // den
@@ -60,6 +71,20 @@ def integer_pagerank(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if seeds is not None:
+        nodes = truncate(
+            nodes.join(
+                seeds.select(F.col("node").alias("__s")).distinct(),
+                nodes["node"] == F.col("__s"),
+                "left_outer",
+            ).select(
+                "node",
+                F.when(F.col("__s").isNull(), F.lit(0))
+                .otherwise(F.lit(teleport))
+                .cast("long")
+                .alias("__t"),
+            )
+        )
     outw = edges.groupBy("src").agg(F.sum("weight").alias("tw"))
     shares = (
         edges.join(outw, "src")
@@ -75,7 +100,14 @@ def integer_pagerank(
     )
     shares = truncate(shares)
 
-    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank"))
+    if seeds is None:
+        init = F.lit(scale).cast("long")
+        tele_col = F.lit(teleport)
+    else:
+        init = F.when(F.col("__t") > 0, F.lit(scale)).otherwise(F.lit(0)).cast("long")
+        tele_col = F.col("__t")
+
+    ranks = nodes.select("node", init.alias("rank"))
     for _ in range(n_iter):
         incoming = (
             ranks.join(shares, ranks["node"] == shares["src"])
@@ -88,13 +120,13 @@ def integer_pagerank(
             .select(
                 "node",
                 (
-                    F.lit(teleport)
+                    tele_col
                     + F.expr(f"({num} * coalesce(inc, 0L)) div {den}")
                 ).cast("long").alias("rank"),
             )
         )
         ranks = truncate(ranks)
-    return ranks
+    return ranks if seeds is None else ranks.select("node", "rank")
 
 
 def pagerank_cte_sql(
@@ -102,12 +134,17 @@ def pagerank_cte_sql(
     n_iter: int = 10,
     scale: int = 10**9,
     damping: tuple[int, int] = (85, 100),
+    seeds_cte: str | None = None,
 ) -> str:
     """DuckDB oracle prefix: chained CTEs ``pr0 … pr{n_iter}`` mirroring
     :func:`integer_pagerank` iteration-for-iteration.  ``edges_cte`` must
     define ``edges(src, dst, weight)``; callers SELECT from ``pr{n_iter}``.
     Unrolled rather than WITH RECURSIVE so every step is plain,
     inspectable SQL with the identical floor-division arithmetic.
+
+    ``seeds_cte`` (defining ``seeds(node)``) mirrors the personalized
+    variant: teleport and initial mass only on graph nodes that are
+    seeds.
     """
     num, den = damping
     teleport = (100 - num) * scale // den
@@ -117,13 +154,31 @@ def pagerank_cte_sql(
         f"shares AS (SELECT src, dst, (weight * {SHARE_SCALE}) // tw AS share"
         " FROM edges JOIN outw USING (src))",
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
-        f"pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)",
     ]
+    if seeds_cte is None:
+        node_src, tele_sql = "nodes", str(teleport)
+        parts.append(
+            f"pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM nodes)"
+        )
+    else:
+        parts.append(seeds_cte.strip().rstrip(","))
+        # MATERIALIZED: nt is referenced once per unrolled round — let
+        # DuckDB compute the node⋈seed flags once, not 3^rounds times
+        # (the kcore-oracle inlining lesson)
+        parts.append(
+            "nt AS MATERIALIZED (SELECT n.node,"
+            f" CASE WHEN s.node IS NULL THEN 0 ELSE {teleport} END AS t,"
+            f" CASE WHEN s.node IS NULL THEN 0 ELSE {scale} END AS r0"
+            " FROM nodes n LEFT JOIN (SELECT DISTINCT node FROM seeds) s"
+            " ON n.node = s.node)"
+        )
+        node_src, tele_sql = "nt", "n.t"
+        parts.append("pr0 AS (SELECT node, CAST(r0 AS BIGINT) AS rank FROM nt)")
     for i in range(1, n_iter + 1):
         parts.append(
-            f"pr{i} AS (SELECT n.node, CAST({teleport} + ({num} *"
+            f"pr{i} AS (SELECT n.node, CAST({tele_sql} + ({num} *"
             f" COALESCE(inc.s, 0)) // {den} AS BIGINT) AS rank"
-            " FROM nodes n LEFT JOIN (SELECT dst,"
+            f" FROM {node_src} n LEFT JOIN (SELECT dst,"
             " CAST(SUM((rank * share) // {ss}) AS BIGINT) AS s"
             f" FROM pr{i - 1} JOIN shares ON pr{i - 1}.node = shares.src"
             " GROUP BY dst) inc ON inc.dst = n.node)".replace(

@@ -161,3 +161,105 @@ def part_link_prediction_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 part_link_prediction_topk.__doc__ = part_link_prediction_topk.__doc__.format(
     TOP_K=TOP_K
 )
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank from a seed basket (the random-walk recommender).
+# --------------------------------------------------------------------------
+
+#: PPR rounds — proximity mass reaches the 6-hop neighborhood, and the
+#: near-seed ranking this face emits stabilizes in the first few rounds
+PPR_ROUNDS = 6
+#: recommendations to emit
+PPR_TOP_K = 20
+
+#: the seed basket: the order with the most distinct parts (tie →
+#: smallest orderkey) — "customers who bought this basket" seeds
+_SEEDS_CTE = """
+bsz AS (
+  SELECT l_orderkey AS ok, COUNT(DISTINCT l_partkey) AS sz
+  FROM lineitem GROUP BY 1
+),
+pick AS (SELECT ok FROM bsz ORDER BY sz DESC, ok LIMIT 1),
+seeds AS (
+  SELECT DISTINCT l.l_partkey AS node
+  FROM lineitem l JOIN pick ON l.l_orderkey = pick.ok
+)"""
+
+_PPR_EDGES_CTE = f"""
+ew AS (
+  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {LPA_MIN_WEIGHT}
+),
+edges AS (
+  SELECT u AS src, v AS dst, 1 AS weight FROM ew
+  UNION ALL
+  SELECT v, u, 1 FROM ew
+)"""
+
+
+def _ppr_oracle() -> str:
+    from bigdatamlteamrepo_spark.operators.pagerank import pagerank_cte_sql
+
+    return (
+        pagerank_cte_sql(
+            _PPR_EDGES_CTE, n_iter=PPR_ROUNDS, seeds_cte=_SEEDS_CTE
+        )
+        + f"""
+SELECT pr.node, pr.rank AS ppr_rank
+FROM pr{PPR_ROUNDS} pr
+ANTI JOIN seeds s ON pr.node = s.node
+WHERE pr.rank > 0
+ORDER BY pr.rank DESC, pr.node
+LIMIT {PPR_TOP_K}
+"""
+    )
+
+
+@query("part_ppr_recommendations", oracle=_ppr_oracle())
+def part_ppr_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{PPR_TOP_K} NON-seed parts by personalized PageRank
+    (Jeh & Widom 2003) from the largest order's basket over the repeat
+    co-purchase graph — the random-walk-with-restart recommender,
+    {PPR_ROUNDS} integer rounds, bit-exact vs the unrolled-CTE oracle.
+
+    Scale shape: seed selection is one aggregate + a 1-row equi-join;
+    each PPR round is the same join+agg as global PageRank (proximity
+    to seeds, not global centrality, is what the teleport restriction
+    changes — not the plan)."""
+    from bigdatamlteamrepo_spark.catalog import load_table
+    from bigdatamlteamrepo_spark.operators.pagerank import integer_pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bsz = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_partkey").alias("sz")
+    )
+    pick = bsz.orderBy(F.col("sz").desc(), "ok").limit(1).select("ok")
+    seeds = (
+        li.join(F.broadcast(pick), li.l_orderkey == pick.ok)
+        .select(F.col("l_partkey").alias("node"))
+        .distinct()
+    )
+    e = _copurchase_edges(spark, sf_dir)
+    edges = e.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), F.lit(1).alias("weight")
+    ).unionAll(
+        e.select(
+            F.col("v").alias("src"), F.col("u").alias("dst"), F.lit(1).alias("weight")
+        )
+    )
+    ranks = integer_pagerank(edges, n_iter=PPR_ROUNDS, seeds=seeds)
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .join(seeds, "node", "left_anti")
+        .select("node", F.col("rank").alias("ppr_rank"))
+        .orderBy(F.col("ppr_rank").desc(), "node")
+        .limit(PPR_TOP_K)
+    )
+
+
+part_ppr_recommendations.__doc__ = part_ppr_recommendations.__doc__.format(
+    PPR_TOP_K=PPR_TOP_K, PPR_ROUNDS=PPR_ROUNDS
+)

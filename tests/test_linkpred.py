@@ -90,3 +90,82 @@ def test_wedge_volume_guard_trips_on_hub(spark):
     # and passes with the bound above the prediction
     ok = link_prediction_scores(_edges_df(spark, edges), max_wedges=2000)
     assert ok.count() == 1770
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank
+# --------------------------------------------------------------------------
+
+
+def _py_ppr(edges, seeds, n_iter, scale=10**9):
+    """Pure-Python replica of the seeded integer-PageRank arithmetic."""
+    from bigdatamlteamrepo_spark.operators.pagerank import SHARE_SCALE
+
+    outw: dict[int, int] = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    shares = [(s, d, (w * SHARE_SCALE) // outw[s]) for s, d, w in edges]
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    seeds = set(seeds) & nodes
+    teleport = 15 * scale // 100
+    rank = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(n_iter):
+        inc: dict[int, int] = {}
+        for s, d, sh in shares:
+            inc[d] = inc.get(d, 0) + (rank[s] * sh) // SHARE_SCALE
+        rank = {
+            n: (teleport if n in seeds else 0) + (85 * inc.get(n, 0)) // 100
+            for n in nodes
+        }
+    return rank
+
+
+def test_ppr_matches_python_replica(spark):
+    import random
+
+    from bigdatamlteamrepo_spark.operators.pagerank import integer_pagerank
+
+    rng = random.Random(3)
+    und = sorted(
+        {(min(a, b), max(a, b)) for a, b in (rng.sample(range(30), 2) for _ in range(80))}
+    )
+    edges = [(u, v, 1) for u, v in und] + [(v, u, 1) for u, v in und]
+    seeds = [0, 1, 2]
+    e_df = spark.createDataFrame(edges, "src bigint, dst bigint, weight int")
+    s_df = spark.createDataFrame([(s,) for s in seeds], "node bigint")
+    got = {
+        r["node"]: r["rank"]
+        for r in integer_pagerank(e_df, n_iter=5, seeds=s_df).collect()
+    }
+    assert got == _py_ppr(edges, seeds, n_iter=5)
+
+
+def test_ppr_mass_stays_near_seeds(spark):
+    """Two 4-cliques joined by one bridge edge: seeding one clique must
+    rank ALL its members above every cross-bridge node."""
+    from bigdatamlteamrepo_spark.operators.pagerank import integer_pagerank
+
+    left = [(a, b) for a in range(4) for b in range(4) if a < b]
+    right = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    und = left + right + [(3, 10)]
+    edges = [(u, v, 1) for u, v in und] + [(v, u, 1) for u, v in und]
+    e_df = spark.createDataFrame(edges, "src bigint, dst bigint, weight int")
+    s_df = spark.createDataFrame([(0,)], "node bigint")
+    got = {
+        r["node"]: r["rank"]
+        for r in integer_pagerank(e_df, n_iter=6, seeds=s_df).collect()
+    }
+    assert min(got[n] for n in range(4)) > max(got[n] for n in range(10, 14))
+
+
+def test_ppr_face_excludes_seeds_and_is_positive(spark, sf_dir):
+    from bigdatamlteamrepo_spark.queries.linkpred import (
+        PPR_TOP_K,
+        part_ppr_recommendations,
+    )
+
+    rows = part_ppr_recommendations(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PPR_TOP_K
+    assert all(r["ppr_rank"] > 0 for r in rows)
+    ranks = [r["ppr_rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)

@@ -280,6 +280,7 @@ def test_r10b_additions_plans(spark, sf_dir):
         "events_bootstrap_ci",
         "events_cdc_snapshot_diff",
         "brand_price_quantity_ols",
+        "part_ppr_recommendations",
     ):
         plan = (
             Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
