@@ -186,3 +186,127 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 events_bootstrap_ci.__doc__ = events_bootstrap_ci.__doc__.format(B=N_REPLICATES)
+
+
+# --------------------------------------------------------------------------
+# Neyman allocation: the optimal stratified-sampling design.
+# --------------------------------------------------------------------------
+
+#: total sample budget the design allocates
+NEYMAN_BUDGET = 1_000
+
+_NEYMAN_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, CAST(round(value * {MICRO}) AS BIGINT) AS v
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n_rows,
+         SUM(v) AS s1,
+         SUM(v * v) AS s2
+  FROM ev GROUP BY 1
+),
+sd AS (
+  SELECT event_type, n_rows,
+         CAST(round(sqrt(
+           (CAST(n_rows AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+           / (CAST(n_rows AS DOUBLE) * n_rows)
+         )) AS BIGINT) AS sd_micro
+  FROM m
+),
+w AS (
+  SELECT *, n_rows * sd_micro AS nw,
+         SUM(n_rows * sd_micro) OVER () AS tot_nw,
+         SUM(n_rows) OVER () AS tot_n
+  FROM sd
+),
+q AS (
+  SELECT *,
+         ({NEYMAN_BUDGET} * nw) // tot_nw AS base_h,
+         ({NEYMAN_BUDGET} * nw) % tot_nw AS rem_h,
+         ({NEYMAN_BUDGET} * n_rows) // tot_n AS prop_base,
+         ({NEYMAN_BUDGET} * n_rows) % tot_n AS prop_rem
+  FROM w
+),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY rem_h DESC, event_type) AS lr_rank,
+         SUM(base_h) OVER () AS base_sum,
+         row_number() OVER (ORDER BY prop_rem DESC, event_type) AS plr_rank,
+         SUM(prop_base) OVER () AS prop_base_sum
+  FROM q
+)
+SELECT event_type, n_rows, sd_micro,
+       CAST(base_h + CASE WHEN lr_rank <= {NEYMAN_BUDGET} - base_sum
+                          THEN 1 ELSE 0 END AS BIGINT) AS neyman_n,
+       CAST(prop_base + CASE WHEN plr_rank <= {NEYMAN_BUDGET} - prop_base_sum
+                             THEN 1 ELSE 0 END AS BIGINT) AS proportional_n
+FROM r
+"""
+
+
+@query("events_neyman_allocation", oracle=_NEYMAN_ORACLE)
+def events_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal stratified-sampling design (Neyman 1934): allocate a
+    {B}-row budget across event-type strata ∝ N_h·σ_h, against the
+    proportional (∝ N_h) baseline — the design step a massive-data
+    estimation pipeline runs BEFORE drawing a single row.
+
+    Everything is exact integers: σ_h is micro-quantized from exact
+    moments (one deterministic sqrt per stratum), and both allocations
+    use largest-remainder (Hamilton) apportionment in pure BIGINT
+    arithmetic — the budget is hit exactly, ties break on the stratum
+    name, and both engines agree on every seat.  One grouped moment
+    aggregate + constant-size window math over |strata| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"CAST(round(value * {MICRO}) AS BIGINT)").alias("v"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("v").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("s2"),
+    )
+    sd = m.select(
+        "event_type",
+        "n_rows",
+        F.expr(
+            "CAST(round(sqrt((CAST(n_rows AS DOUBLE) * s2"
+            " - CAST(s1 AS DOUBLE) * s1)"
+            " / (CAST(n_rows AS DOUBLE) * n_rows))) AS BIGINT)"
+        ).alias("sd_micro"),
+    )
+    B = NEYMAN_BUDGET
+    q = sd.selectExpr(
+        "*",
+        "n_rows * sd_micro AS nw",
+        "SUM(n_rows * sd_micro) OVER () AS tot_nw",
+        "SUM(n_rows) OVER () AS tot_n",
+    ).selectExpr(
+        "*",
+        f"({B} * nw) div tot_nw AS base_h",
+        f"({B} * nw) % tot_nw AS rem_h",
+        f"({B} * n_rows) div tot_n AS prop_base",
+        f"({B} * n_rows) % tot_n AS prop_rem",
+    ).selectExpr(
+        "*",
+        "row_number() OVER (ORDER BY rem_h DESC, event_type) AS lr_rank",
+        "SUM(base_h) OVER () AS base_sum",
+        "row_number() OVER (ORDER BY prop_rem DESC, event_type) AS plr_rank",
+        "SUM(prop_base) OVER () AS prop_base_sum",
+    )
+    return q.selectExpr(
+        "event_type",
+        "n_rows",
+        "sd_micro",
+        f"CAST(base_h + (CASE WHEN lr_rank <= {B} - base_sum THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS neyman_n",
+        f"CAST(prop_base + (CASE WHEN plr_rank <= {B} - prop_base_sum"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS proportional_n",
+    )
+
+
+events_neyman_allocation.__doc__ = events_neyman_allocation.__doc__.format(
+    B=NEYMAN_BUDGET
+)

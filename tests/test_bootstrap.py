@@ -111,3 +111,87 @@ def test_registered_face_point_estimate(spark, sf_dir):
         assert got["n_events"] == r["n"]
         assert got["rep_min_micro"] <= exp_mean <= got["rep_max_micro"]
         assert got["boot_se_micro"] > 0
+
+
+# --------------------------------------------------------------------------
+# Neyman allocation
+# --------------------------------------------------------------------------
+
+
+def test_neyman_budget_exact_and_oversamples_variance(spark, sf_dir):
+    from bigdatamlteamrepo_spark.queries.bootstrap import (
+        NEYMAN_BUDGET,
+        events_neyman_allocation,
+    )
+
+    rows = events_neyman_allocation(spark, sf_dir).collect()
+    assert sum(r["neyman_n"] for r in rows) == NEYMAN_BUDGET
+    assert sum(r["proportional_n"] for r in rows) == NEYMAN_BUDGET
+    for r in rows:
+        assert r["neyman_n"] >= 0 and r["sd_micro"] > 0
+    # Neyman vs proportional must differ exactly where sd_h deviates
+    # from the population-average sd: strata with above-average spread
+    # gain seats, below-average lose them
+    tot_nw = sum(r["n_rows"] * r["sd_micro"] for r in rows)
+    tot_n = sum(r["n_rows"] for r in rows)
+    for r in rows:
+        exact_neyman = NEYMAN_BUDGET * r["n_rows"] * r["sd_micro"] / tot_nw
+        exact_prop = NEYMAN_BUDGET * r["n_rows"] / tot_n
+        assert abs(r["neyman_n"] - exact_neyman) < 1
+        assert abs(r["proportional_n"] - exact_prop) < 1
+
+
+def test_largest_remainder_is_deterministic_python_replica(spark):
+    """Seat-for-seat agreement with a pure-Python Hamilton
+    apportionment over a hand stratification (ties included)."""
+    from bigdatamlteamrepo_spark.queries.bootstrap import (
+        MICRO,
+        events_neyman_allocation,
+    )
+    import bigdatamlteamrepo_spark.queries.bootstrap as bm
+
+    rows = [
+        # (event_type, value): stratum A tight around 10, B wide, C tiny
+        *((i, "A", 10.0 + (i % 3) * 0.01) for i in range(300)),
+        *((1000 + i, "B", 10.0 + (i % 7) * 5.0) for i in range(100)),
+        *((2000 + i, "C", 50.0 + (i % 2) * 0.5) for i in range(20)),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, v) for i, t, v in rows],
+        "event_id bigint, event_type string, value double",
+    )
+    orig = bm.load_table
+    bm.load_table = lambda *_a, **_k: df
+    try:
+        got = {
+            r["event_type"]: (r["neyman_n"], r["proportional_n"])
+            for r in events_neyman_allocation(spark, "ignored").collect()
+        }
+    finally:
+        bm.load_table = orig
+
+    # python replica
+    import math as _m
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for _, t, v in rows:
+        vals[t].append(round(v * MICRO))
+
+    def sd_micro(vs):
+        n = len(vs)
+        s1, s2 = sum(vs), sum(v * v for v in vs)
+        return round(_m.sqrt((n * s2 - float(s1) * s1) / (n * n)))
+
+    B = bm.NEYMAN_BUDGET
+    nw = {t: len(vs) * sd_micro(vs) for t, vs in vals.items()}
+    tot = sum(nw.values())
+    base = {t: B * w // tot for t, w in nw.items()}
+    rem = {t: B * w % tot for t, w in nw.items()}
+    left = B - sum(base.values())
+    for t in sorted(rem, key=lambda t: (-rem[t], t))[:left]:
+        base[t] += 1
+    assert {t: got[t][0] for t in got} == base
+    # wide-spread B must be oversampled vs its share; tight A under
+    assert got["B"][0] > got["B"][1]
+    assert got["A"][0] < got["A"][1]
