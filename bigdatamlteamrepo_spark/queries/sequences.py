@@ -97,7 +97,6 @@ def events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy(F.col("t1").alias("prev_type"), F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_steps"))
     )
-    w = Window.partitionBy("prev_type")
     return steps.select(
         "prev_type",
         "next_type",
