@@ -20,7 +20,9 @@ from bigdatamlteamrepo_spark.queries.bootstrap import (
 
 
 def _py_mult(rid: str, b: int) -> int:
-    h = int(hashlib.md5(f"{rid}:{b}".encode()).hexdigest()[:8], 16)
+    # replicate b reads the (b % 4)-th 8-hex slice of md5(rid:b//4)
+    d = hashlib.md5(f"{rid}:{b // 4}".encode()).hexdigest()
+    h = int(d[8 * (b % 4): 8 * (b % 4) + 8], 16)
     return sum(h >= t for t in _THRESHOLDS)
 
 
