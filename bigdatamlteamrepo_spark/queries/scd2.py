@@ -161,6 +161,13 @@ def customer_tier_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 MERGE_SPLIT = "1998-01-01 00:00:00"
 
 
+class MergeContractViolated(RuntimeError):
+    """A merge batch contains observations at or before a key's latest
+    existing ``valid_from`` — the append-only contract under which
+    :func:`scd2_merge` equals the batch recompute does not hold; take
+    the batch-recompute path for the affected keys instead."""
+
+
 def scd2_merge(
     dim: DataFrame,
     new_obs: DataFrame,
@@ -168,6 +175,7 @@ def scd2_merge(
     attr: str,
     ts: str,
     tiebreak: str,
+    validate: bool = False,
 ) -> DataFrame:
     """Incrementally MERGE a batch of new observations into an existing
     SCD2 dimension — the production upsert path (Kimball's incremental
@@ -178,7 +186,11 @@ def scd2_merge(
     late data takes the batch-recompute path instead).  Under it the
     merge is EXACTLY equivalent to re-collapsing the full history —
     pinned in tests and, for the registered face, by the driver oracle
-    which always recomputes from scratch.
+    which always recomputes from scratch.  ``validate=True`` enforces
+    the contract with one extra per-touched-key aggregate (join on the
+    key, bounded output) and raises :class:`MergeContractViolated`
+    instead of silently producing a wrong interleave — callers whose
+    batches come from an upstream watermark (the face) can skip it.
 
     Distributed shape: keys untouched by the batch pass through via an
     anti-join (at 100 TB: file-pruned by key bucketing, never
@@ -187,6 +199,20 @@ def scd2_merge(
     idempotent on its own output) plus the batch, so per-key work is
     O(versions + batch), independent of raw history length.
     """
+    if validate:
+        latest = dim.groupBy(key).agg(F.max("valid_from").alias("__latest"))
+        bad = (
+            new_obs.join(latest, key)
+            .filter(F.col(ts) <= F.col("__latest"))
+            .limit(1)
+            .collect()
+        )
+        if bad:
+            raise MergeContractViolated(
+                f"batch observation at {bad[0][ts]} for {key}="
+                f"{bad[0][key]} is not strictly after the key's latest "
+                f"valid_from {bad[0]['__latest']}"
+            )
     touched = new_obs.select(key).distinct()
     untouched = dim.join(touched, key, "left_anti")
     old_as_obs = dim.join(touched, key, "semi").select(
@@ -251,6 +277,14 @@ def pit_enrich(
     prior version get NULL.
     """
     fact_cols = [c for c in facts.columns]
+    clash = {attr, "__k", "__d", "__kind", "__ver", "__attr"} & set(fact_cols)
+    if clash:
+        # fail driver-side: the union would silently shadow fact columns
+        # (same guard as operators/asof.py)
+        raise ValueError(
+            f"pit_enrich: fact columns {sorted(clash)} collide with the "
+            "enrichment attr / internal names; rename them first"
+        )
     d = dim.select(
         F.col(dim_key).alias("__k"),
         F.col("valid_from").alias("__d"),

@@ -209,3 +209,39 @@ def test_merge_leaves_untouched_keys_alone_and_handles_new_keys(spark):
     assert not merged[(1, 3)]["is_current"]
     # brand-new key starts at version 1, open
     assert merged[(99, 1)]["attr"] == "Q" and merged[(99, 1)]["is_current"]
+
+
+def test_merge_validate_catches_late_data(spark):
+    import pytest
+
+    from bigdatamlteamrepo_spark.queries.scd2 import (
+        MergeContractViolated,
+        scd2_merge,
+    )
+
+    obs = _obs_df(spark)
+    dim = scd2_collapse(obs, "k", "attr", "ts", "tb")
+    late = spark.createDataFrame(
+        [(1, _d("2024-02-15"), 90, "Z")],  # before key 1's last change (03-01)
+        "k bigint, ts date, tb bigint, attr string",
+    )
+    with pytest.raises(MergeContractViolated):
+        scd2_merge(dim, late, "k", "attr", "ts", "tb", validate=True)
+    # a conforming batch passes validation and merges
+    ok = spark.createDataFrame(
+        [(1, _d("2024-06-01"), 91, "Z")],
+        "k bigint, ts date, tb bigint, attr string",
+    )
+    out = scd2_merge(dim, ok, "k", "attr", "ts", "tb", validate=True)
+    assert out.filter("k = 1 AND is_current").collect()[0]["attr"] == "Z"
+
+
+def test_pit_enrich_rejects_column_clash(spark):
+    import pytest
+
+    facts = _facts_df(spark).withColumnRenamed("fid", "attr")
+    with pytest.raises(ValueError, match="collide"):
+        pit_enrich(
+            facts, _collapse(spark),
+            fact_key="k", dim_key="k", fact_date="fdate", attr="attr",
+        )
