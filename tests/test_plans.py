@@ -281,6 +281,9 @@ def test_r10b_additions_plans(spark, sf_dir):
         "events_cdc_snapshot_diff",
         "brand_price_quantity_ols",
         "part_ppr_recommendations",
+        "events_ab_test_purchase_rate",
+        "events_cuped_adjusted_lift",
+        "events_neyman_allocation",
     ):
         plan = (
             Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
