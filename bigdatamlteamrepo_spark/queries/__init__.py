@@ -34,5 +34,6 @@ from bigdatamlteamrepo_spark.queries import cdc  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import regression  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import sequences  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import abtest  # noqa: F401,E402
+from bigdatamlteamrepo_spark.queries import forecast  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "BENCH_SET"]
