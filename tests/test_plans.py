@@ -284,6 +284,7 @@ def test_r10b_additions_plans(spark, sf_dir):
         "events_ab_test_purchase_rate",
         "events_cuped_adjusted_lift",
         "events_neyman_allocation",
+        "events_hourly_forecast_backtest",
     ):
         plan = (
             Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
