@@ -79,6 +79,11 @@ def integer_pagerank(
                 "left_outer",
             ).select(
                 "node",
+                # explicit membership flag: the oracle's nt CTE gates r0 on
+                # s.node IS NULL, not on t > 0 — if teleport floors to 0
+                # (e.g. damping (100, 100), or scale < den/(100-num)) the
+                # two tests diverge, so init must use the flag
+                F.col("__s").isNotNull().alias("__is_seed"),
                 F.when(F.col("__s").isNull(), F.lit(0))
                 .otherwise(F.lit(teleport))
                 .cast("long")
@@ -104,7 +109,9 @@ def integer_pagerank(
         init = F.lit(scale).cast("long")
         tele_col = F.lit(teleport)
     else:
-        init = F.when(F.col("__t") > 0, F.lit(scale)).otherwise(F.lit(0)).cast("long")
+        init = (
+            F.when(F.col("__is_seed"), F.lit(scale)).otherwise(F.lit(0)).cast("long")
+        )
         tele_col = F.col("__t")
 
     ranks = nodes.select("node", init.alias("rank"))

@@ -90,9 +90,10 @@ SELECT event_type,
             // (2 * COUNT(*)) AS BIGINT) AS mae_micro,
        CAST((2 * SUM(ABS(actual_micro - gpred_micro)) + COUNT(*))
             // (2 * COUNT(*)) AS BIGINT) AS naive_mae_micro,
-       -- signed half-away mean: DuckDB // floors while Spark div
-       -- truncates, so negative numerators MUST go through the
-       -- sign-split form to agree
+       -- signed half-away mean: both engines truncate integer division
+       -- toward zero (DuckDB -7 // 2 = -3, same as Spark div), so the
+       -- sign-split is NOT an engine-reconciliation trick — it turns the
+       -- rounding for negative sums from half-up into half-away-from-zero
        CAST(CASE WHEN SUM(actual_micro - pred_micro) >= 0
                  THEN (2 * SUM(actual_micro - pred_micro) + COUNT(*))
                       // (2 * COUNT(*))

@@ -72,6 +72,14 @@ def link_prediction_scores(e: DataFrame, max_wedges: int = MAX_WEDGES) -> DataFr
 
     Raises :class:`CandidateVolumeExceeded` when the exact predicted
     wedge volume Σ C(deg, 2) exceeds ``max_wedges``.
+
+    **Eager by contract**: the guard runs a driver-side degree
+    aggregation at *construction* time (one bounded scalar collect), so
+    merely building this DataFrame — including ``.explain()`` or a plan
+    gate — triggers a Spark job over the edge frame.  Deliberate:
+    refusal-before-fan-out must decide before any downstream plan
+    exists; callers that only want the plan should pass a small edge
+    sample.  (ADVICE_r10 — documented, not deferred.)
     """
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))

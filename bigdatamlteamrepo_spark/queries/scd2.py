@@ -298,7 +298,9 @@ def pit_enrich(
         F.col(fact_date).alias("__d"),
         F.lit(1).alias("__kind"),
         F.lit(0).cast("long").alias("__ver"),
-        F.lit(None).cast("string").alias("__attr"),
+        # placeholder typed from the DIM attr, not hard-coded string —
+        # a non-string SCD2 attribute must union cleanly (ADVICE_r10)
+        F.lit(None).cast(dim.schema[attr].dataType).alias("__attr"),
         *fact_cols,
     )
     w = (

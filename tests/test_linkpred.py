@@ -169,3 +169,66 @@ def test_ppr_face_excludes_seeds_and_is_positive(spark, sf_dir):
     assert all(r["ppr_rank"] > 0 for r in rows)
     ranks = [r["ppr_rank"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_ppr_zero_teleport_still_seeds_initial_mass(spark):
+    """ADVICE_r10: with damping (100, 100) the teleport mass floors to 0,
+    so a `__t > 0` init gate would zero every starting rank while the
+    oracle's nt CTE (gated on seed MEMBERSHIP) starts seeds at `scale`.
+    Pin Spark == DuckDB == pure Python at the degenerate parameters."""
+    import duckdb
+
+    from bigdatamlteamrepo_spark.operators.pagerank import (
+        SHARE_SCALE,
+        integer_pagerank,
+        pagerank_cte_sql,
+    )
+
+    # a directed 4-cycle plus a chord: every node reachable from the seed
+    edges = [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 0, 1), (1, 3, 1)]
+    seeds = [0]
+    scale, n_iter, damping = 10**6, 4, (100, 100)
+
+    e_df = spark.createDataFrame(edges, "src bigint, dst bigint, weight int")
+    s_df = spark.createDataFrame([(s,) for s in seeds], "node bigint")
+    got = {
+        r["node"]: r["rank"]
+        for r in integer_pagerank(
+            e_df, n_iter=n_iter, scale=scale, damping=damping, seeds=s_df
+        ).collect()
+    }
+    # mass actually moved: the walk must not have started from all-zeros
+    assert any(v > 0 for v in got.values())
+
+    edges_cte = "edges(src, dst, weight) AS (VALUES " + ", ".join(
+        f"({s}, {d}, {w})" for s, d, w in edges
+    ) + ")"
+    seeds_cte = "seeds(node) AS (VALUES " + ", ".join(
+        f"({s})" for s in seeds
+    ) + ")"
+    sql = (
+        pagerank_cte_sql(
+            edges_cte,
+            n_iter=n_iter,
+            scale=scale,
+            damping=damping,
+            seeds_cte=seeds_cte,
+        )
+        + f"\nSELECT node, rank FROM pr{n_iter}"
+    )
+    oracle = dict(duckdb.sql(sql).fetchall())
+    assert got == oracle
+
+    # and both match the pure-Python replica at zero teleport
+    outw: dict[int, int] = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    shares = [(s, d, (w * SHARE_SCALE) // outw[s]) for s, d, w in edges]
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    rank = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(n_iter):
+        inc: dict[int, int] = {}
+        for s, d, sh in shares:
+            inc[d] = inc.get(d, 0) + (rank[s] * sh) // SHARE_SCALE
+        rank = {n: (100 * inc.get(n, 0)) // 100 for n in nodes}
+    assert got == rank

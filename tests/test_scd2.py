@@ -245,3 +245,34 @@ def test_pit_enrich_rejects_column_clash(spark):
             facts, _collapse(spark),
             fact_key="k", dim_key="k", fact_date="fdate", attr="attr",
         )
+
+
+def test_pit_enrich_non_string_attr(spark):
+    """ADVICE_r10: the union placeholder is typed from the dim attr, so
+    a non-string SCD2 attribute (here bigint) enriches correctly."""
+    obs = spark.createDataFrame(
+        [
+            (1, _d("2024-01-01"), 10, 100),
+            (1, _d("2024-02-01"), 11, 250),
+            (2, _d("2024-01-05"), 20, 7),
+        ],
+        "k bigint, ts date, tb bigint, attr bigint",
+    )
+    dim = scd2_collapse(obs, "k", "attr", "ts", "tb")
+    facts = spark.createDataFrame(
+        [
+            (100, 1, _d("2024-01-15")),
+            (101, 1, _d("2024-03-01")),
+            (102, 2, _d("2024-01-01")),  # before first version → NULL
+        ],
+        "fid bigint, k bigint, fdate date",
+    )
+    out = pit_enrich(
+        facts, dim, fact_key="k", dim_key="k", fact_date="fdate", attr="attr"
+    )
+    assert dict(out.select("fid", "attr").collect()) == {
+        100: 100,
+        101: 250,
+        102: None,
+    }
+    assert out.schema["attr"].dataType.typeName() == "long"
