@@ -291,3 +291,29 @@ def test_r10b_additions_plans(spark, sf_dir):
         )
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_r11_additions_plans(spark, sf_dir):
+    """Round-11 tier — OHLC bars, day-decomposed TWAP, CUSUM monitor:
+    hash equi-joins only, and OHLC must stay a single-aggregate plan
+    (open/close ride min_by/max_by, no window over the raw stream)."""
+    from bigdatamlteamrepo_spark.queries.registry import QUERIES as Q
+
+    for name in (
+        "events_value_ohlc_hourly",
+        "events_value_twap",
+        "events_cusum_changepoint",
+    ):
+        plan = (
+            Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    ohlc = (
+        Q["events_value_ohlc_hourly"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in ohlc
