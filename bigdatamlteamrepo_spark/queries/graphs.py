@@ -770,3 +770,118 @@ part_copurchase_communities.__doc__ = part_copurchase_communities.__doc__.format
 part_kcore_membership.__doc__ = part_kcore_membership.__doc__.format(
     KCORE_ROUNDS=KCORE_ROUNDS, KCORE_K=KCORE_K
 )
+
+
+# --------------------------------------------------------------------------
+# BFS hop layers: single-source shortest paths (unweighted) from the
+# busiest hub — the reachability census recommendation and logistics
+# teams run ("how much of the catalog is within k hops of the anchor").
+# --------------------------------------------------------------------------
+
+#: fixed BFS round budget (same cross-engine determinism contract as
+#: LPA_ROUNDS: both engines unroll exactly this many relaxations)
+BFS_ROUNDS = 4
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, rounds: int = BFS_ROUNDS) -> DataFrame:
+    """Min-hop distance from ``seeds(node)`` over undirected
+    ``edges(u, v)`` after ``rounds`` relaxations → ``(node, d)`` for
+    reached nodes only.
+
+    Each round is one hash join frontier-expand + one min-agg —
+    d_{r+1}(v) = min(d_r(v), 1 + min over neighbors d_r(u)) — with
+    lineage truncated per round (reliable ``checkpoint`` when the
+    session has a checkpoint dir, executor-local otherwise).  Fixed
+    rounds rather than loop-until-fixpoint for the same reason as LPA:
+    both engines must run the identical computation; pair with a
+    convergence audit when the radius matters.
+    """
+    adj = truncate(
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    dist = seeds.select("node", F.lit(0).cast("bigint").alias("d"))
+    for _ in range(rounds):
+        nxt = dist.join(adj, dist["node"] == adj["src"]).select(
+            F.col("dst").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        dist = truncate(
+            dist.unionAll(nxt).groupBy("node").agg(F.min("d").alias("d"))
+        )
+    return dist
+
+
+_BFS_ORACLE_PARTS = [
+    f"""
+WITH ew AS (
+  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {LPA_MIN_WEIGHT}
+),
+adj AS (SELECT u AS src, v AS dst FROM ew UNION ALL SELECT v, u FROM ew),
+nodes AS (SELECT src AS node FROM adj GROUP BY 1),
+seed AS (
+  SELECT src AS node FROM adj GROUP BY src
+  ORDER BY COUNT(*) DESC, src LIMIT 1
+),
+d0 AS (SELECT node, 0 AS d FROM seed)""",
+]
+for _r in range(1, BFS_ROUNDS + 1):
+    _BFS_ORACLE_PARTS.append(
+        f""",
+d{_r} AS (
+  SELECT node, MIN(d) AS d FROM (
+    SELECT node, d FROM d{_r - 1}
+    UNION ALL
+    SELECT a.dst, p.d + 1 FROM d{_r - 1} p JOIN adj a ON p.node = a.src
+  ) x GROUP BY node
+)"""
+    )
+_BFS_ORACLE = (
+    "".join(_BFS_ORACLE_PARTS)
+    + f"""
+SELECT CAST(d AS BIGINT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM d{BFS_ROUNDS} GROUP BY d
+UNION ALL
+SELECT -1, COUNT(*)
+FROM nodes n LEFT JOIN d{BFS_ROUNDS} r ON n.node = r.node
+WHERE r.node IS NULL
+"""
+)
+
+
+@query("part_bfs_hop_census", oracle=_BFS_ORACLE)
+def part_bfs_hop_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-distance census from the busiest co-purchase hub (max degree,
+    min-partkey tie-break): nodes per hop 0..{BFS_ROUNDS}, plus a
+    ``hop = -1`` row counting graph nodes still unreached after the
+    round budget."""
+    e = truncate(_copurchase_edges(spark, sf_dir))
+    adj = e.select(F.col("u").alias("src")).unionAll(
+        e.select(F.col("v").alias("src"))
+    )
+    seed = (
+        adj.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "src")
+        .limit(1)
+        .select(F.col("src").alias("node"))
+    )
+    dist = bfs_hops(e, seed)
+    per_hop = dist.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).select(F.col("d").alias("hop"), "n_nodes")
+    nodes = adj.select(F.col("src").alias("node")).distinct()
+    unreached = (
+        nodes.join(dist, "node", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(F.lit(-1).cast("bigint").alias("hop"), "n_nodes")
+    )
+    return per_hop.unionAll(unreached)
+
+
+part_bfs_hop_census.__doc__ = part_bfs_hop_census.__doc__.format(
+    BFS_ROUNDS=BFS_ROUNDS
+)

@@ -303,6 +303,9 @@ def test_r11_additions_plans(spark, sf_dir):
         "events_value_ohlc_hourly",
         "events_value_twap",
         "events_cusum_changepoint",
+        "part_pareto_frontier",
+        "source_quality_auc",
+        "part_bfs_hop_census",
     ):
         plan = (
             Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
