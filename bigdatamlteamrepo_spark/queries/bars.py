@@ -61,7 +61,7 @@ FROM e GROUP BY 1, 2
 """
 
 
-@query("events_value_ohlc_hourly", oracle=_OHLC_ORACLE)
+@query("events_value_ohlc_hourly", oracle=_OHLC_ORACLE, bench=True)
 def events_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candles per event type: open/close are the values at
     the first/last tick of the hour (``(ts, event_id)`` total order —
@@ -111,7 +111,7 @@ GROUP BY event_type
 """
 
 
-@query("events_value_twap", oracle=_TWAP_ORACLE)
+@query("events_value_twap", oracle=_TWAP_ORACLE, bench=True)
 def events_value_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-weighted average value per event type: each tick's value is
     weighted by the exact microseconds until the NEXT tick of that type

@@ -306,6 +306,7 @@ def test_r11_additions_plans(spark, sf_dir):
         "part_pareto_frontier",
         "source_quality_auc",
         "part_bfs_hop_census",
+        "brand_weighted_median_price",
     ):
         plan = (
             Q[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
