@@ -1,0 +1,152 @@
+"""Incident correlation: purchases inside error-burst windows, through
+a real range join.
+
+The ops question every event platform asks — "what happened to revenue
+while errors were spiking?" — is an INTERVAL join: derive busy windows
+from one stream, then join another stream by time containment.  The
+windows here are maximal runs of above-average error hours (the
+lag/running-sum island idiom shared with the passage span merger), and
+the join runs through
+:func:`~bigdatamlteamrepo_spark.operators.rangejoin.interval_point_join`
+— binned equi-join + containment post-filter — while the DuckDB oracle
+executes the textbook ``ts >= start AND ts < end`` nested-loop join:
+parity across genuinely different join algorithms, which is the point.
+
+Busy threshold is scale-free: an hour is busy when
+``count · 720 > total`` (above the dense-spine Jan mean), so the face
+is non-degenerate at every SF without a tuned literal.  All arithmetic
+is integer (cent sums via the DECIMAL(12,2) idiom).
+
+Scale shape: the island window runs over ≤ 720 busy-hour rows per
+month; the interval side of the join explodes into a handful of 4-hour
+bins; the purchase stream shuffles ONCE on its bin id.  Nothing driver
+side except the operator's bounded volume guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.catalog import load_table
+from bigdatamlteamrepo_spark.operators.checkpoint import truncate
+from bigdatamlteamrepo_spark.operators.rangejoin import interval_point_join
+from bigdatamlteamrepo_spark.queries.registry import query
+
+#: hours in the January event window (dense spine; scale-free mean)
+SPINE_HOURS = 720
+#: bin width for the range join — 4 h, near the typical burst length
+BIN_US = 4 * 3600 * 1_000_000
+
+_BURST_ORACLE = """
+WITH hc AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+tot AS (SELECT SUM(c) AS t FROM hc),
+busy AS (SELECT h FROM hc, tot WHERE c * 720 > t),
+brk AS (
+  SELECT h,
+         CASE WHEN lag(h) OVER (ORDER BY h) = h - INTERVAL 1 HOUR
+              THEN 0 ELSE 1 END AS b
+  FROM busy
+),
+grp AS (
+  SELECT h, SUM(b) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS gid
+  FROM brk
+),
+iv AS (
+  SELECT MIN(h) AS start_ts, MAX(h) + INTERVAL 1 HOUR AS end_ts,
+         COUNT(*) AS n_hours
+  FROM grp GROUP BY gid
+)
+SELECT iv.start_ts, iv.end_ts, CAST(iv.n_hours AS BIGINT) AS n_hours,
+       CAST(COUNT(p.ts) AS BIGINT) AS n_purchases,
+       CAST(COALESCE(SUM(
+         CAST(CAST(p.value AS DECIMAL(12,2)) * 100 AS BIGINT)), 0)
+         AS BIGINT) AS purchase_cents
+FROM iv LEFT JOIN events p
+  ON p.event_type = 'purchase'
+ AND p.ts >= iv.start_ts AND p.ts < iv.end_ts
+GROUP BY 1, 2, 3
+"""
+
+
+def hourly_bursts(ev: DataFrame, spine_hours: int = SPINE_HOURS) -> DataFrame:
+    """Maximal runs of above-mean hours from an event frame with ``ts``:
+    → ``(start_ts, end_ts, n_hours)``, half-open hour-aligned
+    intervals.  The mean is over the dense ``spine_hours`` spine, so
+    silent hours pull it down without needing zero-fill rows (only the
+    TOTAL enters the threshold)."""
+    hc = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = hc.agg(F.sum("c").alias("t"))
+    busy = hc.join(F.broadcast(tot)).filter(
+        F.col("c") * spine_hours > F.col("t")
+    )
+    w = Window.orderBy("h")
+    brk = busy.select(
+        "h",
+        F.when(
+            F.lag("h").over(w) == F.col("h") - F.expr("INTERVAL 1 HOUR"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("b"),
+    )
+    grp = brk.select(
+        "h",
+        F.sum("b")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("gid"),
+    )
+    return grp.groupBy("gid").agg(
+        F.min("h").alias("start_ts"),
+        (F.max("h") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    ).drop("gid")
+
+
+@query("purchases_in_error_bursts", oracle=_BURST_ORACLE)
+def purchases_in_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error-burst window (maximal run of above-mean error hours):
+    how many purchases landed inside it and their cent volume —
+    intervals with zero purchases included (the interesting ones)."""
+    ev = load_table(spark, sf_dir, "events")
+    # truncate: the interval frame feeds BOTH the range join and the
+    # keep-empty-intervals left join — without it the whole island
+    # derivation (including its one-row threshold broadcast) runs twice;
+    # the frame is calendar-bounded (≤ spine_hours rows), and the face
+    # is already eager at construction via the operator's volume guard
+    iv = truncate(
+        hourly_bursts(ev.filter(F.col("event_type") == "error").select("ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("pts"),
+        F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    matched = interval_point_join(
+        purchases, iv, point_ts="pts", start_ts="start_ts", end_ts="end_ts",
+        bin_us=BIN_US,
+    )
+    per_iv = matched.groupBy("start_ts", "end_ts").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.sum("cents").alias("purchase_cents"),
+    )
+    return (
+        iv.join(per_iv, ["start_ts", "end_ts"], "left")
+        .select(
+            "start_ts",
+            "end_ts",
+            "n_hours",
+            F.coalesce("n_purchases", F.lit(0)).cast("bigint").alias(
+                "n_purchases"
+            ),
+            F.coalesce("purchase_cents", F.lit(0)).cast("bigint").alias(
+                "purchase_cents"
+            ),
+        )
+    )
