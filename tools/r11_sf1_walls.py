@@ -21,6 +21,8 @@ NAMES = [
     "part_pareto_frontier",
     "source_quality_auc",
     "part_bfs_hop_census",
+    "brand_weighted_median_price",
+    "purchases_in_error_bursts",
 ]
 
 SF01 = "/root/testdata/sf0.1"
@@ -37,6 +39,11 @@ def main() -> None:
         spark = (
             SparkSession.builder.master("local[32]")
             .config("spark.sql.shuffle.partitions", "32")
+            # the engine session (session.get_spark) runs 16g in local
+            # mode; a bare 1g-default builder OOMs the 6.1M-row SMJ of
+            # the sf1 edge build under 32 concurrent tasks — measure the
+            # configured runtime, not a misconfigured one
+            .config("spark.driver.memory", "16g")
             .config("spark.ui.enabled", "false")
             .getOrCreate()
         )
