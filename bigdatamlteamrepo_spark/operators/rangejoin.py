@@ -64,7 +64,11 @@ def interval_point_join(
     if clash:
         raise ValueError(f"interval_point_join: column clash {sorted(clash)}")
 
-    iv = intervals.select(
+    iv = intervals.filter(
+        # empty/inverted [start, end) can match nothing — and would feed
+        # sequence() a descending range, which Spark rejects outright
+        _us(end_ts) > _us(start_ts)
+    ).select(
         "*",
         (_us(start_ts) - _us(start_ts) % bin_us).alias("__b0"),
         # last bin START covering [start, end): bin of end - 1 µs

@@ -127,8 +127,6 @@ def test_ohlc_face_invariants(spark, sf_dir):
 def test_ohlc_hand_candle(spark):
     """One hour of hand ticks → the known candle, with open decided by
     event_id under a timestamp tie."""
-    from bigdatamlteamrepo_spark.queries.bars import _CENTS_SQL  # noqa: F401
-
     rows = [
         ("a", 2, _T0, 300.0),             # ts tie with event 1 → NOT open
         ("a", 1, _T0, 100.0),             # open (same ts, smaller id)

@@ -39,6 +39,10 @@ REPRESENTATIVES = [
     "corpus_datacard",             # decimal TTR mean + stack long format
     "embedding_mislabel_scores",   # broadcast centroids + micro-quantized sims
     "chunk_bm25_topk",             # global-stats BM25 + TakeOrdered float cutoff
+    "events_value_twap",           # day-decomposed segment union + decimal fold
+    "source_quality_auc",          # rank sums from running counts per score
+    "purchases_in_error_bursts",   # island windows + binned range join
+    "part_bfs_hop_census",         # iterative relax with per-round truncate
 ]
 
 

@@ -149,3 +149,21 @@ def test_burst_face_islands_are_maximal_disjoint(spark, sf_dir):
         # maximal runs: disjoint AND non-adjacent (adjacent would have
         # merged into one island)
         assert a["end_ts"] < b["start_ts"]
+
+
+def test_empty_and_inverted_intervals_match_nothing(spark):
+    """[s, s) and [s, e<s) can contain no point; they must be dropped
+    cleanly, not crash sequence() with a descending range."""
+    spans = [(10.0, 10.0), (30.0, 20.0), (5.0, 15.0)]
+    got = sorted(
+        (r["pid"], r["ivid"])
+        for r in interval_point_join(
+            _pts_df(spark, [10.0, 25.0]),
+            _iv_df(spark, spans),
+            point_ts="pts",
+            start_ts="start_ts",
+            end_ts="end_ts",
+            bin_us=4_000_000,
+        ).collect()
+    )
+    assert got == [(0, 2)]
