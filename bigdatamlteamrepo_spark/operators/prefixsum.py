@@ -1,0 +1,70 @@
+"""Distributed global running sum — the parallel prefix-sum
+decomposition Spark's window API doesn't give you.
+
+``SUM(x) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)`` with no
+PARTITION BY moves the whole frame to ONE task (Spark even logs the
+WindowExec warning) — fine for the calendar-sized frames the registered
+faces use it on, fatal for a 100 TB event stream.  The classic fix
+(Blelloch scan, the same two-phase shape every GPU/MPI prefix sum
+uses):
+
+1. range-partition by the sort key, running sum WITHIN each partition
+   (bounded by partition size);
+2. one tiny per-partition total frame, running-summed on the driver
+   scale (|partitions| rows) into per-partition OFFSETS;
+3. broadcast the offsets back and add.
+
+The result is the exact global running sum no matter where the sampled
+range boundaries fall: the within/offset split telescopes, so the
+output is deterministic even though ``repartitionByRange`` boundaries
+are not — provided the sort key tuple is UNIQUE per row (ties could
+straddle a boundary with their relative order unobservable; the
+operator refuses ambiguity by contract, documented below, rather than
+silently producing one of several valid orders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def partitioned_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``SUM(value_col) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING)`` without a single-partition sort.
+
+    ``order_cols`` must be a TOTAL order (unique tuple per row) — with
+    duplicate keys the running sum at the duplicates depends on an
+    order the caller never specified, in ANY engine.  Output adds
+    ``out_col``; all input columns pass through.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    d = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__run", F.sum(value_col).over(w_in))
+    totals = d.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__run") + F.col("__off"))
+        .drop("__pid", "__run", "__off")
+    )

@@ -41,5 +41,6 @@ from bigdatamlteamrepo_spark.queries import skyline  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import evalmetrics  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import wmedian  # noqa: F401,E402
 from bigdatamlteamrepo_spark.queries import bursts  # noqa: F401,E402
+from bigdatamlteamrepo_spark.queries import concurrency  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE", "BENCH_SET"]

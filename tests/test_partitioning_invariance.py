@@ -43,6 +43,7 @@ REPRESENTATIVES = [
     "source_quality_auc",          # rank sums from running counts per score
     "purchases_in_error_bursts",   # island windows + binned range join
     "part_bfs_hop_census",         # iterative relax with per-round truncate
+    "sessions_peak_concurrency",   # parallel prefix sum (Blelloch scan)
 ]
 
 

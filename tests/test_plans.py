@@ -307,6 +307,7 @@ def test_r11_additions_plans(spark, sf_dir):
         "source_quality_auc",
         "part_bfs_hop_census",
         "brand_weighted_median_price",
+        "sessions_peak_concurrency",
         # the range-join face exists to AVOID the BroadcastNestedLoopJoin
         # a naive ts-BETWEEN join plans; its island frame (whose scalar
         # threshold uses the one-row-broadcast house pattern) is
