@@ -35,6 +35,7 @@ def partitioned_running_sum(
     value_col: str,
     out_col: str,
     num_partitions: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact global ``SUM(value_col) OVER (ORDER BY order_cols ROWS
     UNBOUNDED PRECEDING)`` without a single-partition sort.
@@ -43,7 +44,19 @@ def partitioned_running_sum(
     duplicate keys the running sum at the duplicates depends on an
     order the caller never specified, in ANY engine.  Output adds
     ``out_col``; all input columns pass through.
+
+    ``materialize`` (default on) truncates the shuffled+windowed frame
+    once (reliable ``checkpoint`` under a checkpoint dir, executor-local
+    otherwise), making the operator EAGER at construction: the frame
+    feeds both the per-partition totals and the final join, and without
+    materialization Spark recomputes the whole shuffle+window twice —
+    measured at 50 M rows the un-materialized scan LOSES to the serial
+    window (40 s vs 27 s) while the materialized one beats it ~5×
+    (`tools/prefixsum_scaling.py`).  Turn it off only for tiny frames
+    where construction-time laziness matters more than a second pass.
     """
+    from bigdatamlteamrepo_spark.operators.checkpoint import truncate
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     d = df.repartitionByRange(n, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
@@ -54,6 +67,8 @@ def partitioned_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = d.withColumn("__run", F.sum(value_col).over(w_in))
+    if materialize:
+        d = truncate(d)
     totals = d.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
     w_off = (
         Window.orderBy("__pid")
