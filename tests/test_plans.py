@@ -308,6 +308,7 @@ def test_r11_additions_plans(spark, sf_dir):
         "part_bfs_hop_census",
         "brand_weighted_median_price",
         "sessions_peak_concurrency",
+        "source_token_gini",
         # the range-join face exists to AVOID the BroadcastNestedLoopJoin
         # a naive ts-BETWEEN join plans; its island frame (whose scalar
         # threshold uses the one-row-broadcast house pattern) is
