@@ -23,6 +23,8 @@ NAMES = [
     "part_bfs_hop_census",
     "brand_weighted_median_price",
     "purchases_in_error_bursts",
+    "sessions_peak_concurrency",
+    "source_token_gini",
 ]
 
 SF01 = "/root/testdata/sf0.1"
