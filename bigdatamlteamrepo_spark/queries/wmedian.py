@@ -62,7 +62,13 @@ def weighted_median(
 ) -> DataFrame:
     """Lower weighted median of integer ``value`` by ``weight`` per
     ``group`` → ``(group, total_weight, wmedian)``: smallest v with
-    2·W(≤v) ≥ W_total."""
+    2·W(≤v) ≥ W_total.
+
+    Weights must be POSITIVE: a zero weight is harmless noise, but a
+    negative one breaks the monotonicity of the cumulative selection
+    (the defining inequality can then hold at a value below the true
+    median).  The face feeds l_quantity ≥ 1; generic callers own the
+    precondition."""
     g = df.groupBy(group, value).agg(F.sum(weight).alias("w"))
     cum_w = (
         Window.partitionBy(group)
