@@ -5,9 +5,16 @@
 summary (well under the driver's stdout-tail capture)::
 
     {"metric": "headline_queries_total_wall", "value": N, "unit": "sec",
-     "value_stage_cache_on": N, "stage_build_sec": N,
-     "calibration_sec": N, "calibration_ref_sec": N,
-     "layout_prep_sec": N, "stage_cache": "off-primary", "sf": ...}
+     "value_median": N, "value_stage_cache_on": N, "stage_build_sec": N,
+     "calibration_sec": N, "calibration_sec_post": N,
+     "calibration_ref_sec": N, "layout_prep_sec": N,
+     "stage_cache": "off-primary", "sf": ...}
+
+``value`` is Σ per-query min-of-3 (continuity with r01–r11);
+``value_median`` is Σ per-query median-of-3, the cross-round comparison
+number (VERDICT_r11 #2).  ``calibration_sec`` / ``calibration_sec_post``
+bracket the measurement — a large pre/post shift flags host drift
+mid-run, the cause of the r10/r11 single-shot anomalies.
 
 Per-query walls/medians/calibrated ratios are emitted on a separate
 earlier ``{"detail": ...}`` line — r07's single fat line outgrew the
@@ -129,13 +136,18 @@ def main() -> None:
     _calibration()  # warm the calibration plan itself
     calib = round(min(_calibration() for _ in range(3)), 3)
 
-    def _measure(n_runs: int) -> tuple[dict[str, float], dict[str, float]]:
-        """min + median of n_runs per query: single-run noise on a
-        shared box reached ±50% per query (host load outside our
+    def _measure(
+        n_runs: int,
+    ) -> tuple[dict[str, float], dict[str, float], dict[str, float]]:
+        """min + median + spread of n_runs per query: single-run noise
+        on a shared box reached ±50% per query (host load outside our
         control); the min is the stable estimate of plan cost, the
-        median exposes how noisy this particular run was."""
+        median is the cross-round comparison number (VERDICT_r11 #2),
+        and the spread (max − min) exposes how noisy this particular
+        run was, per query."""
         mins: dict[str, float] = {}
         meds: dict[str, float] = {}
+        spreads: dict[str, float] = {}
         for name in BENCH_SET:
             runs = []
             for _ in range(n_runs):
@@ -145,15 +157,17 @@ def main() -> None:
             runs.sort()
             mins[name] = round(runs[0], 3)
             meds[name] = round(runs[len(runs) // 2], 3)
-        return mins, meds
+            spreads[name] = round(runs[-1] - runs[0], 3)
+        return mins, meds, spreads
 
     # PRIMARY number: stage cache OFF — every query pays its full
     # self-contained plan, like-for-like with every earlier round and
     # with the driver's correctness harness (ADVICE_r7: r07 reported
     # cache-on as the headline, which overstated the round-over-round
     # improvement; cache-off is the comparable metric).
-    timings, medians = _measure(3)
+    timings, medians, spreads = _measure(3)
     total = round(sum(timings.values()), 3)
+    total_median = round(sum(medians.values()), 3)
 
     # SECONDARY: stage cache ON — the long-lived-session steady state a
     # deployment with a persisted signature table would see.  The first
@@ -164,9 +178,15 @@ def main() -> None:
     for name in BENCH_SET:
         QUERIES[name](spark, sf_dir).collect()
     stage_build = round(sum(stagecache.build_secs().values()), 3)
-    cache_timings, _ = _measure(2)
+    cache_timings, _, _ = _measure(2)
     cache_total = round(sum(cache_timings.values()), 3)
     stagecache.disable()
+
+    # host-noise indicator (VERDICT_r11 #2): re-probe calibration AFTER
+    # all measurement — two consecutive rounds produced single-shot
+    # anomalies (r10 inverted cache ordering, r11 1.6× cold spike) that
+    # a before/after pair would have flagged as host drift at a glance.
+    calib_post = round(min(_calibration() for _ in range(3)), 3)
 
     # host-normalized ratios (VERDICT_r6 #6): wall / calibration is
     # dimensionless "calibration units" — cross-round comparisons of
@@ -193,6 +213,10 @@ def main() -> None:
                     # round-over-round per-query comparisons must not
                     # route through the calibration constant
                     "queries_median_cache_off": medians,
+                    # per-query max−min over the 3 cache-off runs: a
+                    # large spread marks that query's walls as
+                    # host-noise suspects for this round
+                    "queries_spread_cache_off": spreads,
                     "queries_calibrated": normalized,
                     "queries_stage_cache_on": cache_timings,
                 }
@@ -205,6 +229,10 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                # Σ per-query medians — the round-over-round comparison
+                # number (VERDICT_r11 #2); `value` stays Σ mins for
+                # continuity with r01–r11
+                "value_median": total_median,
                 "value_stage_cache_on": cache_total,
                 # the three numbers tell one story (VERDICT_r8 #9):
                 # value = cold self-contained cost, value_stage_cache_on
@@ -213,6 +241,11 @@ def main() -> None:
                 "value_build_plus_on": round(stage_build + cache_total, 3),
                 "stage_build_sec": stage_build,
                 "calibration_sec": calib,
+                # post-measurement re-probe: |post/pre − 1| >~ 0.2
+                # means the host shifted speed DURING the run — treat
+                # this round's absolute walls as suspect and compare on
+                # medians/calibrated ratios only
+                "calibration_sec_post": calib_post,
                 "calibration_ref_sec": 0.43,
                 "layout_prep_sec": layout_prep_sec,
                 "stage_cache": "off-primary",

@@ -18,9 +18,20 @@ The result is the exact global running sum no matter where the sampled
 range boundaries fall: the within/offset split telescopes, so the
 output is deterministic even though ``repartitionByRange`` boundaries
 are not — provided the sort key tuple is UNIQUE per row (ties could
-straddle a boundary with their relative order unobservable; the
-operator refuses ambiguity by contract, documented below, rather than
-silently producing one of several valid orders).
+straddle a boundary with their relative order unobservable; pass
+``validate=True`` to turn that contract into a fail-fast check at the
+cost of one bounded aggregate).
+
+The scanned frame is ALWAYS truncated (reliable ``checkpoint`` under a
+checkpoint dir, executor-local otherwise) before fan-out: it feeds both
+the per-partition totals and the final join, and without truncation the
+two branches would re-evaluate ``repartitionByRange`` independently —
+its nondeterministic boundary sampling could then assign DIFFERENT
+``__pid`` values per branch, silently corrupting the offsets.  That
+makes materialization a correctness requirement here, not a performance
+knob (it also happens to be the fast path: the un-materialized scan
+LOST to the serial window at 50 M rows, 40 s vs 27 s, while the
+materialized one beats it ~5× — `tools/prefixsum_scaling.py`).
 """
 
 from __future__ import annotations
@@ -29,31 +40,35 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+class AmbiguousOrderError(ValueError):
+    """``order_cols`` contained duplicate key tuples — the requested
+    running sum is ill-defined (raised only under ``validate=True``)."""
+
+
 def partitioned_running_sum(
     df: DataFrame,
     order_cols: list[str],
     value_col: str,
     out_col: str,
     num_partitions: int | None = None,
-    materialize: bool = True,
+    validate: bool = False,
 ) -> DataFrame:
     """Exact global ``SUM(value_col) OVER (ORDER BY order_cols ROWS
     UNBOUNDED PRECEDING)`` without a single-partition sort.
 
     ``order_cols`` must be a TOTAL order (unique tuple per row) — with
     duplicate keys the running sum at the duplicates depends on an
-    order the caller never specified, in ANY engine.  Output adds
-    ``out_col``; all input columns pass through.
+    order the caller never specified, in ANY engine.  ``validate=True``
+    enforces that contract eagerly (one count-vs-distinct-count scalar
+    aggregate over the already-materialized frame) and raises
+    :class:`AmbiguousOrderError` instead of silently returning one of
+    several valid outputs.  Output adds ``out_col``; all input columns
+    pass through.
 
-    ``materialize`` (default on) truncates the shuffled+windowed frame
-    once (reliable ``checkpoint`` under a checkpoint dir, executor-local
-    otherwise), making the operator EAGER at construction: the frame
-    feeds both the per-partition totals and the final join, and without
-    materialization Spark recomputes the whole shuffle+window twice —
-    measured at 50 M rows the un-materialized scan LOSES to the serial
-    window (40 s vs 27 s) while the materialized one beats it ~5×
-    (`tools/prefixsum_scaling.py`).  Turn it off only for tiny frames
-    where construction-time laziness matters more than a second pass.
+    The operator is EAGER at construction: the shuffled+windowed frame
+    is truncated once before feeding the totals aggregate and the final
+    join (see module docstring for why this is a correctness
+    requirement, not an option).
     """
     from bigdatamlteamrepo_spark.operators.checkpoint import truncate
 
@@ -67,8 +82,21 @@ def partitioned_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     d = d.withColumn("__run", F.sum(value_col).over(w_in))
-    if materialize:
-        d = truncate(d)
+    d = truncate(d)
+    if validate:
+        amb = d.agg(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct(*order_cols))
+            ).alias("dups")
+        ).collect()[0]["dups"]
+        if amb:
+            raise AmbiguousOrderError(
+                f"order_cols {order_cols} are not a total order: "
+                f"{amb} row(s) share a key tuple with another row — the "
+                "running sum at the duplicates would depend on an "
+                "unspecified order"
+            )
     totals = d.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
     w_off = (
         Window.orderBy("__pid")

@@ -43,7 +43,7 @@ GAP_SECONDS = 1800
 _PEAK_ORACLE = f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > {GAP_SECONDS}
+         CASE WHEN date_diff('second', lag(ts) OVER w, ts) > {GAP_SECONDS}
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

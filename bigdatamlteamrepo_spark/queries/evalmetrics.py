@@ -60,9 +60,15 @@ def exact_grouped_auc(
         .agg(
             F.sum("npos").alias("n_pos"),
             (F.sum("n") - F.sum("npos")).alias("n_neg"),
-            # doubled midrank sum of positives
+            # doubled midrank sum of positives — the summand is widened
+            # to DECIMAL(38,0) BEFORE the aggregate (DuckDB's SUM
+            # auto-promotes BIGINT to HUGEINT; a plain F.sum would wrap
+            # silently in non-ANSI Spark at the N² scale the module
+            # docstring cites, diverging from the oracle exactly where
+            # the widening matters)
             F.sum(
-                F.col("npos") * (2 * F.col("below") + F.col("n") + 1)
+                F.col("npos").cast("decimal(38,0)")
+                * (2 * F.col("below") + F.col("n") + 1)
             ).alias("r2"),
         )
         .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
@@ -70,10 +76,12 @@ def exact_grouped_auc(
             group,
             "n_pos",
             "n_neg",
+            # every product touching N² runs in decimal: n_pos·(n_pos+1)
+            # and 2·n_pos·n_neg wrap int64 past ~3e9 rows per class
             F.expr(
-                f"CAST((2 * CAST(r2 - n_pos * (n_pos + 1) AS DECIMAL(38,0))"
-                f" * {MICRO} + 2 * n_pos * n_neg)"
-                " DIV (2 * CAST(2 * n_pos * n_neg AS DECIMAL(38,0)))"
+                f"CAST((2 * (r2 - CAST(n_pos AS DECIMAL(38,0)) * (n_pos + 1))"
+                f" * {MICRO} + 2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg)"
+                " DIV (2 * (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg))"
                 " AS BIGINT)"
             ).alias("auc_micro"),
         )
@@ -218,8 +226,10 @@ def source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = cells.groupBy("source").agg(
         F.sum("c").alias("n_docs"),
         F.sum(F.col("c") * F.col("n_tok")).alias("total_tokens"),
+        # summand widened to DECIMAL(38,0) BEFORE the aggregate — same
+        # HUGEINT-parity requirement as the AUC r2 sum above
         F.sum(
-            F.col("c")
+            F.col("c").cast("decimal(38,0)")
             * (F.col("n_below") * F.col("n_tok") - F.col("s_below"))
         ).alias("half_mad"),
     )

@@ -661,7 +661,12 @@ QUALIFY rank <= {_ANN_K}
 """
 
 
-@query("ann_rp_lsh_multiprobe_topk", priority=90, oracle=_ann_multiprobe_oracle())
+# Deregistered in r12 (registry headroom, NOTES_r17 candidates): of the
+# three RP-LSH variants the base + banded pair stays registered (banded
+# is the recall-improving one — 0.934 vs multiprobe's 0.478 best,
+# SWEEP.md); multiprobe keeps its operator pins
+# (tests/test_ann_dedup.py::test_rp_lsh_multiprobe_recall) and stays
+# callable.
 def ann_rp_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdatamlteamrepo_spark.operators.similarity import rp_lsh_multiprobe_topk
 

@@ -205,9 +205,14 @@ def kmv_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@query(
-    "kmv_orders_by_flag",
-    oracle=f"""
+# Deregistered in r12 (registry headroom, NOTES_r17 candidates): of the
+# two sketch families answering the same distinct-orders-by-flag
+# question, hll_orders_by_flag keeps the driver slot (it also anchors
+# the partitioning-invariance representatives); the KMV operator keeps
+# its sketch-algebra pins (tests/test_sketches.py) and the function
+# stays callable.  The former oracle twin is kept (unused) so a future
+# re-registration round-trips without digging through git history.
+_KMV_BY_FLAG_ORACLE = f"""
 WITH hashes AS (
   SELECT DISTINCT l_returnflag, {_H} AS h FROM lineitem
 ),
@@ -228,8 +233,9 @@ SELECT sk.l_returnflag, sk.n_kept, sk.kth_hash,
        {kmv_estimate_sql('sk.kth_hash', 'sk.n_kept')} AS kmv_estimate,
        exact.exact_distinct
 FROM sk JOIN exact USING (l_returnflag)
-""",
-)
+"""
+
+
 def kmv_orders_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-return-flag distinct l_orderkey via bottom-64 sketches — the
     grouped form of kmv_distinct_parts.  The window bottom-k runs on the

@@ -1548,7 +1548,11 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_HOT_K = 64
 
 
-@query("doc_lm_perplexity_hotsplit", oracle=_LM_ORACLE)
+# Deregistered in r12 (registry headroom, NOTES_r17 candidates): the
+# salting variant of doc_lm_perplexity — same oracle, same results by
+# construction; the hot/cold-split behavior is pinned in
+# tests/test_textmodel.py (equality with the single-join plan) and the
+# function stays callable.
 def doc_lm_perplexity_hotsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``doc_lm_perplexity`` with the model join split by key heat:
     the LM_HOT_K most frequent bigrams — known for free from the LM

@@ -57,8 +57,15 @@ FROM c GROUP BY p_brand
 """
 
 
+class NegativeWeightError(ValueError):
+    """A weight below zero reached :func:`weighted_median` — the
+    cumulative selection is only correct over non-negative weights
+    (raised only under ``validate=True``)."""
+
+
 def weighted_median(
-    df: DataFrame, group: str, value: str, weight: str
+    df: DataFrame, group: str, value: str, weight: str,
+    validate: bool = False,
 ) -> DataFrame:
     """Lower weighted median of integer ``value`` by ``weight`` per
     ``group`` → ``(group, total_weight, wmedian)``: smallest v with
@@ -67,8 +74,19 @@ def weighted_median(
     Weights must be POSITIVE: a zero weight is harmless noise, but a
     negative one breaks the monotonicity of the cumulative selection
     (the defining inequality can then hold at a value below the true
-    median).  The face feeds l_quantity ≥ 1; generic callers own the
-    precondition."""
+    median).  The registered face feeds l_quantity ≥ 1 and keeps the
+    default; generic callers can pass ``validate=True`` to turn the
+    precondition into a fail-fast :class:`NegativeWeightError` at the
+    cost of ONE scalar min-aggregate over the input (the house
+    eager-guard contract — same discipline as
+    ``operators/setjoin.CandidateVolumeExceeded``)."""
+    if validate:
+        wmin = df.agg(F.min(weight).alias("m")).collect()[0]["m"]
+        if wmin is not None and wmin < 0:
+            raise NegativeWeightError(
+                f"weighted_median requires non-negative weights; "
+                f"min({weight}) = {wmin}"
+            )
     g = df.groupBy(group, value).agg(F.sum(weight).alias("w"))
     cum_w = (
         Window.partitionBy(group)

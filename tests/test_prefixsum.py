@@ -121,3 +121,35 @@ def test_total_sessions_agree_with_sessionization_face(spark, sf_dir):
         for r in QUERIES["events_user_sessions"](spark, sf_dir).collect()
     )
     assert starts == sessions
+
+
+def test_validate_rejects_duplicate_sort_keys(spark):
+    """The eager guard: validate=True turns the documented unique-key
+    contract into AmbiguousOrderError (one count-vs-distinct scalar
+    aggregate) instead of one of several silently valid outputs."""
+    from bigdatamlteamrepo_spark.operators.prefixsum import (
+        AmbiguousOrderError,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (2, 30), (3, 40)], "k bigint, x bigint"
+    )
+    with pytest.raises(AmbiguousOrderError, match="not a total order"):
+        partitioned_running_sum(
+            df, order_cols=["k"], value_col="x", out_col="run",
+            num_partitions=4, validate=True,
+        )
+
+
+def test_validate_passes_unique_keys_unchanged(spark):
+    df = spark.createDataFrame(
+        [(3, 1), (1, 2), (2, 3)], "k bigint, x bigint"
+    )
+    got = {
+        (r["k"], r["run"])
+        for r in partitioned_running_sum(
+            df, order_cols=["k"], value_col="x", out_col="run",
+            num_partitions=3, validate=True,
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 5), (3, 6)}

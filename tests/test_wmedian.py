@@ -93,3 +93,36 @@ def test_face_median_lies_in_observed_range(spark, sf_dir):
         assert r["n_lineitems"] > 0
         assert r["total_qty"] >= r["n_lineitems"]  # quantities ≥ 1
         assert 80_000 <= r["wmedian_price_cents"] <= 12_000_000
+
+
+def test_validate_rejects_negative_weights(spark):
+    """The eager guard: validate=True turns the documented
+    positive-weight precondition into a fail-fast error (one scalar
+    min-aggregate) instead of a silently wrong median."""
+    import pytest
+
+    from bigdatamlteamrepo_spark.queries.wmedian import NegativeWeightError
+
+    bad = _df(spark, [("a", 1, 5), ("a", 2, -3), ("a", 3, 5)])
+    with pytest.raises(NegativeWeightError, match="min\\(w\\) = -3"):
+        weighted_median(bad, group="g", value="v", weight="w", validate=True)
+
+
+def test_validate_passes_clean_input_unchanged(spark):
+    """validate=True on non-negative weights (zero included) returns
+    exactly what the unvalidated path returns."""
+    rows = [("a", 1, 2), ("a", 2, 0), ("a", 3, 2), ("b", 7, 1)]
+    df = _df(spark, rows)
+    want = {
+        (r["g"], r["total_weight"], r["wmedian"])
+        for r in weighted_median(
+            df, group="g", value="v", weight="w"
+        ).collect()
+    }
+    got = {
+        (r["g"], r["total_weight"], r["wmedian"])
+        for r in weighted_median(
+            df, group="g", value="v", weight="w", validate=True
+        ).collect()
+    }
+    assert got == want
