@@ -28,7 +28,14 @@ Spark shape (all built-in expressions, no UDFs):
   2. re-join df onto the exploded tokens, sort each record's tokens by
      (df, token) via array_sort over structs, slice the prefix;
   3. self-equi-join on prefix token (id_a < id_b) + size-compatibility
-     pruning  min(n_a,n_b) ≥ τ·max(n_a,n_b)  (J ≤ min/max);
+     pruning  min(n_a,n_b) ≥ τ·max(n_a,n_b)  (J ≤ min/max) + the
+     PPJoin POSITIONAL filter: a prefix token at (1-based) rank i of a
+     and j of b bounds the overlap by 1 + min(n_a−i, n_b−j) when no
+     earlier token is shared, and J ≥ τ needs overlap ≥
+     ceil(τ·(n_a+n_b)/(1+τ)); a pair is kept if ANY shared prefix
+     occurrence passes — its FIRST shared token always carries a valid
+     bound, so the filter is lossless while killing the tail-meets-tail
+     candidates that dominate closed-vocabulary corpora;
   4. distinct candidate pairs → exact Jaccard verify ≥ τ.
 
 At 100 TB: step 1-2 shuffle on token (uniform-ish after the rarest-
@@ -60,8 +67,9 @@ def _prefix_len(n: Column, tau_num: int) -> Column:
 class CandidateVolumeExceeded(RuntimeError):
     """The prefix join's predicted candidate volume exceeds the guard
     bound — the corpus is in the regime where an EXACT set-similarity
-    join is inherently super-linear (SCALING.md: measured 5→12→84 s at
-    5k/20k/80k docs on a closed vocabulary).  Use the LSH
+    join is inherently super-linear (SCALING.md: measured 4→10→28 s at
+    5k/20k/80k docs on a closed vocabulary with the positional filter;
+    83.6 s at 80k before it).  Use the LSH
     candidates-then-verify path (queries/text_dedup.py
     lsh_candidate_pairs / ngram_jaccard_pairs) when approximate recall
     is acceptable, or raise ``max_candidates`` deliberately."""
@@ -116,10 +124,15 @@ def prefix_jaccard_join(
         .agg(F.array_sort(F.collect_list(F.struct("df", "t"))).alias("ord"))
     )
     p = _prefix_len(F.col("size"), tau_num)
+    # posexplode: pos is the token's 1-based rank in the record's FULL
+    # rarest-first order (the prefix is its first p entries), feeding
+    # the positional filter below
     prefix = ordered.select(
         "id",
         "size",
-        F.explode(F.transform(F.slice("ord", 1, p), lambda x: x["t"])).alias("t"),
+        F.posexplode(F.transform(F.slice("ord", 1, p), lambda x: x["t"])),
+    ).select(
+        "id", "size", (F.col("pos") + 1).alias("pos"), F.col("col").alias("t")
     )
     if max_candidates is not None:
         # materialize the prefix frame so the estimator pass and the
@@ -148,9 +161,20 @@ def prefix_jaccard_join(
     size_ok = F.least(F.col("a.size"), F.col("b.size")) * F.lit(_TAU_DEN) >= F.greatest(
         F.col("a.size"), F.col("b.size")
     ) * F.lit(tau_num)
+    # PPJoin positional filter (Xiao et al. WWW'08): J ≥ τ needs
+    # overlap ≥ α = ceil(τ·(n_a+n_b)/(1+τ)); a shared prefix token at
+    # ranks (i, j) with no earlier shared token bounds the overlap by
+    # 1 + min(n_a−i, n_b−j).  Keeping a pair when ANY occurrence
+    # passes is lossless: a true pair's first shared token carries a
+    # valid bound ≥ overlap ≥ α.  All integer: ×(den+num) both sides.
+    sum_sz = F.col("a.size") + F.col("b.size")
+    ubound = F.lit(1) + F.least(
+        F.col("a.size") - F.col("a.pos"), F.col("b.size") - F.col("b.pos")
+    )
+    pos_ok = ubound * F.lit(_TAU_DEN + tau_num) >= sum_sz * F.lit(tau_num)
     cand = (
         a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.id") < F.col("b.id")))
-        .filter(size_ok)
+        .filter(size_ok & pos_ok)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )

@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 from bigdatamlteamrepo_spark.catalog import load_table
 from bigdatamlteamrepo_spark.operators.checkpoint import truncate
-from bigdatamlteamrepo_spark.operators.rangejoin import interval_point_join
+from bigdatamlteamrepo_spark.operators.rangejoin import (
+    interval_overlap_join,
+    interval_point_join,
+)
 from bigdatamlteamrepo_spark.queries.registry import query
 
 #: hours in the January event window (dense spine; scale-free mean)
@@ -149,4 +152,149 @@ def purchases_in_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "purchase_cents"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval × interval: user sessions overlapping error-burst windows —
+# the sessions-vs-outages analysis, through a real overlap join
+# (operators/rangejoin.py::interval_overlap_join, first-overlap-bin
+# ownership) while the oracle runs the textbook nested-loop
+# ls < re AND rs < le join.  Session intervals are closed [first, last]
+# event spans converted to half-open by a +1 µs end bump (identical in
+# both engines), so single-event sessions survive as 1 µs intervals
+# instead of vanishing into the empty half-open set.
+# --------------------------------------------------------------------------
+
+_SESSION_OVERLAP_ORACLE = f"""
+WITH hc AS (
+  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+tot AS (SELECT SUM(c) AS t FROM hc),
+busy AS (SELECT h FROM hc, tot WHERE c * {SPINE_HOURS} > t),
+brk AS (
+  SELECT h,
+         CASE WHEN lag(h) OVER (ORDER BY h) = h - INTERVAL 1 HOUR
+              THEN 0 ELSE 1 END AS b
+  FROM busy
+),
+grp AS (
+  SELECT h, SUM(b) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS gid
+  FROM brk
+),
+iv AS (
+  SELECT MIN(h) AS start_ts, MAX(h) + INTERVAL 1 HOUR AS end_ts,
+         COUNT(*) AS n_hours
+  FROM grp GROUP BY gid
+),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_no, MIN(ts) AS s_start,
+         MAX(ts) + INTERVAL 1 MICROSECOND AS s_end
+  FROM numbered GROUP BY 1, 2
+),
+matched AS (
+  SELECT iv.start_ts, iv.end_ts, s.user_id,
+         epoch_us(LEAST(iv.end_ts, s.s_end))
+           - epoch_us(GREATEST(iv.start_ts, s.s_start)) AS o_us
+  FROM iv JOIN sessions s
+    ON s.s_start < iv.end_ts AND iv.start_ts < s.s_end
+)
+SELECT iv.start_ts, iv.end_ts, CAST(iv.n_hours AS BIGINT) AS n_hours,
+       CAST(COUNT(m.user_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT m.user_id) AS BIGINT) AS n_users,
+       CAST(COALESCE(SUM(m.o_us), 0) AS BIGINT) AS overlap_us
+FROM iv LEFT JOIN matched m
+  ON iv.start_ts = m.start_ts AND iv.end_ts = m.end_ts
+GROUP BY 1, 2, 3
+"""
+
+
+def user_sessions_intervals(ev: DataFrame) -> DataFrame:
+    """Per-user 30-minute-gap sessionization (same rule as
+    events_user_sessions / sessions_peak_concurrency) as half-open
+    intervals: ``(user_id, session_no, s_start, s_end)`` with
+    ``s_end = last event + 1 µs``."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > 1800,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("s_start"),
+        F.timestamp_micros(F.unix_micros(F.max("ts")) + 1).alias("s_end"),
+    )
+
+
+@query("session_burst_overlap", oracle=_SESSION_OVERLAP_ORACLE)
+def session_burst_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per error-burst window: how many user sessions overlapped it,
+    how many distinct users those were, and the total session∩burst
+    microseconds — zero-overlap bursts included.  The Spark plan runs
+    the binned overlap join (auto bin width from both sides' interval
+    lengths); the oracle runs the nested-loop BETWEEN-style join —
+    parity across genuinely different algorithms."""
+    ev = load_table(spark, sf_dir, "events")
+    # truncate both interval frames: each feeds the auto-bin aggregate,
+    # the volume guard, and the explode (bursts additionally feed the
+    # keep-empty left join) — without truncation the window derivations
+    # would re-run per consumer.  Both frames are bounded: bursts by the
+    # calendar, sessions by |users| · sessions-per-user.
+    iv = truncate(
+        hourly_bursts(ev.filter(F.col("event_type") == "error").select("ts"))
+    )
+    sess = truncate(
+        user_sessions_intervals(ev.select("user_id", "ts", "event_id"))
+    )
+    matched = interval_overlap_join(
+        sess.select("user_id", "s_start", "s_end"),
+        iv,
+        left_start="s_start",
+        left_end="s_end",
+        right_start="start_ts",
+        right_end="end_ts",
+    )
+    o_us = F.least(F.unix_micros("end_ts"), F.unix_micros("s_end")) - F.greatest(
+        F.unix_micros("start_ts"), F.unix_micros("s_start")
+    )
+    per_iv = matched.groupBy("start_ts", "end_ts").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(o_us).cast("bigint").alias("overlap_us"),
+    )
+    return iv.join(per_iv, ["start_ts", "end_ts"], "left").select(
+        "start_ts",
+        "end_ts",
+        "n_hours",
+        F.coalesce("n_sessions", F.lit(0)).cast("bigint").alias("n_sessions"),
+        F.coalesce("n_users", F.lit(0)).cast("bigint").alias("n_users"),
+        F.coalesce("overlap_us", F.lit(0)).cast("bigint").alias("overlap_us"),
     )

@@ -1,0 +1,188 @@
+"""Interval×interval overlap join: brute-force equality across
+misaligned bin widths (exactly-once via first-overlap-bin ownership),
+half-open edge conventions, the two-sided eager volume guard, and the
+auto bin-width selection respecting max_explode on adversarial length
+mixes."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatamlteamrepo_spark.operators.rangejoin import (
+    _auto_bin_us,
+    interval_overlap_join,
+    interval_point_join,
+)
+from bigdatamlteamrepo_spark.operators.setjoin import CandidateVolumeExceeded
+
+_T0 = datetime.datetime(2024, 1, 1)
+
+
+def _ts(us: int) -> datetime.datetime:
+    return _T0 + datetime.timedelta(microseconds=us)
+
+
+def _iv_df(spark, rows, prefix):
+    """rows = [(id, start_us, end_us)] -> DataFrame with timestamp
+    interval columns named {prefix}_id/{prefix}_s/{prefix}_e."""
+    return spark.createDataFrame(
+        [(i, _ts(s), _ts(e)) for i, s, e in rows],
+        f"{prefix}_id bigint, {prefix}_s timestamp, {prefix}_e timestamp",
+    )
+
+
+def _brute(lrows, rrows):
+    """Half-open overlap pairs by definition: ls < re AND rs < le,
+    empty intervals excluded."""
+    return {
+        (li, ri)
+        for li, ls, le in lrows
+        if le > ls
+        for ri, rs, re in rrows
+        if re > rs and ls < re and rs < le
+    }
+
+
+def _run(spark, lrows, rrows, bin_us):
+    got = interval_overlap_join(
+        _iv_df(spark, lrows, "l"),
+        _iv_df(spark, rrows, "r"),
+        left_start="l_s",
+        left_end="l_e",
+        right_start="r_s",
+        right_end="r_e",
+        bin_us=bin_us,
+    ).collect()
+    pairs = [(r["l_id"], r["r_id"]) for r in got]
+    assert len(pairs) == len(set(pairs)), "duplicate pair emitted"
+    return set(pairs)
+
+
+SEC = 1_000_000
+
+
+@pytest.mark.parametrize("bin_us", [SEC, 7 * SEC, 60 * SEC, 9973 * 1000])
+def test_matches_brute_force_random(spark, bin_us):
+    """Random intervals both sides, four bin widths including
+    misaligned primes — result equals the quadratic definition."""
+    rng = random.Random(42)
+    lrows = [
+        (i, s := rng.randrange(0, 3600 * SEC), s + rng.randrange(0, 600 * SEC))
+        for i in range(60)
+    ]
+    rrows = [
+        (i, s := rng.randrange(0, 3600 * SEC), s + rng.randrange(0, 900 * SEC))
+        for i in range(40)
+    ]
+    want = _brute(lrows, rrows)
+    assert want, "degenerate fixture"
+    assert _run(spark, lrows, rrows, bin_us) == want
+
+
+def test_half_open_edges(spark):
+    """Touching intervals ([0,10) vs [10,20)) do NOT overlap; empty
+    intervals (end == start) match nothing; 1 µs intervals do match."""
+    lrows = [(1, 0, 10), (2, 10, 10), (3, 15, 16)]
+    rrows = [(1, 10, 20), (2, 0, 100), (3, 15, 16)]
+    want = _brute(lrows, rrows)
+    assert (1, 1) not in want and (2, 2) not in want
+    assert (3, 3) in want and (3, 2) in want
+    for bin_us in (1, 3, 64):
+        assert _run(spark, lrows, rrows, bin_us) == want
+
+
+def test_pair_spanning_many_shared_bins_counted_once(spark):
+    """Two long co-extensive intervals share every bin — ownership must
+    collapse them to ONE output row."""
+    lrows = [(1, 0, 1000 * SEC)]
+    rrows = [(1, 500 * SEC, 1500 * SEC)]
+    assert _run(spark, lrows, rrows, 10 * SEC) == {(1, 1)}
+
+
+def test_guard_covers_both_sides(spark):
+    """The eager volume guard sums the predicted explode of BOTH
+    sides: a huge fan-out on the RIGHT side alone must trip it."""
+    lrows = [(1, 0, 10)]
+    rrows = [(1, 0, 3600 * SEC)]  # 3600 bins at 1 s width
+    with pytest.raises(CandidateVolumeExceeded, match="both\\s+sides"):
+        interval_overlap_join(
+            _iv_df(spark, lrows, "l"),
+            _iv_df(spark, rrows, "r"),
+            left_start="l_s",
+            left_end="l_e",
+            right_start="r_s",
+            right_end="r_e",
+            bin_us=SEC,
+            max_explode=100,
+        )
+
+
+def test_auto_bin_respects_max_explode_adversarial_mix(spark):
+    """Adversarial length mix — one giant interval among many tiny
+    ones drags Σ len far above n · median, so the naive median width
+    would blow the guard; the auto width must rise to satisfy it."""
+    rng = random.Random(7)
+    rows = [(i, s := rng.randrange(0, 10**9), s + 1000) for i in range(200)]
+    rows.append((999, 0, 10**12))  # the giant: 1e12 µs long
+    df = _iv_df(spark, rows, "l")
+    max_explode = 1000
+    bin_us = _auto_bin_us([(df, "l_s", "l_e")], max_explode)
+    predicted = df.select(
+        (
+            (F.unix_micros("l_e") - 1)
+            - (F.unix_micros("l_e") - 1) % bin_us
+            - (F.unix_micros("l_s") - F.unix_micros("l_s") % bin_us)
+        ).alias("span")
+    ).agg(
+        F.sum(F.expr(f"span div {bin_us} + 1")).alias("v")
+    ).collect()[0]["v"]
+    assert predicted <= max_explode
+    # and the join itself runs without tripping its guard
+    interval_overlap_join(
+        df,
+        _iv_df(spark, [(1, 0, 2000)], "r"),
+        left_start="l_s",
+        left_end="l_e",
+        right_start="r_s",
+        right_end="r_e",
+        max_explode=max_explode + 4,  # + right side's own bins
+    ).collect()
+
+
+def test_auto_bin_refuses_impossible_budget(spark):
+    """Every interval costs ≥ 2 (interval, bin) rows at any width:
+    max_explode below 2n is refused eagerly, not discovered as OOM."""
+    rows = [(i, i * 100, i * 100 + 50) for i in range(100)]
+    with pytest.raises(CandidateVolumeExceeded, match="at ANY bin width"):
+        _auto_bin_us([(_iv_df(spark, rows, "l"), "l_s", "l_e")], 150)
+
+
+def test_point_join_auto_bin_matches_explicit(spark):
+    """interval_point_join with bin_us=None returns the same rows as
+    any explicit width (bin width is a performance knob, never a
+    semantics knob)."""
+    rng = random.Random(5)
+    ivs = [
+        (i, s := rng.randrange(0, 3600 * SEC), s + rng.randrange(1, 600 * SEC))
+        for i in range(30)
+    ]
+    pts = [(i, rng.randrange(0, 4000 * SEC)) for i in range(300)]
+    iv_df = _iv_df(spark, ivs, "l")
+    pt_df = spark.createDataFrame(
+        [(i, _ts(u)) for i, u in pts], "p_id bigint, p_ts timestamp"
+    )
+    def pairs(bin_us):
+        return {
+            (r["p_id"], r["l_id"])
+            for r in interval_point_join(
+                pt_df, iv_df, point_ts="p_ts", start_ts="l_s",
+                end_ts="l_e", bin_us=bin_us,
+            ).collect()
+        }
+    auto = pairs(None)
+    assert auto == pairs(60 * SEC) == pairs(9973 * 1000)
+    assert auto  # non-degenerate

@@ -328,3 +328,23 @@ def test_r11_additions_plans(spark, sf_dir):
         .toString()
     )
     assert "Window" not in ohlc
+
+
+def test_r12_additions_plans(spark, sf_dir):
+    """Round-12 tier — the interval×interval overlap face: the whole
+    point of the binned overlap join is avoiding the
+    BroadcastNestedLoopJoin a naive ls<re AND rs<le join plans, so the
+    executed plan must contain only hash equi-joins (both interval
+    frames are truncated at construction, hiding their one-row
+    threshold broadcasts from the visible plan)."""
+    from bigdatamlteamrepo_spark.queries.registry import QUERIES as Q
+
+    plan = (
+        Q["session_burst_overlap"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -50,6 +50,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF01 = "/root/testdata/sf0.1"
 SF1_DIR = "/tmp/spark-graft-sf1"
 SEED = 20260816
+#: row-count multiplier over the sf0.1 base tables.  tools/sf10_walls.py
+#: overrides SCALE (=100) and SF1_DIR at import time to build the 100×
+#: fixture with the same distribution-matched recipe.
+SCALE = 10
 
 #: headliners to measure (the 5 most expensive per VERDICT_r9) and the
 #: tables each needs in the generated dir
@@ -77,8 +81,8 @@ def _gen_lineitem(con, rng) -> None:
     sizes = np.array(sorted(hist))
     probs = np.array([hist[s] for s in sizes], dtype=float)
     probs /= probs.sum()
-    n_orders = 1_500_000
-    n_parts = 200_000
+    n_orders = 150_000 * SCALE
+    n_parts = 20_000 * SCALE
     basket = rng.choice(sizes, size=n_orders, p=probs)
     n_rows = int(basket.sum())
     orderkey = np.repeat(np.arange(n_orders, dtype=np.int64), basket)
@@ -109,10 +113,10 @@ def _gen_lineitem(con, rng) -> None:
             "l_discount": np.round(rng.integers(0, 11, size=n_rows) / 100.0, 2),
             "l_tax": np.round(rng.integers(0, 9, size=n_rows) / 100.0, 2),
             "l_returnflag": pa.array(
-                [flags[i][0] for i in fidx], type=pa.string()
+                np.array([f[0] for f in flags])[fidx], type=pa.string()
             ),
             "l_linestatus": pa.array(
-                [flags[i][1] for i in fidx], type=pa.string()
+                np.array([f[1] for f in flags])[fidx], type=pa.string()
             ),
             "l_shipdate": pa.array(
                 np.datetime64(lo, "D")
@@ -177,7 +181,7 @@ def _gen_documents(con, rng) -> None:
         """
     ).fetchone()[0]
 
-    n_docs = 50_000
+    n_docs = 5_000 * SCALE
     n_sources = 20
     counts = rng.choice(wcs, size=n_docs, p=wcp)
     phrase_len = 30
@@ -235,7 +239,9 @@ def _gen_support_tables(con, rng) -> None:
             f"'{os.path.join(SF1_DIR, t + '.parquet')}' (FORMAT PARQUET)"
         )
 
-    n_orders, n_cust, n_supp, n_parts = 1_500_000, 150_000, 10_000, 200_000
+    n_orders, n_cust, n_supp, n_parts = (
+        150_000 * SCALE, 15_000 * SCALE, 1_000 * SCALE, 20_000 * SCALE
+    )
     lo = np.datetime64("1995-01-01")
     span = int(
         (np.datetime64("2001-08-01") - lo) / np.timedelta64(1, "D")
@@ -339,7 +345,7 @@ def _gen_support_tables(con, rng) -> None:
             }
         ),
     )
-    n_events, n_users = 1_000_000, 15_000
+    n_events, n_users = 100_000 * SCALE, 1_500 * SCALE
     ev_lo = np.datetime64("2024-01-01T00:00:00")
     ev_span_s = 30 * 24 * 3600
     etypes = np.array(["view", "click", "purchase", "signup", "error"])
@@ -372,7 +378,7 @@ def _gen_support_tables(con, rng) -> None:
     by_label: dict[int, list] = {}
     for lbl, vec in emb:
         by_label.setdefault(lbl, []).append(vec)
-    n_emb = 20_000
+    n_emb = 2_000 * SCALE
     labels = sorted(by_label)
     share = np.array([len(by_label[l]) for l in labels], dtype=float)
     share /= share.sum()
