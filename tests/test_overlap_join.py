@@ -186,3 +186,80 @@ def test_point_join_auto_bin_matches_explicit(spark):
     auto = pairs(None)
     assert auto == pairs(60 * SEC) == pairs(9973 * 1000)
     assert auto  # non-degenerate
+
+
+def _us_of(ts):
+    return (ts - datetime.datetime(1970, 1, 1)) // datetime.timedelta(
+        microseconds=1
+    )
+
+
+def _py_session_burst_overlap(events):
+    """Pure-Python replica of the face, straight from the definitions
+    (independent of BOTH the Spark plan and the DuckDB oracle — the
+    r09 'an oracle by the same hand can share the bug' lesson):
+    events = (user_id, ts_us, event_id)."""
+    HOUR = 3_600_000_000
+    # burst islands: above-mean error-hours happen on the caller side
+    # (this replica receives ALL events and filters)
+    err_hours: dict[int, int] = {}
+    for _, t, _, et in events:
+        if et == "error":
+            h = t - t % HOUR
+            err_hours[h] = err_hours.get(h, 0) + 1
+    total = sum(err_hours.values())
+    busy = sorted(h for h, c in err_hours.items() if c * 720 > total)
+    bursts = []  # [start_us, end_us)
+    for h in busy:
+        if bursts and h == bursts[-1][1]:
+            bursts[-1][1] = h + HOUR
+        else:
+            bursts.append([h, h + HOUR])
+    # sessions: 30-min whole-second gap rule per user, half-open +1 µs
+    by_user: dict[int, list] = {}
+    for u, t, eid, _ in events:
+        by_user.setdefault(u, []).append((t, eid))
+    sessions = []  # (user, start_us, end_us)
+    for u, evs in by_user.items():
+        evs.sort()
+        start = prev = evs[0][0]
+        for t, _ in evs[1:]:
+            if t // 1_000_000 - prev // 1_000_000 > 1800:
+                sessions.append((u, start, prev + 1))
+                start = t
+            prev = t
+        sessions.append((u, start, prev + 1))
+    out = {}
+    for bs, be in bursts:
+        n_sessions = n_us = 0
+        users = set()
+        for u, ss, se in sessions:
+            if ss < be and bs < se:
+                n_sessions += 1
+                users.add(u)
+                n_us += min(be, se) - max(bs, ss)
+        out[(bs, be)] = (n_sessions, len(users), n_us)
+    return out
+
+
+def test_face_matches_python_replica(spark, sf_dir):
+    from bigdatamlteamrepo_spark.catalog import load_table
+    from bigdatamlteamrepo_spark.queries.registry import QUERIES
+
+    events = [
+        (r["user_id"], _us_of(r["ts"]), r["event_id"], r["event_type"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ]
+    want = _py_session_burst_overlap(events)
+    got = {
+        (_us_of(r["start_ts"]), _us_of(r["end_ts"])): (
+            r["n_sessions"],
+            r["n_users"],
+            r["overlap_us"],
+        )
+        for r in QUERIES["session_burst_overlap"](spark, sf_dir).collect()
+    }
+    assert want, "degenerate fixture: no bursts"
+    assert got == want

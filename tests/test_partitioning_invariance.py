@@ -44,6 +44,7 @@ REPRESENTATIVES = [
     "purchases_in_error_bursts",   # island windows + binned range join
     "part_bfs_hop_census",         # iterative relax with per-round truncate
     "sessions_peak_concurrency",   # parallel prefix sum (Blelloch scan)
+    "session_burst_overlap",       # two-sided binned overlap join
 ]
 
 
