@@ -60,38 +60,59 @@ def _auto_bin_us(
 ) -> int:
     """Derive the bin width from the interval data (module docstring
     cost model): ONE bounded aggregate per interval frame computes
-    (count, Σ len, median len); width = max over frames of the median
-    length, raised if needed so the predicted explode volume
-    Σ (len/bin + 2) stays within ``max_explode``.
+    (count, Σ len, median len, time extent); width = max over frames of
+    the median length, raised if needed so the predicted explode volume
+    Σ (len/bin + 2) stays within ``max_explode``.  When the budget is
+    tighter than the analytic bound can certify (``max_explode ≤ 2n``)
+    but still ≥ one bin per interval, the width degrades to the whole
+    time extent — every interval then lands in a single bin (the join
+    degenerates toward all-pairs, which is exactly what such a tight
+    budget implies) and the exact Σ-bins count is n.
 
-    Raises :class:`CandidateVolumeExceeded` when no width can satisfy
-    the guard (2n alone exceeds ``max_explode`` — every interval costs
-    at least its two boundary bins)."""
+    Raises :class:`CandidateVolumeExceeded` only when ``max_explode``
+    is below n itself — the true floor: Σ bins ≥ n at EVERY width,
+    since each interval occupies at least one bin."""
     n_total = 0
     len_total = 0
     p50_max = 1
+    extent = 1
     for df, start, end in iv_stats:
         row = (
-            df.select((_us(end) - _us(start)).alias("__len"))
+            df.select(
+                (_us(end) - _us(start)).alias("__len"),
+                _us(start).alias("__s"),
+                _us(end).alias("__e"),
+            )
             .filter(F.col("__len") > 0)
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("__len").alias("s"),
                 F.percentile_approx("__len", 0.5).alias("p50"),
+                F.min("__s").alias("lo"),
+                F.max("__e").alias("hi"),
             )
             .collect()[0]
         )
         n_total += row["n"] or 0
         len_total += row["s"] or 0
         p50_max = max(p50_max, int(row["p50"] or 1))
+        if row["n"]:
+            extent = max(extent, abs(int(row["lo"])), abs(int(row["hi"])))
     if n_total == 0:
         return p50_max
-    if 2 * n_total >= max_explode:
+    if n_total >= max_explode:
         raise CandidateVolumeExceeded(
-            f"{n_total} intervals need at least {2 * n_total} "
-            f"(interval, bin) rows at ANY bin width, exceeding "
-            f"max_explode={max_explode}; pre-aggregate the intervals"
+            f"{n_total} intervals need at least {n_total} "
+            f"(interval, bin) rows at ANY bin width (one bin each), "
+            f"exceeding max_explode={max_explode}; pre-aggregate the "
+            "intervals"
         )
+    if 2 * n_total >= max_explode:
+        # analytic bound Σ(len/b + 2) can't certify this budget; a
+        # width covering the whole time extent puts every interval in
+        # the single bin containing 0 (x − x % b == 0 for |x| < b in
+        # Spark's sign-of-dividend %), so exact Σ bins == n < budget
+        return extent + 1
     floor_for_guard = -(-len_total // (max_explode - 2 * n_total))  # ceil
     return max(p50_max, int(floor_for_guard))
 
@@ -109,9 +130,11 @@ def interval_point_join(
     every ``intervals`` row where ``start ≤ ts < end``.  All three
     columns are timestamps; ``bin_us`` is the bin width in microseconds
     — pass ``None`` (default) to derive it from the interval lengths
-    via the module cost model (:func:`_auto_bin_us`; one extra bounded
-    aggregate over the interval frame).  Output carries all columns of
-    both inputs (names must not clash).
+    via the module cost model (:func:`_auto_bin_us`; ONE bounded
+    aggregate over the interval frame, which also certifies the volume
+    bound, so the separate exact guard below is skipped on the auto
+    path).  Output carries all columns of both inputs (names must not
+    clash).
 
     Raises :class:`CandidateVolumeExceeded` when the exact predicted
     explode volume Σ (bins per interval) exceeds ``max_explode`` — one
@@ -124,7 +147,8 @@ def interval_point_join(
     )
     if clash:
         raise ValueError(f"interval_point_join: column clash {sorted(clash)}")
-    if bin_us is None:
+    auto = bin_us is None
+    if auto:
         bin_us = _auto_bin_us(
             [(intervals, start_ts, end_ts)], max_explode
         )
@@ -139,14 +163,18 @@ def interval_point_join(
         # last bin START covering [start, end): bin of end - 1 µs
         ((_us(end_ts) - 1) - (_us(end_ts) - 1) % bin_us).alias("__b1"),
     )
-    predicted = iv.agg(
-        F.sum(F.expr(f"(__b1 - __b0) div {bin_us} + 1")).alias("v")
-    ).collect()[0]["v"]
-    if predicted is not None and predicted > max_explode:
-        raise CandidateVolumeExceeded(
-            f"predicted interval explode volume {int(predicted)} exceeds "
-            f"{max_explode}; widen bin_us or pre-aggregate the intervals"
-        )
+    if not auto:
+        # the auto path's width already certifies the bound (exact
+        # Σ bins ≤ Σ(len/b) + 2n ≤ max_explode by construction), so the
+        # exact-guard aggregate only runs for caller-chosen widths
+        predicted = iv.agg(
+            F.sum(F.expr(f"(__b1 - __b0) div {bin_us} + 1")).alias("v")
+        ).collect()[0]["v"]
+        if predicted is not None and predicted > max_explode:
+            raise CandidateVolumeExceeded(
+                f"predicted interval explode volume {int(predicted)} exceeds "
+                f"{max_explode}; widen bin_us or pre-aggregate the intervals"
+            )
 
     iv_binned = iv.select(
         *intervals.columns,
@@ -181,7 +209,9 @@ def interval_overlap_join(
     intersect, i.e. ``ls < re AND rs < le``.  All four columns are
     timestamps; empty/inverted intervals (``end ≤ start``) overlap
     nothing and are dropped on both sides.  ``bin_us=None`` derives the
-    width from BOTH sides' interval lengths (:func:`_auto_bin_us`).
+    width from BOTH sides' interval lengths (:func:`_auto_bin_us` —
+    one bounded aggregate per side, which also certifies the volume
+    bound, so the separate exact guard is skipped on the auto path).
     Output carries all columns of both inputs (names must not clash).
 
     Exactly-once without a distinct pass: a candidate pair surfaces in
@@ -202,7 +232,8 @@ def interval_overlap_join(
         raise ValueError(
             f"interval_overlap_join: column clash {sorted(clash)}"
         )
-    if bin_us is None:
+    auto = bin_us is None
+    if auto:
         bin_us = _auto_bin_us(
             [(left, left_start, left_end), (right, right_start, right_end)],
             max_explode,
@@ -217,18 +248,21 @@ def interval_overlap_join(
 
     lb = _binned(left, left_start, left_end)
     rb = _binned(right, right_start, right_end)
-    predicted = sum(
-        side.agg(
-            F.sum(F.expr(f"(__b1 - __b0) div {bin_us} + 1")).alias("v")
-        ).collect()[0]["v"]
-        or 0
-        for side in (lb, rb)
-    )
-    if predicted > max_explode:
-        raise CandidateVolumeExceeded(
-            f"predicted interval explode volume {int(predicted)} over both "
-            f"sides exceeds {max_explode}; widen bin_us or pre-aggregate"
+    if not auto:
+        # auto widths already certify the bound (see interval_point_join)
+        predicted = sum(
+            side.agg(
+                F.sum(F.expr(f"(__b1 - __b0) div {bin_us} + 1")).alias("v")
+            ).collect()[0]["v"]
+            or 0
+            for side in (lb, rb)
         )
+        if predicted > max_explode:
+            raise CandidateVolumeExceeded(
+                f"predicted interval explode volume {int(predicted)} over "
+                f"both sides exceeds {max_explode}; widen bin_us or "
+                "pre-aggregate"
+            )
 
     def _explode(df: DataFrame, cols: list[str]) -> DataFrame:
         return df.select(

@@ -34,6 +34,7 @@ from bigdatamlteamrepo_spark.operators.rangejoin import (
     interval_overlap_join,
     interval_point_join,
 )
+from bigdatamlteamrepo_spark.queries.concurrency import GAP_SECONDS
 from bigdatamlteamrepo_spark.queries.registry import query
 
 #: hours in the January event window (dense spine; scale-free mean)
@@ -190,7 +191,7 @@ iv AS (
 ),
 flagged AS (
   SELECT user_id, ts, event_id,
-         CASE WHEN date_diff('second', lag(ts) OVER w, ts) > 1800
+         CASE WHEN date_diff('second', lag(ts) OVER w, ts) > {GAP_SECONDS}
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -214,7 +215,10 @@ matched AS (
     ON s.s_start < iv.end_ts AND iv.start_ts < s.s_end
 )
 SELECT iv.start_ts, iv.end_ts, CAST(iv.n_hours AS BIGINT) AS n_hours,
-       CAST(COUNT(m.user_id) AS BIGINT) AS n_sessions,
+       -- count the never-null overlap length, not user_id: a NULL
+       -- user_id session would be skipped here but counted by the
+       -- Spark side's count(lit(1)) over matched rows
+       CAST(COUNT(m.o_us) AS BIGINT) AS n_sessions,
        CAST(COUNT(DISTINCT m.user_id) AS BIGINT) AS n_users,
        CAST(COALESCE(SUM(m.o_us), 0) AS BIGINT) AS overlap_us
 FROM iv LEFT JOIN matched m
@@ -224,33 +228,21 @@ GROUP BY 1, 2, 3
 
 
 def user_sessions_intervals(ev: DataFrame) -> DataFrame:
-    """Per-user 30-minute-gap sessionization (same rule as
-    events_user_sessions / sessions_peak_concurrency) as half-open
-    intervals: ``(user_id, session_no, s_start, s_end)`` with
-    ``s_end = last event + 1 µs``."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-            > 1800,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("new_session"),
+    """Per-user 30-minute-gap sessionization as HALF-OPEN intervals:
+    ``(user_id, session_no, s_start, s_end)`` with ``s_end = last
+    event + 1 µs``.  The gap rule itself lives in ONE place —
+    :func:`~bigdatamlteamrepo_spark.queries.concurrency.user_session_spans`
+    (shared with sessions_peak_concurrency), so it cannot drift between
+    faces; this wrapper only applies the half-open end bump."""
+    from bigdatamlteamrepo_spark.queries.concurrency import (
+        user_session_spans,
     )
-    numbered = flagged.select(
+
+    return user_session_spans(ev).select(
         "user_id",
-        "ts",
-        F.sum("new_session")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("session_no"),
-    )
-    return numbered.groupBy("user_id", "session_no").agg(
-        F.min("ts").alias("s_start"),
-        F.timestamp_micros(F.unix_micros(F.max("ts")) + 1).alias("s_end"),
+        "session_no",
+        F.col("start_ts").alias("s_start"),
+        F.timestamp_micros(F.unix_micros("end_ts") + 1).alias("s_end"),
     )
 
 

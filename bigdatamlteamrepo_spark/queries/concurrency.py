@@ -40,6 +40,39 @@ from bigdatamlteamrepo_spark.queries.registry import query
 #: session inactivity timeout — same rule as events_user_sessions
 GAP_SECONDS = 1800
 
+
+def user_session_spans(ev: DataFrame) -> DataFrame:
+    """Per-user 30-minute-gap sessionization (the events_user_sessions
+    rule: whole-second lag diff > GAP_SECONDS) as CLOSED event spans —
+    ``(user_id, session_no, start_ts, end_ts)`` with start/end the
+    first/last event instants.  Shared by this face and the
+    bursts overlap face (which bumps the end by +1 µs to go
+    half-open); the single definition keeps the gap rule from
+    drifting between faces."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > GAP_SECONDS,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+
 _PEAK_ORACLE = f"""
 WITH flagged AS (
   SELECT user_id, ts, event_id,
@@ -84,29 +117,7 @@ def sessions_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (30-minute inactivity rule), plus boundary and session-start
     counts."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-            > GAP_SECONDS,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("new_session"),
-    )
-    numbered = flagged.select(
-        "user_id",
-        "ts",
-        F.sum("new_session")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("session_no"),
-    )
-    sessions = numbered.groupBy("user_id", "session_no").agg(
-        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
-    )
+    sessions = user_session_spans(ev)
     boundaries = sessions.select(
         F.col("start_ts").alias("ts"),
         F.lit(1).alias("delta"),

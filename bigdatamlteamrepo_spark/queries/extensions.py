@@ -605,7 +605,12 @@ _MP_FLIP = 2
 def _ann_multiprobe_oracle() -> str:
     """DuckDB twin of the multi-probe sketch: per-plane dots are the
     same sequential folds, so |margin| ordering (tie-broken by plane)
-    and the XOR'd probe buckets match bit-for-bit."""
+    and the XOR'd probe buckets match bit-for-bit.
+
+    Currently UNREFERENCED: the face was deregistered in r12 (registry
+    headroom; see the comment above ann_rp_lsh_multiprobe_topk).  Kept,
+    like sketches._KMV_BY_FLAG_ORACLE, so a future re-registration
+    round-trips without digging through git history."""
     rows = []
     for p in range(_ANN_PLANES):
         vals = hyperplane_values(_LSH_DIM, p, _LSH_SEED)

@@ -154,11 +154,39 @@ def test_auto_bin_respects_max_explode_adversarial_mix(spark):
 
 
 def test_auto_bin_refuses_impossible_budget(spark):
-    """Every interval costs ≥ 2 (interval, bin) rows at any width:
-    max_explode below 2n is refused eagerly, not discovered as OOM."""
+    """The true floor is ONE bin per interval: max_explode below n is
+    refused eagerly, not discovered as OOM."""
     rows = [(i, i * 100, i * 100 + 50) for i in range(100)]
     with pytest.raises(CandidateVolumeExceeded, match="at ANY bin width"):
-        _auto_bin_us([(_iv_df(spark, rows, "l"), "l_s", "l_e")], 150)
+        _auto_bin_us([(_iv_df(spark, rows, "l"), "l_s", "l_e")], 99)
+
+
+def test_auto_bin_tight_budget_degrades_to_wide_bins(spark):
+    """n ≤ max_explode ≤ 2n (the analytic Σ(len/b + 2) bound can't
+    certify it): the width degrades to the whole time extent, every
+    interval lands in ONE bin, the exact Σ-bins guard passes, and the
+    join result is unchanged (bin width is never a semantics knob)."""
+    rows = [(i, i * 100, i * 100 + 50) for i in range(100)]
+    df = _iv_df(spark, rows, "l")
+    bin_us = _auto_bin_us([(df, "l_s", "l_e")], 150)
+    n_bins = df.select(
+        (
+            (F.unix_micros("l_e") - 1)
+            - (F.unix_micros("l_e") - 1) % bin_us
+            - (F.unix_micros("l_s") - F.unix_micros("l_s") % bin_us)
+        ).alias("span")
+    ).agg(F.sum(F.expr(f"span div {bin_us} + 1")).alias("v")).collect()[0]["v"]
+    assert n_bins == 100  # one bin each
+    rrows = [(j, j * 300, j * 300 + 120) for j in range(40)]
+    got = interval_overlap_join(
+        df, _iv_df(spark, rrows, "r"),
+        left_start="l_s", left_end="l_e",
+        right_start="r_s", right_end="r_e",
+        max_explode=150 + 80,  # + right side's own bins
+    ).collect()
+    pairs = {(r["l_id"], r["r_id"]) for r in got}
+    assert len(got) == len(pairs)
+    assert pairs == _brute(rows, rrows)
 
 
 def test_point_join_auto_bin_matches_explicit(spark):

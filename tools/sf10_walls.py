@@ -64,11 +64,14 @@ def main() -> None:
             spark.sparkContext.setLogLevel("ERROR")
             spark.range(1_000_000).selectExpr("sum(id)").collect()
             t0 = time.time()
-            n = len(fn(spark, d).collect())
+            df = fn(spark, d)  # construction (incl. eager truncates) timed
+            n = len(df.collect())
             wall = time.time() - t0
-            plan = (
-                fn(spark, d)._jdf.queryExecution().executedPlan().toString()
-            )
+            # plan of the SAME executed frame, AFTER the action — the
+            # AQE-final plan, with no second construction/execution
+            # (a fresh fn() call would re-run multi-minute eager
+            # checkpoint stages just to stringify a pre-AQE tree)
+            plan = df._jdf.queryExecution().executedPlan().toString()
             rec[label] = wall
             rec[f"{label}_rows"] = n
             rec[f"{label}_exchanges"] = plan.count("Exchange ")
