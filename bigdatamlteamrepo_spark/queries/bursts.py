@@ -246,7 +246,7 @@ def user_sessions_intervals(ev: DataFrame) -> DataFrame:
     )
 
 
-@query("session_burst_overlap", oracle=_SESSION_OVERLAP_ORACLE)
+@query("session_burst_overlap", oracle=_SESSION_OVERLAP_ORACLE, bench=True)
 def session_burst_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per error-burst window: how many user sessions overlapped it,
     how many distinct users those were, and the total session∩burst
