@@ -291,3 +291,38 @@ def test_face_matches_python_replica(spark, sf_dir):
     }
     assert want, "degenerate fixture: no bursts"
     assert got == want
+
+
+def test_auto_bin_tight_budget_pre_epoch_timestamps(spark):
+    """Genuinely negative unix-µs (pre-1970) intervals through the
+    tight-budget wide-bin path: the extent uses |min_start| too, so
+    every interval still lands in the single bin containing 0 (Spark's
+    sign-of-dividend %: x − x % b == 0 for |x| < b) and brute-force
+    equality holds."""
+    epoch = datetime.datetime(1970, 1, 1)
+
+    def _pre(us):  # absolute timestamp at negative unix-µs
+        return epoch + datetime.timedelta(microseconds=us)
+
+    lrows = [(i, -5_000_000 + i * 1000, -5_000_000 + i * 1000 + 400)
+             for i in range(30)]
+    rrows = [(j, -5_000_000 + j * 2500, -5_000_000 + j * 2500 + 900)
+             for j in range(12)]
+    ldf = spark.createDataFrame(
+        [(i, _pre(s), _pre(e)) for i, s, e in lrows],
+        "l_id bigint, l_s timestamp, l_e timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(j, _pre(s), _pre(e)) for j, s, e in rrows],
+        "r_id bigint, r_s timestamp, r_e timestamp",
+    )
+    got = interval_overlap_join(
+        ldf, rdf,
+        left_start="l_s", left_end="l_e",
+        right_start="r_s", right_end="r_e",
+        max_explode=2 * (30 + 12) - 1,  # force the wide-bin path
+    ).collect()
+    pairs = {(r["l_id"], r["r_id"]) for r in got}
+    assert len(got) == len(pairs)
+    want = _brute(lrows, rrows)
+    assert want and pairs == want
