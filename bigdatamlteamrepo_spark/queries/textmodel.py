@@ -155,14 +155,16 @@ def doc_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus itself scores every document; per-language perplexity
     terciles (1 = head / fluent, 3 = tail) are what a sampler consumes.
 
-    Scale shape: one bigram-count aggregation (shuffle key = bigram,
-    map-side partial agg collapses repeats), one equi-join of exploded
-    document bigrams against the LM table (both sides hash-partitioned
-    on ``bigram`` — AQE handles the Zipf head), one per-doc integer sum,
-    and a per-language ntile window over the *per-document* frame (one
-    row per doc, thousands of times smaller than the token data).  The
-    per-bigram log-prob is quantized to micro-nats (BIGINT) before the
-    per-doc sum, so partial-agg order can never change a hash bit.
+    Scale shape: the exploded bigram stream is evaluated ONCE and gets
+    its model counts (c_xy, c_x) from two window counts over its own
+    keys — shuffle keys ``bigram`` then ``x``, the same hot-key
+    characteristics as the former count-table join (all instances of a
+    bigram land on one task either way) with no second evaluation of
+    the stream; then one per-doc integer sum and a per-language ntile
+    window over the *per-document* frame (one row per doc, thousands
+    of times smaller than the token data).  The per-bigram log-prob is
+    quantized to micro-nats (BIGINT) before the per-doc sum, so
+    partial-agg order can never change a hash bit.
 
     The conditional ``p(y|x) = (c_xy + k) / (c_x + k·V)`` uses the
     corpus vocabulary size V — one broadcast scalar."""
@@ -185,28 +187,29 @@ def lm_perplexity_frame(docs: DataFrame) -> DataFrame:
             F.explode(shingles(F.col("toks"), 2)).alias("bigram"),
         )
     )
-    lm = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_xy"))
-    uni = (
-        lm.withColumn("x", F.split("bigram", " ")[0])
-        .groupBy("x")
-        .agg(F.sum("c_xy").cast("bigint").alias("c_x"))
-    )
     vsz = t.select(F.explode("toks").alias("tok")).agg(
         F.countDistinct("tok").alias("vsz")
     )
+    # c_xy / c_x attached to the bigram stream by two window counts
+    # instead of a count table + unigram fold + join-back: the model
+    # counts are occurrence counts of the stream's OWN keys (c_xy =
+    # rows per bigram, c_x = rows per first token), so window counts
+    # over the stream equal the table lookups row for row — and the
+    # stream (tokenize → shingle → explode, the dominant compute) is
+    # evaluated ONCE instead of once per model branch (the former plan
+    # re-derived the bigram aggregation for uni and lmx — 8 corpus
+    # scans, plans/r12/doc_lm_perplexity_before.txt; r12 measured at
+    # sf0.1: 2.09 → 1.64 s min, 2.22 → 1.80 s median, guide §2.3/§2.4)
     lp = F.log(
         (F.col("c_xy") + F.lit(LM_K))
         / (F.col("c_x") + F.lit(LM_K) * F.col("vsz"))
     )
-    # fold c_x into the LM table first (LM-sized join) so the exploded
-    # document stream shuffles against the model exactly once
-    lmx = (
-        lm.withColumn("x", F.split("bigram", " ")[0])
-        .join(uni, "x")
-        .select("bigram", "c_xy", "c_x")
-    )
     scored = (
-        bg.join(lmx, "bigram")
+        bg.withColumn(
+            "c_xy", F.count(F.lit(1)).over(Window.partitionBy("bigram"))
+        )
+        .withColumn("x", F.split("bigram", " ")[0])
+        .withColumn("c_x", F.count(F.lit(1)).over(Window.partitionBy("x")))
         .crossJoin(F.broadcast(vsz))
         .select(
             "doc_id",
