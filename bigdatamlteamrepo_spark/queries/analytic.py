@@ -1088,23 +1088,29 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-quantized values (functions/numeric.dsum), so the card is
     reduction-order-free.  Plan: one scan, one per-source agg, one
     stack() projection — no joins between heavyweight tiers."""
-    from bigdatamlteamrepo_spark.queries.pipeline import gopher_rule_flags
+    from bigdatamlteamrepo_spark.queries.pipeline import gopher_flag_exprs
     from bigdatamlteamrepo_spark.queries.text_dedup import _with_tokens
 
     docs = _with_tokens(spark, sf_dir)
-    flags = gopher_rule_flags(docs, "doc_id")
+    # the Gopher flags are row-local expressions over ``toks`` — compute
+    # pass_gopher IN the same projection instead of joining the flags
+    # frame back on doc_id (r12: that inner join was the card's only
+    # shuffle join and evaluated tokenize + the flag arithmetic on a
+    # SECOND corpus pass; the size>0 filter replaces the join's
+    # implicit drop of token-less docs, guide §2.4)
+    fx = gopher_flag_exprs()
     pass_g = (
         (
-            F.col("f_words")
-            + F.col("f_mwl")
-            + F.col("f_alpha")
-            + F.col("f_stop")
-            + F.col("f_longword")
+            fx["f_words"]
+            + fx["f_mwl"]
+            + fx["f_alpha"]
+            + fx["f_stop"]
+            + fx["f_longword"]
         )
         == 0
     ).cast("int")
     toks = F.col("toks")
-    t = docs.select(
+    t = docs.filter(F.size(toks) > 0).select(
         "doc_id",
         "source",
         "n_chars",
@@ -1114,7 +1120,8 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(toks)).cast("double")
             / F.greatest(F.size(toks), F.lit(1)).cast("double")
         ).alias("ttr"),
-    ).join(flags.select("doc_id", pass_g.alias("pass_gopher")), "doc_id")
+        pass_g.alias("pass_gopher"),
+    )
     a = t.groupBy("source").agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum("n_chars").cast("double").alias("total_chars"),

@@ -204,7 +204,16 @@ def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
     """Core of :func:`doc_tfidf_top_terms` over any (doc_id, text)
     frame — separated so property tests can drive it with generated
-    corpora."""
+    corpora.
+
+    ``df`` is derived FROM the tf table: tf is distinct on (doc, term)
+    by construction, so rows-per-term in tf IS the document frequency —
+    attached by one window count over ``term``.  The former plan
+    re-exploded the corpus for a ``distinct()`` branch and joined the
+    df table back on term: one extra corpus explode + one extra
+    full-stream shuffle for numbers the tf table already contains
+    (r12, guide §2.3/§2.4; measured at sf0.1: 0.97 → 0.89 s min,
+    1.13 → 1.02 s median, scans 6 → 4)."""
     t = ensure_tokens(docs, "doc_id")
     td = t.filter(F.size("toks") > 0).select(
         "doc_id", F.explode("toks").alias("term")
@@ -213,27 +222,21 @@ def tfidf_top_terms(docs: DataFrame, top_k: int = 3) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs")
     )
     tf = td.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = (
-        td.distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
+    idf_micro = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df")) * _MICRO
+    ).cast("bigint")
+    scored = (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .select(
+            "doc_id",
             "term",
-            "df",
-            F.round(
-                F.log(F.col("n_docs").cast("double") / F.col("df")) * _MICRO
-            )
-            .cast("bigint")
-            .alias("idf_micro"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            (F.col("tf") * idf_micro).cast("bigint").alias("tfidf_micro"),
         )
-    )
-    scored = tf.join(df, "term").select(
-        "doc_id",
-        "term",
-        F.col("tf").cast("bigint").alias("tf"),
-        F.col("df").cast("bigint").alias("df"),
-        (F.col("tf") * F.col("idf_micro")).cast("bigint").alias("tfidf_micro"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf_micro"), "term")
     return (

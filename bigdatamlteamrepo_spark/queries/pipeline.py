@@ -221,11 +221,15 @@ FROM r GROUP BY source
 """
 
 
-def gopher_rule_flags(docs: DataFrame, *extra_cols: str) -> DataFrame:
-    """Per-document Gopher rule failure flags (0/1 ints) + token count
-    ``n`` — row-local array expressions only; reused by the audit query
-    and the corpus-selection capstone."""
-    t = ensure_tokens(docs, *extra_cols).filter(F.size("toks") > 0)
+def gopher_flag_exprs() -> dict[str, F.Column]:
+    """The five Gopher rule failure flags (0/1 int Columns) over a
+    ``toks`` array column — row-local expressions with no frame
+    attached, so consumers that already carry ``toks`` (the data card)
+    can compute the flags IN their own projection instead of joining
+    :func:`gopher_rule_flags` back on doc_id (r12: that join was the
+    data card's only shuffle join and re-evaluated tokenize + the flag
+    arithmetic on a second corpus pass).  Single definition: the frame
+    form below derives from this one."""
     n = F.size("toks")
     mwl = (
         F.aggregate(
@@ -241,19 +245,26 @@ def gopher_rule_flags(docs: DataFrame, *extra_cols: str) -> DataFrame:
     )
     stop_arr = F.array(*[F.lit(w) for w in _GO_STOPWORDS])
     n_stop = F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
-    f_words = ((n < _GO_MIN_WORDS) | (n > _GO_MAX_WORDS)).cast("int")
-    f_mwl = ((mwl < _GO_MWL_RANGE[0]) | (mwl > _GO_MWL_RANGE[1])).cast("int")
-    f_alpha = (alpha_frac < _GO_MIN_ALPHA_FRAC).cast("int")
-    f_stop = (n_stop < _GO_MIN_STOPWORDS).cast("int")
-    f_longword = (maxwl > _GO_MAX_WORD_LEN).cast("int")
+    return {
+        "f_words": ((n < _GO_MIN_WORDS) | (n > _GO_MAX_WORDS)).cast("int"),
+        "f_mwl": (
+            (mwl < _GO_MWL_RANGE[0]) | (mwl > _GO_MWL_RANGE[1])
+        ).cast("int"),
+        "f_alpha": (alpha_frac < _GO_MIN_ALPHA_FRAC).cast("int"),
+        "f_stop": (n_stop < _GO_MIN_STOPWORDS).cast("int"),
+        "f_longword": (maxwl > _GO_MAX_WORD_LEN).cast("int"),
+    }
+
+
+def gopher_rule_flags(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """Per-document Gopher rule failure flags (0/1 ints) + token count
+    ``n`` — row-local array expressions only; reused by the audit query
+    and the corpus-selection capstone."""
+    t = ensure_tokens(docs, *extra_cols).filter(F.size("toks") > 0)
     return t.select(
         *extra_cols,
-        n.alias("n"),
-        f_words.alias("f_words"),
-        f_mwl.alias("f_mwl"),
-        f_alpha.alias("f_alpha"),
-        f_stop.alias("f_stop"),
-        f_longword.alias("f_longword"),
+        F.size("toks").alias("n"),
+        *[c.alias(k) for k, c in gopher_flag_exprs().items()],
     )
 
 

@@ -43,10 +43,18 @@ def main() -> None:
         help="dump formatted plan to plans/r12/<name>_<suffix>.txt",
     )
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="k=v",
+        help="extra session conf (repeatable) for config A/B probes",
+    )
     args = ap.parse_args()
     names = list(BENCH_SET) if args.all else args.names
 
-    spark = get_spark(app_name="opt-probe-r12")
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark(app_name="opt-probe-r12", extra_conf=extra or None)
     stagecache.disable()
     sc = spark.sparkContext
 
