@@ -19,7 +19,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdatamlteamrepo_spark import stagecache
@@ -1448,13 +1448,20 @@ def doc_shared_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs 1.1 s for the array frame + 0.2 s per re-explode at sf0.1 —
     # checkpointing exploded rows pays row-at-a-time storage costs on
     # n_shingles × n_docs rows for no reuse benefit
+    # corpus frequency attached by ONE window count over the exploded
+    # stream's own key — the former groupBy(g) + join-back exploded the
+    # checkpointed set frame twice and shuffled the stream by g twice
+    # (once into the count agg, once into the join); the window keeps
+    # the same shuffle key with one explode and one exchange (r12,
+    # guide §2.3/§2.4; measured at sf0.1: 1.03 → 0.81 s min,
+    # 1.13 → 0.87 s median, noop sink min-of-5)
     sets = _shingle_sets_m(spark, sf_dir)
     ex = sets.select("doc_id", F.explode("s").alias("g"))
-    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    nd = F.count(F.lit(1)).over(Window.partitionBy("g"))
     shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long")
     n = F.count(F.lit(1))
     return (
-        ex.join(freq, "g")
+        ex.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
             n.alias("n_shingles"),

@@ -425,8 +425,68 @@ def kn(spark) -> None:
     def ckpt() -> DataFrame:
         return _score(_model_ckpt())
 
+    def win() -> DataFrame:
+        """c_xy/c_x/n1f/n1b attached by windows over the doc-keyed
+        stream itself (1 stream eval + 1 for B) vs the count-table
+        build's 10 scans."""
+        bg = (
+            ensure_tokens(docs, "doc_id", "lang")
+            .filter(F.size("toks") >= 2)
+            .select(
+                "doc_id",
+                "lang",
+                F.explode(shingles(F.col("toks"), 2)).alias("bigram"),
+            )
+            .withColumn("x", F.split("bigram", " ")[0])
+            .withColumn("y", F.split("bigram", " ")[1])
+        )
+        b = (
+            ensure_tokens(docs, "doc_id")
+            .filter(F.size("toks") >= 2)
+            .select(F.explode(shingles(F.col("toks"), 2)).alias("bigram"))
+            .agg(F.countDistinct("bigram").alias("n_bigram_types"))
+        )
+        wb = Window.partitionBy("bigram")
+        wx = Window.partitionBy("x")
+        wy = Window.partitionBy("y")
+        scored_in = (
+            bg.withColumn("c_xy", F.count(F.lit(1)).over(wb))
+            .withColumn("c_x", F.count(F.lit(1)).over(wx))
+            .withColumn("n1f", F.size(F.collect_set("bigram").over(wx)))
+            .withColumn("n1b", F.size(F.collect_set("bigram").over(wy)))
+            .crossJoin(F.broadcast(b))
+        )
+        p = (F.col("c_xy") - KN_D) / F.col("c_x") + (
+            F.lit(KN_D) * F.col("n1f") / F.col("c_x")
+        ) * (F.col("n1b").cast("double") / F.col("n_bigram_types"))
+        scored = scored_in.select(
+            "doc_id",
+            "lang",
+            F.round(F.log(p) * MICRO).cast("bigint").alias("lp_micro"),
+        )
+        agg = scored.groupBy("doc_id", "lang").agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lp_micro").cast("bigint").alias("lp_sum_micro"),
+        )
+        mean_lp = (
+            F.col("lp_sum_micro").cast("double") / MICRO / F.col("n_bigrams")
+        )
+        w = Window.partitionBy("lang").orderBy(
+            (F.col("lp_sum_micro").cast("double") / F.col("n_bigrams")).desc(),
+            "doc_id",
+        )
+        return agg.select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "lp_sum_micro",
+            F.round(F.exp(-mean_lp), 6).alias("perplexity"),
+            F.ntile(3).over(w).cast("bigint").alias("ppl_tercile"),
+        )
+
     check_equal(cur(), ckpt(), "kn ckpt")
-    ab("kn perplexity", {"current": cur, "ckpt": ckpt})
+    check_equal(cur(), win(), "kn win")
+    ab("kn perplexity", {"current": cur, "ckpt": ckpt, "win": win})
 
 
 # --------------------------------------------------------------------
@@ -513,6 +573,48 @@ def lpa(spark) -> None:
     ab("lpa", {"current": cur, "lazy": lazy})
 
 
+def shingle(spark) -> None:
+    """doc_shared_shingle_stats: corpus-frequency attach via window
+    count over the exploded stream vs the current groupBy + join-back
+    (the same §2.3/§2.4 pattern the substring/passage faces got)."""
+    from bigdatamlteamrepo_spark.queries.text_dedup import _shingle_sets_m
+
+    def cur() -> DataFrame:
+        sets = _shingle_sets_m(spark, SF)
+        ex = sets.select("doc_id", F.explode("s").alias("g"))
+        freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+        shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long")
+        n = F.count(F.lit(1))
+        return (
+            ex.join(freq, "g")
+            .groupBy("doc_id")
+            .agg(
+                n.alias("n_shingles"),
+                shared.alias("n_shared"),
+                (shared.cast("double") / n).alias("shared_frac"),
+            )
+        )
+
+    def win() -> DataFrame:
+        sets = _shingle_sets_m(spark, SF)
+        ex = sets.select("doc_id", F.explode("s").alias("g"))
+        nd = F.count(F.lit(1)).over(Window.partitionBy("g"))
+        shared = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long")
+        n = F.count(F.lit(1))
+        return (
+            ex.withColumn("nd", nd)
+            .groupBy("doc_id")
+            .agg(
+                n.alias("n_shingles"),
+                shared.alias("n_shared"),
+                (shared.cast("double") / n).alias("shared_frac"),
+            )
+        )
+
+    check_equal(cur(), win(), "shingle window")
+    ab("doc_shared_shingle_stats", {"current": cur, "window": win})
+
+
 PROBES = {
     "substring": substring,
     "passage": passage,
@@ -521,6 +623,7 @@ PROBES = {
     "kn": kn,
     "novelty": novelty,
     "lpa": lpa,
+    "shingle": shingle,
 }
 
 
