@@ -141,12 +141,20 @@ def connected_components(
     if parts < e.rdd.getNumPartitions():
         e = e.coalesce(parts)
 
-    # track every vertex: isolated-after-contraction roots must survive
-    nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct().cache()
-    labels = None
     if small_graph_edges and e_count <= small_graph_edges:
-        labels = _local_components(e).localCheckpoint(eager=True)
-        converged = True
+        # union-find emits (node, root) for EVERY endpoint including the
+        # roots themselves, so the isolated-root anti-join below would be
+        # a structural no-op on this path — return the labels directly.
+        # Saves the nodes-distinct, anti-join/union and final-checkpoint
+        # jobs: three sequential barriers on a tiny frame (r12, guide
+        # §2.4; measured inside neardup_dedup_summary at sf0.1).
+        return _local_components(e).localCheckpoint(eager=True)
+
+    # track every vertex: isolated-after-contraction roots must survive.
+    # Lazy (no cache): it derives from the checkpointed canonical edge
+    # list and is referenced once, by the roots anti-join.
+    nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
+    labels = None
     for rnd in range(max_rounds if labels is None else 0):
         # ---- large-star: (v > u) → m(u), over the SYMMETRIC neighbor list
         nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -193,22 +201,18 @@ def connected_components(
             break
         e, e_count = e2, e2_count
     if not converged:
-        nodes.unpersist()
         raise RuntimeError(
             f"star contraction did not converge in {max_rounds} rounds"
         )
 
-    # converged state: every edge points a node at its component root
-    # (star path); the union-find finisher already emits (node, root)
-    # rows including the roots themselves — the anti-join below is a
-    # no-op for those, so both paths produce identical label sets
-    if labels is None:
-        labels = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
+    # converged state: every edge points a node at its component root;
+    # isolated-after-contraction roots (never a 'v') are re-added with
+    # themselves as component
+    labels = e.select(F.col("v").alias("node"), F.col("u").alias("component"))
     roots = nodes.join(
         labels.select("node").distinct(), "node", "left_anti"
     ).select("node", F.col("node").alias("component"))
     out = labels.union(roots)
-    # materialize before releasing the nodes cache the plan depends on
-    out = out.localCheckpoint(eager=True)
-    nodes.unpersist()
-    return out
+    # materialize: callers consume the label frame more than once and
+    # every input here is already a checkpointed edge list
+    return out.localCheckpoint(eager=True)
