@@ -1034,18 +1034,22 @@ def _tagged_gram_hashes(t: DataFrame) -> DataFrame:
     def _tag(n: int):
         # NB: a 2-arg lambda to F.transform receives (element, index),
         # so n is bound via this closure factory, never a default arg
-        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gh"))
+        return lambda g: F.struct(
+            F.lit(n).alias("n"),
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
+            .cast("long")
+            .alias("gh"),
+        )
 
+    # distinct BEFORE hashing: md5+conv run once per distinct gram per
+    # doc instead of once per occurrence (the unigram stream repeats
+    # ~40% of its tokens).  Value-identical downstream even under a
+    # within-doc 60-bit collision: the count face groups by gh and the
+    # HLL face is duplicate-insensitive (r12, guide §1.2 per-task work;
+    # measured at sf0.1, stream alone: 1.90 → 1.54 s median).
     streams = [
         F.transform(
-            F.array_distinct(
-                F.transform(
-                    shingles(F.col("toks"), n),
-                    lambda g: F.conv(
-                        F.substring(F.md5(g), 1, 15), 16, 10
-                    ).cast("long"),
-                )
-            ),
+            F.array_distinct(shingles(F.col("toks"), n)),
             _tag(n),
         )
         for n in (1, 2, 3)
