@@ -516,15 +516,21 @@ def packed_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition of the token stream.  The vocab rank window is global
     but vocab-sized (the vocab_coverage_by_lang precedent)."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("source", "doc_id", tokenize("text").alias("toks"))
-    # the exploded stream feeds BOTH the vocab count and the encode
-    # join — checkpoint it once (the ngram_jaccard_pairs discipline)
-    # so the corpus tokenize/posexplode runs a single time
+    # checkpoint the COMPACT array frame and re-derive the posexplode
+    # per consumer (the doc_shared_shingle_stats lesson: materializing
+    # exploded rows pays row-at-a-time storage on |tokens| rows; the
+    # array frame is |docs| rows and the re-explode is cheap).  The
+    # per-doc token count needs no explode at all — it is F.size(toks)
+    # off the array frame (r12, guide §2.3; measured at sf0.1:
+    # 0.84 → 0.71 s min, 0.91 → 0.74 s median).
+    t = docs.select(
+        "source", "doc_id", tokenize("text").alias("toks")
+    ).localCheckpoint(eager=True)
     s = t.select(
         "source",
         "doc_id",
         F.posexplode("toks").alias("pos0", "token"),
-    ).localCheckpoint(eager=True)
+    )
     v = (
         s.groupBy("token")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -536,9 +542,7 @@ def packed_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("token", "tok_id")
     )
-    n = s.groupBy("source", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens")
-    )
+    n = t.select("source", "doc_id", F.size("toks").alias("n_tokens"))
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")
