@@ -2086,7 +2086,19 @@ def kn_bigram_model(docs: DataFrame) -> DataFrame:
     All three statistics reduce from the LM TABLE, not the corpus
     stream — Zipf collapses the heavy token traffic into the bigram
     vocabulary first, so the extra KN aggregations cost a tiny fraction
-    of the base count stage."""
+    of the base count stage.
+
+    (c_x, n1f, n1b) are attached to the LM table by WINDOW aggregates
+    over its own keys instead of two grouped-count branches joined
+    back: each aggregate+join branch re-derived the corpus bigram
+    aggregation (10 corpus scans in the lazy plan,
+    plans/r12/doc_lm_perplexity_kn_before.txt); the windows shuffle
+    only the LM TABLE (bigram-type-sized) and leave 3 corpus scans —
+    this table, the B branch, and the caller's scorer stream (r12,
+    guide §2.3/§2.4; measured at sf0.1 end-to-end: 1.80 → 1.58 s
+    median, 1.51 → 1.40 s min, interleaved A/B).  An eager or lazy
+    localCheckpoint of the LM table measured SLOWER than both (storage
+    write on ~1M rows, r12 negative result)."""
     bg = (
         ensure_tokens(docs, "doc_id", "lang")
         .filter(F.size("toks") >= 2)
@@ -2099,15 +2111,12 @@ def kn_bigram_model(docs: DataFrame) -> DataFrame:
         F.split("bigram", " ")[0].alias("x"),
         F.split("bigram", " ")[1].alias("y"),
     )
-    ctx = lmx.groupBy("x").agg(
-        F.sum("c_xy").cast("bigint").alias("c_x"),
-        F.count(F.lit(1)).alias("n1f"),
-    )
-    back = lmx.groupBy("y").agg(F.count(F.lit(1)).alias("n1b"))
+    wx, wy = Window.partitionBy("x"), Window.partitionBy("y")
     b = lm.agg(F.count(F.lit(1)).alias("n_bigram_types"))
     return (
-        lmx.join(ctx, "x")
-        .join(back, "y")
+        lmx.withColumn("c_x", F.sum("c_xy").over(wx).cast("bigint"))
+        .withColumn("n1f", F.count(F.lit(1)).over(wx))
+        .withColumn("n1b", F.count(F.lit(1)).over(wy))
         .crossJoin(F.broadcast(b))
         .select("bigram", "c_xy", "c_x", "n1f", "n1b", "n_bigram_types")
     )
@@ -2126,7 +2135,12 @@ def doc_lm_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINT sums, per-language ntile over the per-doc frame); the KN
     statistics add only LM-table-sized aggregations.  The per-bigram
     double expression is written with identical association in both
-    engines, then quantized — the house float discipline."""
+    engines, then quantized — the house float discipline.
+
+    The model's (c_x, n1f, n1b) statistics are window aggregates over
+    the LM table inside :func:`kn_bigram_model` — the former
+    aggregate+join branches re-derived the corpus bigram aggregation
+    per branch (10 corpus scans → 3; r12, guide §2.3/§2.4)."""
     docs = _with_tokens(spark, sf_dir)
     model = kn_bigram_model(docs)
     bg = (
