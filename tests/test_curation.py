@@ -544,3 +544,33 @@ def test_contamination_width_monotone(spark, sf_dir):
         counts[r.width] = counts.get(r.width, 0) + r.n_contaminated
     for w in (6, 8, 13):
         assert counts.get(w, 0) == len(flagged[w])
+
+
+def test_tagged_gram_hashes_distinct_before_hash(spark):
+    """r12 rewrite pin: the tagged gram stream hashes each DISTINCT
+    per-doc gram exactly once — repeated grams add no rows, and the
+    values equal md5-prefix 60-bit ints of the gram text (the hash-
+    after-distinct order must not change the emitted multiset)."""
+    import hashlib
+
+    from bigdatamlteamrepo_spark.queries.curation import _tagged_gram_hashes
+
+    t = spark.createDataFrame(
+        [("s1", ["a", "b", "a", "b", "a"])], "source string, toks array<string>"
+    )
+    rows = [(r.n, r.gh) for r in _tagged_gram_hashes(t).collect()]
+
+    def h60(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+
+    want = []
+    toks = ["a", "b", "a", "b", "a"]
+    for n in (1, 2, 3):
+        grams, seen = [], set()
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            if g not in seen:
+                seen.add(g)
+                grams.append(g)
+        want += [(n, h60(g)) for g in grams]
+    assert sorted(rows) == sorted(want)
