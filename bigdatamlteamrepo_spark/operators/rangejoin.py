@@ -76,23 +76,34 @@ def _auto_bin_us(
     len_total = 0
     p50_max = 1
     extent = 1
-    for df, start, end in iv_stats:
-        row = (
+    # one tagged union + ONE grouped aggregate + ONE bounded collect for
+    # all sides (≤ |iv_stats| rows) — the per-side agg/collect pair ran
+    # a sequential job per frame (r12, guide §2.4: the overlap join's
+    # auto path paid two driver barriers where one suffices)
+    tagged = None
+    for i, (df, start, end) in enumerate(iv_stats):
+        side = (
             df.select(
                 (_us(end) - _us(start)).alias("__len"),
                 _us(start).alias("__s"),
                 _us(end).alias("__e"),
+                F.lit(i).alias("__side"),
             )
             .filter(F.col("__len") > 0)
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum("__len").alias("s"),
-                F.percentile_approx("__len", 0.5).alias("p50"),
-                F.min("__s").alias("lo"),
-                F.max("__e").alias("hi"),
-            )
-            .collect()[0]
         )
+        tagged = side if tagged is None else tagged.unionAll(side)
+    rows = (
+        tagged.groupBy("__side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__len").alias("s"),
+            F.percentile_approx("__len", 0.5).alias("p50"),
+            F.min("__s").alias("lo"),
+            F.max("__e").alias("hi"),
+        )
+        .collect()
+    )
+    for row in rows:
         n_total += row["n"] or 0
         len_total += row["s"] or 0
         p50_max = max(p50_max, int(row["p50"] or 1))
