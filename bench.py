@@ -199,30 +199,40 @@ def main() -> None:
         n: round(t / calib, 2) if calib > 0 else None
         for n, t in timings.items()
     }
+    detail = {
+        "sf": sf,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+        "queries": timings,
+        # RAW cache-off medians under the exact key the
+        # judge's regression check reads (VERDICT_r8 #5):
+        # round-over-round per-query comparisons must not
+        # route through the calibration constant
+        "queries_median_cache_off": medians,
+        # per-query max−min over the 3 cache-off runs: a
+        # large spread marks that query's walls as
+        # host-noise suspects for this round
+        "queries_spread_cache_off": spreads,
+        "queries_calibrated": normalized,
+        "queries_stage_cache_on": cache_timings,
+    }
     # Per-query detail on its OWN line: the driver's stdout-tail
     # capture truncated r07's single fat line (BENCH_r07 "parsed":
     # null) — the machine-readable record must be the compact FINAL
     # line, with detail emitted before it (VERDICT_r7 #1).
-    print(
-        json.dumps(
-            {
-                "detail": {
-                    "queries": timings,
-                    # RAW cache-off medians under the exact key the
-                    # judge's regression check reads (VERDICT_r8 #5):
-                    # round-over-round per-query comparisons must not
-                    # route through the calibration constant
-                    "queries_median_cache_off": medians,
-                    # per-query max−min over the 3 cache-off runs: a
-                    # large spread marks that query's walls as
-                    # host-noise suspects for this round
-                    "queries_spread_cache_off": spreads,
-                    "queries_calibrated": normalized,
-                    "queries_stage_cache_on": cache_timings,
-                }
-            }
-        )
-    )
+    print(json.dumps({"detail": detail}))
+    # ... AND to a committed file: the driver keeps only a ~2000-char
+    # stdout tail, which the detail line exceeds — r11/r12's per-query
+    # data was invisible to the driver (PERF per_query empty,
+    # VERDICT_r12 #1).  The file is the full record; the final line
+    # below carries a compact per-query map that fits the tail.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError as ex:  # read-only checkout must not kill the bench
+        print(f"# BENCH_DETAIL.json not written: {ex}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -233,6 +243,12 @@ def main() -> None:
                 # number (VERDICT_r11 #2); `value` stays Σ mins for
                 # continuity with r01–r11
                 "value_median": total_median,
+                # per-query CACHE-OFF MEDIANS (2-decimal — ~1.1 KB for
+                # 32 queries, inside the driver's stdout tail), the
+                # round-over-round regression signal (VERDICT_r12 #1).
+                # Σ queries == value_median up to rounding; mins and
+                # cache-on walls live in BENCH_DETAIL.json.
+                "queries": {n: round(v, 2) for n, v in medians.items()},
                 "value_stage_cache_on": cache_total,
                 # the three numbers tell one story (VERDICT_r8 #9):
                 # value = cold self-contained cost, value_stage_cache_on
@@ -250,7 +266,8 @@ def main() -> None:
                 "layout_prep_sec": layout_prep_sec,
                 "stage_cache": "off-primary",
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -154,8 +154,7 @@ def connected_components(
     # Lazy (no cache): it derives from the checkpointed canonical edge
     # list and is referenced once, by the roots anti-join.
     nodes = e.select(F.col("u").alias("node")).union(e.select("v")).distinct()
-    labels = None
-    for rnd in range(max_rounds if labels is None else 0):
+    for rnd in range(max_rounds):
         # ---- large-star: (v > u) → m(u), over the SYMMETRIC neighbor list
         nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = _closed_min(nbr)

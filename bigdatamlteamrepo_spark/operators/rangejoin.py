@@ -92,6 +92,10 @@ def _auto_bin_us(
             .filter(F.col("__len") > 0)
         )
         tagged = side if tagged is None else tagged.unionAll(side)
+    if tagged is None:
+        # no interval frames at all — degrade like the old per-frame
+        # loop did on empty input (ADVICE_r12)
+        return p50_max
     rows = (
         tagged.groupBy("__side")
         .agg(

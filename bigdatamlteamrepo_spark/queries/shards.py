@@ -542,7 +542,15 @@ def packed_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("token", "tok_id")
     )
-    n = t.select("source", "doc_id", F.size("toks").alias("n_tokens"))
+    # greatest(size, 0): F.size of a NULL array is -1, which would
+    # silently shift every later doc's tok_offset in the cumsum window
+    # (ADVICE_r12) — null-text docs contribute zero tokens, like the
+    # posexplode side where they simply emit no rows
+    n = t.select(
+        "source",
+        "doc_id",
+        F.greatest(F.size("toks"), F.lit(0)).alias("n_tokens"),
+    )
     w = (
         Window.partitionBy("source")
         .orderBy("doc_id")

@@ -28,7 +28,9 @@ from bigdatamlteamrepo_spark.plans.checks import formatted_plan
 from bigdatamlteamrepo_spark.queries import BENCH_SET, QUERIES
 
 PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
 )
 
 
