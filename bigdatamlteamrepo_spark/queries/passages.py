@@ -367,7 +367,10 @@ def merge_windows_to_spans(
 
 
 def dup_substring_spans(
-    docs: DataFrame, w: int = SPAN_W, cache_key: str | None = None
+    docs: DataFrame,
+    w: int = SPAN_W,
+    cache_key: str | None = None,
+    prefilter: bool = True,
 ) -> DataFrame:
     """Maximal duplicated spans per document: every stride-1 w-token
     window occurring ≥2 times in the corpus, island-merged
@@ -376,36 +379,130 @@ def dup_substring_spans(
     Returns (doc_id, source, span_start, span_end, span_tokens,
     n_windows) with 1-based inclusive token offsets.
 
-    ``cache_key`` (an sf_dir): the window-hash stream is shared by two
-    registered faces (doc_dup_substring_spans, substring_dedup_summary)
-    — with the session stage cache on it materializes once per corpus
-    instead of once per query.  CONTRACT: pass a cache_key ONLY when
-    ``docs`` is exactly the full documents table of that sf_dir — the
-    key is not tied to the frame, so a subset frame under a corpus key
-    (or vice versa) would silently read the other frame's windows.
-    Subset callers leave it None (the default)."""
+    ``cache_key`` (an sf_dir): the duplicated-window table is shared by
+    two registered faces (doc_dup_substring_spans,
+    substring_dedup_summary) — with the session stage cache on it
+    materializes once per corpus instead of once per query.  CONTRACT:
+    pass a cache_key ONLY when ``docs`` is exactly the full documents
+    table of that sf_dir — the key is not tied to the frame, so a
+    subset frame under a corpus key (or vice versa) would silently read
+    the other frame's windows.  Subset callers leave it None (the
+    default).
+
+    ``prefilter`` (r13, guide §2.3/§3.2): the md5 window stream used to
+    shuffle+sort in full for the duplicate count — O(corpus tokens)
+    rows × (32-hex hash + ids), the dominant stage at sf10 (98 s wall).
+    The rewrite prunes with a LOSSLESS 64-bit pre-count first:
+
+    1. one pass emits ``xxhash64`` of each w-token slice (no string
+       concat, no md5, 8-byte keys) and hash-aggregates counts — the
+       only full-stream shuffle left, narrow rows, map-side combinable,
+       no sort;
+    2. windows in h64 groups of width ≥ 2 survive (a superset of the
+       md5-dup windows: equal window strings ⟹ equal token arrays ⟹
+       equal h64 — tokens are whitespace-split, so the space-join is
+       injective);
+    3. md5 is computed ONLY at surviving (doc, start) positions by
+       re-slicing the checkpointed token-array frame, and the exact
+       ≥2 count runs over that small survivor stream.  Counting md5
+       within survivors equals counting over the full corpus: any
+       window sharing an md5 with another shares its h64 group, so
+       either all its copies survive or it was a singleton; h64
+       collisions only ADD survivors, which the md5 count then drops.
+
+    Output is bit-identical to the unfiltered plan under the same
+    no-md5-collision assumption the md5 design itself already makes
+    (pinned vs the brute force in tests/test_substring_dedup.py, incl.
+    collision-heavy random corpora).  ``prefilter=False`` keeps the r12
+    single-pass window-count plan for A/B probes."""
     from bigdatamlteamrepo_spark import stagecache
 
+    if not prefilter:
+        wins = window_hashes(docs, w)
+        # r12 shape: duplicated-window flag via ONE window count over
+        # the md5 hash (groupBy+join-back evaluated the stream twice;
+        # measured 2.13 → 1.26 s min at sf0.1)
+        cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
+        dw = (
+            wins.withColumn("__cnt", cnt)
+            .filter(F.col("__cnt") >= 2)
+            .select("doc_id", "source", "start")
+        )
+        return merge_windows_to_spans(dw, w)
+
     if cache_key is not None:
-        wins = stagecache.shared(
-            ("span_windows", cache_key, w), lambda: window_hashes(docs, w)
+        dw = stagecache.shared(
+            ("dup_windows", cache_key, w), lambda: _dup_windows(docs, w)
         )
     else:
-        wins = window_hashes(docs, w)
-    # duplicated-window flag via ONE window count over the hash — the
-    # former groupBy(h) + join-back evaluated the window-hash stream
-    # (tokenize → per-position md5, the dominant cost) twice, once per
-    # branch (r12, guide §2.3/§2.4; measured at sf0.1: 2.13 → 1.26 s
-    # min, 2.76 → 1.40 s median; a localCheckpoint of the stream was
-    # also slower at 1.72 s).  COUNT over the full h-partition equals
-    # the dup table's HAVING COUNT(*) >= 2 — same rows survive.
+        dw = _dup_windows(docs, w)
+    return merge_windows_to_spans(dw, w)
+
+
+def _dup_windows(docs: DataFrame, w: int) -> DataFrame:
+    """(doc_id, source, start) of every stride-1 w-token window whose
+    exact token sequence occurs ≥ 2 times in ``docs`` — the prefiltered
+    plan of :func:`dup_substring_spans` (see its docstring)."""
+    # compact array frame, materialized once (lazily — the first job
+    # through it fills the checkpoint; the r12 packed_token_sequences
+    # lesson: checkpoint |docs| array rows, re-derive explodes per
+    # consumer).  Consumed by the h64 count, the survivor join and the
+    # md5 re-slice.
+    tm = ensure_tokens(docs, "doc_id", "source").localCheckpoint(eager=False)
+    h64s = F.when(
+        F.size("toks") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - F.lit(w - 1)),
+            lambda i: F.xxhash64(F.slice("toks", i, F.lit(w))),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    # pass 1: counts over 8-byte keys only — hash aggregate (no sort),
+    # map-side partial combine, nothing else in the row
+    d64 = (
+        tm.select(F.explode(h64s).alias("h64"))
+        .groupBy("h64")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("h64")
+    )
+    # pass 2: positions joined against the (Zipf-collapsed, small) dup
+    # table — AQE broadcasts it at driver SFs; at scale it is a plain
+    # hash equi-join on a long key
+    sv = (
+        tm.select("doc_id", F.posexplode(h64s).alias("pos", "h64"))
+        .join(d64, "h64")
+        .select("doc_id", (F.col("pos") + 1).cast("int").alias("start"))
+    )
+    # pass 3: md5 only at surviving positions — survivor starts grouped
+    # per doc (tiny shuffle), token arrays re-sliced from the
+    # checkpointed frame, then the EXACT ≥2 count over the survivor
+    # stream
+    svd = sv.groupBy("doc_id").agg(F.collect_list("start").alias("__ss"))
+    md5w = (
+        tm.join(svd, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    "__ss",
+                    lambda s: F.struct(
+                        s.alias("start"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice("toks", s, F.lit(w)))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("x"),
+        )
+        .select("doc_id", "source", F.col("x.start").alias("start"), "x.h")
+    )
     cnt = F.count(F.lit(1)).over(Window.partitionBy("h"))
-    dw = (
-        wins.withColumn("__cnt", cnt)
+    return (
+        md5w.withColumn("__cnt", cnt)
         .filter(F.col("__cnt") >= 2)
         .select("doc_id", "source", "start")
     )
-    return merge_windows_to_spans(dw, w)
 
 
 def apply_span_cuts(docs: DataFrame, spans: DataFrame) -> DataFrame:
