@@ -446,9 +446,9 @@ def _dup_windows(docs: DataFrame, w: int) -> DataFrame:
     # compact array frame, materialized once (lazily — the first job
     # through it fills the checkpoint; the r12 packed_token_sequences
     # lesson: checkpoint |docs| array rows, re-derive explodes per
-    # consumer).  Consumed by the h64 count, the survivor join and the
-    # md5 re-slice.
-    tm = ensure_tokens(docs, "doc_id", "source").localCheckpoint(eager=False)
+    # consumer).  The per-doc h64 array is computed INSIDE the
+    # checkpoint so xxhash64 runs once per window total, however many
+    # passes read it (count, survivor join, md5 re-slice).
     h64s = F.when(
         F.size("toks") >= w,
         F.transform(
@@ -456,10 +456,15 @@ def _dup_windows(docs: DataFrame, w: int) -> DataFrame:
             lambda i: F.xxhash64(F.slice("toks", i, F.lit(w))),
         ),
     ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    tm = (
+        ensure_tokens(docs, "doc_id", "source")
+        .withColumn("__hs", h64s)
+        .localCheckpoint(eager=False)
+    )
     # pass 1: counts over 8-byte keys only — hash aggregate (no sort),
     # map-side partial combine, nothing else in the row
     d64 = (
-        tm.select(F.explode(h64s).alias("h64"))
+        tm.select(F.explode("__hs").alias("h64"))
         .groupBy("h64")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") >= 2)
@@ -469,7 +474,7 @@ def _dup_windows(docs: DataFrame, w: int) -> DataFrame:
     # table — AQE broadcasts it at driver SFs; at scale it is a plain
     # hash equi-join on a long key
     sv = (
-        tm.select("doc_id", F.posexplode(h64s).alias("pos", "h64"))
+        tm.select("doc_id", F.posexplode("__hs").alias("pos", "h64"))
         .join(d64, "h64")
         .select("doc_id", (F.col("pos") + 1).cast("int").alias("start"))
     )
