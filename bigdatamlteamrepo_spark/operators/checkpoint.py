@@ -29,12 +29,16 @@ def checkpoint_dir_configured(df: DataFrame) -> bool:
     return df.sparkSession.sparkContext.getCheckpointDir() is not None
 
 
-def truncate(df: DataFrame) -> DataFrame:
+def truncate(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize ``df`` and sever its lineage: reliable
     ``checkpoint`` when a checkpoint dir is configured, executor-local
-    ``localCheckpoint`` otherwise.  Always eager — iterative loops need
-    the round's work done NOW, not replayed inside the next round's
-    plan."""
+    ``localCheckpoint`` otherwise.  Eager by default — iterative loops
+    need the round's work done NOW, not replayed inside the next
+    round's plan.  ``eager=False`` (r13, guide §2.4) is for NON-loop
+    callers whose next action sequentially consumes the frame anyway
+    (e.g. the overlap join's auto-bin aggregate): the first job fills
+    the checkpoint and the dedicated materialization barrier
+    disappears; reuse semantics are unchanged."""
     if checkpoint_dir_configured(df):
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

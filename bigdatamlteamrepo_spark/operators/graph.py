@@ -125,10 +125,14 @@ def connected_components(
         .filter(F.col("a") != F.col("b"))
         .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # LAZY: the count() below is the materializing action, so the
+        # upstream (e.g. an LSH-candidates + Jaccard-verify pipeline)
+        # runs inside ONE job instead of eager-copy + count (r13 §2.4)
+        .localCheckpoint(eager=False)
     )
     converged = False
-    # carried across rounds so each round runs ONE count job, not two
+    # carried across rounds so each round runs ONE count job, not two;
+    # this is also what fills the lazy checkpoint above
     e_count = e.count()
     # size-adaptive layout: a verified near-dup edge list is often tiny
     # relative to the corpus (hundreds of edges at driver SFs, millions
@@ -147,8 +151,11 @@ def connected_components(
         # a structural no-op on this path — return the labels directly.
         # Saves the nodes-distinct, anti-join/union and final-checkpoint
         # jobs: three sequential barriers on a tiny frame (r12, guide
-        # §2.4; measured inside neardup_dedup_summary at sf0.1).
-        return _local_components(e).localCheckpoint(eager=True)
+        # §2.4; measured inside neardup_dedup_summary at sf0.1).  Lazy
+        # checkpoint (r13): the caller's first action materializes the
+        # labels; later references reuse them — the dedicated label-copy
+        # barrier disappears.
+        return _local_components(e).localCheckpoint(eager=False)
 
     # track every vertex: isolated-after-contraction roots must survive.
     # Lazy (no cache): it derives from the checkpointed canonical edge
@@ -212,6 +219,7 @@ def connected_components(
         labels.select("node").distinct(), "node", "left_anti"
     ).select("node", F.col("node").alias("component"))
     out = labels.union(roots)
-    # materialize: callers consume the label frame more than once and
+    # lazy checkpoint: callers may consume the label frame more than
+    # once — the first action materializes it, later ones reuse it, and
     # every input here is already a checkpointed edge list
-    return out.localCheckpoint(eager=True)
+    return out.localCheckpoint(eager=False)

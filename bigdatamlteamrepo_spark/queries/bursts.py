@@ -121,10 +121,12 @@ def purchases_in_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncate: the interval frame feeds BOTH the range join and the
     # keep-empty-intervals left join — without it the whole island
     # derivation (including its one-row threshold broadcast) runs twice;
-    # the frame is calendar-bounded (≤ spine_hours rows), and the face
-    # is already eager at construction via the operator's volume guard
+    # the frame is calendar-bounded (≤ spine_hours rows).  LAZY: the
+    # operator's auto-bin aggregate is the first action and fills the
+    # checkpoint in its own job (r13, guide §2.4)
     iv = truncate(
-        hourly_bursts(ev.filter(F.col("event_type") == "error").select("ts"))
+        hourly_bursts(ev.filter(F.col("event_type") == "error").select("ts")),
+        eager=False,
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("ts").alias("pts"),
@@ -259,12 +261,18 @@ def session_burst_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the volume guard, and the explode (bursts additionally feed the
     # keep-empty left join) — without truncation the window derivations
     # would re-run per consumer.  Both frames are bounded: bursts by the
-    # calendar, sessions by |users| · sessions-per-user.
+    # calendar, sessions by |users| · sessions-per-user.  LAZY (r13,
+    # guide §2.4): the auto-bin tagged aggregate reads BOTH frames and
+    # is the first action, so one job fills both checkpoints where two
+    # eager barrier jobs used to run first (interleaved A/B at sf0.1:
+    # 1.37 → 1.27 s min, 1.45 → 1.38 s med).
     iv = truncate(
-        hourly_bursts(ev.filter(F.col("event_type") == "error").select("ts"))
+        hourly_bursts(ev.filter(F.col("event_type") == "error").select("ts")),
+        eager=False,
     )
     sess = truncate(
-        user_sessions_intervals(ev.select("user_id", "ts", "event_id"))
+        user_sessions_intervals(ev.select("user_id", "ts", "event_id")),
+        eager=False,
     )
     matched = interval_overlap_join(
         sess.select("user_id", "s_start", "s_end"),

@@ -1022,9 +1022,15 @@ def lsh_candidate_pairs(
     if stagecache.enabled() and (sets is None or corpus_sets):
         bands = corpus_band_rows(spark, sf_dir, n_hashes, n_bands)
     else:
-        bands = lsh_band_rows(
-            df, shingle_col, n_hashes, n_bands
-        ).localCheckpoint(eager=True)
+        # LAZY checkpoint when salt="auto" (the default): the width
+        # aggregate's 1-row collect below is the first action and fills
+        # it — one job instead of eager-copy + re-read (r13, §2.4);
+        # the self-join then reads the materialized partitions.  With
+        # salt=None the self-join IS the first consumer and its two
+        # concurrently-scheduled scan stages could each compute the
+        # unmaterialized signature chain — keep the eager copy there.
+        bands = lsh_band_rows(df, shingle_col, n_hashes, n_bands)
+        bands = bands.localCheckpoint(eager=salt is None)
 
     def _pairs(frame: DataFrame) -> DataFrame:
         a, b = frame.alias("a"), frame.alias("b")
@@ -1230,10 +1236,14 @@ def _shingle_sets_m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized :func:`_shingle_sets`: the session-cached frame
     when the stage cache is on (already persisted + materialized —
     re-checkpointing it per query would copy the partitions for
-    nothing), else a fresh per-call localCheckpoint (the pre-cache
-    behavior)."""
+    nothing), else a fresh per-call LAZY localCheckpoint: the first
+    consuming job fills it (in every registered consumer that first
+    job is sequential — the band-width collect, a band ckpt, or a
+    single-reference plan), so the dedicated materialization barrier
+    disappears (r13, guide §2.4; interleaved A/B inside
+    neardup_dedup_summary: med 2.78 → 2.61 s, min flat)."""
     sets = _shingle_sets(spark, sf_dir)
-    return sets if stagecache.enabled() else sets.localCheckpoint(eager=True)
+    return sets if stagecache.enabled() else sets.localCheckpoint(eager=False)
 
 
 def corpus_uh_signatures(
