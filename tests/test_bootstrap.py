@@ -197,3 +197,20 @@ def test_largest_remainder_is_deterministic_python_replica(spark):
     # wide-spread B must be oversampled vs its share; tight A under
     assert got["B"][0] > got["B"][1]
     assert got["A"][0] < got["A"][1]
+
+
+def test_hex_threshold_compare_equals_numeric():
+    """r13 rewrite pin: comparing the 8-hex md5 slice AS A STRING
+    against hex-formatted thresholds decides exactly what the numeric
+    conv() comparison did — fixed-width lowercase hex is
+    order-isomorphic to the 32-bit value.  Checked at every threshold
+    boundary (T-1, T, T+1) and the domain edges."""
+    from bigdatamlteamrepo_spark.queries.bootstrap import _THRESHOLDS
+
+    probes = {0, 2**32 - 1}
+    for t in _THRESHOLDS:
+        probes |= {max(0, t - 1), t, min(2**32 - 1, t + 1)}
+    for h in sorted(probes):
+        hs = f"{h:08x}"
+        for t in _THRESHOLDS:
+            assert (hs >= f"{t:08x}") == (h >= t), (h, t)

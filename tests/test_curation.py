@@ -574,3 +574,22 @@ def test_tagged_gram_hashes_distinct_before_hash(spark):
                 grams.append(g)
         want += [(n, h60(g)) for g in grams]
     assert sorted(rows) == sorted(want)
+
+
+def test_tagged_gram_hex_string_matches_int_counts(spark):
+    """r13 pin: distinct/grouped counts over the 15-hex STRING gram key
+    (as_int=False, the exact face's cache-off form) equal counts over
+    the BIGINT form — the hex→int map is a bijection, so the key type
+    cannot change any count."""
+    from bigdatamlteamrepo_spark.queries.curation import _tagged_gram_hashes
+
+    t = spark.createDataFrame(
+        [("s1", ["a", "b", "a", "c", "b"]), ("s2", ["b", "b", "b"])],
+        "source string, toks array<string>",
+    )
+    ints = [(r.source, r.n, r.gh) for r in _tagged_gram_hashes(t).collect()]
+    strs = [
+        (r.source, r.n, int(r.gh, 16))
+        for r in _tagged_gram_hashes(t, as_int=False).collect()
+    ]
+    assert sorted(ints) == sorted(strs)
