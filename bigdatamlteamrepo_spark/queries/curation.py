@@ -177,20 +177,22 @@ def passage_neardup_doc_pairs(
     explicitly; ``None`` disables it (lossless all-pairs — bounded
     corpora only).
 
-    ``materialize``: the default eagerly computes the (doc-pair-sized)
-    result, then releases the intermediate caches — repeated
-    invocations in one session must not accumulate executor storage
-    (the operators/dedup.py discipline).  ``materialize=False`` builds
-    the fully lazy plan (no caching, the shingle subtree is simply
-    evaluated per consumer) — the form the plan-gate tests inspect.
+    ``materialize``: the default materializes the shared passage-set
+    and band stages as LAZY localCheckpoints — the auto-cap's bounded
+    collect is the first action and fills both in one job, where the
+    r12 persist + eager-output chain paid separate fill and copy
+    barriers (r13, guide §2.4; interleaved A/B at sf0.1: 1.97 → 1.75 s
+    min, 2.10 → 1.88 s med, value-identical).  Checkpointed blocks are
+    released by the ContextCleaner when the returned frame is dropped
+    (the graph-operator discipline), so repeated invocations still
+    cannot accumulate unbounded executor storage.  ``materialize=False``
+    builds the fully lazy plan (no checkpoints, the shingle subtree is
+    simply evaluated per consumer) — the form the plan-gate tests
+    inspect.
     """
-    _persisted: list[DataFrame] = []
 
     def _keep(df: DataFrame) -> DataFrame:
-        if materialize:
-            df = df.persist()
-            _persisted.append(df)
-        return df
+        return df.localCheckpoint(eager=False) if materialize else df
 
     psets = _keep(_passage_sets(docs))
 
@@ -229,13 +231,15 @@ def passage_neardup_doc_pairs(
             # cap = max(floor, mult × (Σw div nb)) — pure bigint, so the
             # oracle mirrors it tie-free.  Materialized path: collect
             # the 1-ROW stat (the engine's bounded-collect convention —
-            # this also fills the bands cache in one cheap job; the
-            # broadcast formulation instead re-ran the whole signature
-            # chain inside the broadcast-exchange job, measured +1.9 s
-            # at sf0.1).  Lazy path keeps the collect-free 1-row
-            # broadcast so plan gates see a pure plan.
+            # this also fills the psets/bands checkpoints in one cheap
+            # job; the broadcast formulation instead re-ran the whole
+            # signature chain inside the broadcast-exchange job,
+            # measured +1.9 s at sf0.1).  bw itself recomputes from the
+            # checkpointed band table for the semi side — one small agg,
+            # cheaper than keeping a third materialized frame (r13
+            # probe).  Lazy path keeps the collect-free 1-row broadcast
+            # so plan gates see a pure plan.
             if materialize:
-                bw = _keep(bw)  # width table reused by stats + semi side
                 tot, nb = bw.agg(F.sum("w"), F.count(F.lit(1))).first()
                 cap = max(
                     _AUTO_CAP_FLOOR,
@@ -307,12 +311,10 @@ def passage_neardup_doc_pairs(
         F.max("jac").alias("max_jaccard"),
     )
     if materialize:
-        # materialize the doc-pair-sized result, then release the
-        # corpus-sized caches (localCheckpoint severs the lineage so
-        # the returned frame never re-reads them)
-        out = out.localCheckpoint(eager=True)
-        for df in _persisted:
-            df.unpersist()
+        # lazy checkpoint of the doc-pair-sized result: the caller's
+        # first action materializes it (severing lineage back into the
+        # corpus-sized stages); repeated consumption reuses it
+        out = out.localCheckpoint(eager=False)
     return out
 
 
